@@ -1,0 +1,88 @@
+"""Command-line interface.
+
+The reference has no CLI at all in the binary (hard-coded path,
+main.rs:44) and a single positional arg in test.py (test.py:15-18).
+Subcommands:
+
+  count     FASTA -> sorted "kmer\\tcount" TSV on stdout
+  parity    FASTA -> the reference's exact sorted chunk dump on stdout
+  generate  seeded random FASTA corpora (reference-style or uniform reads)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common(p):
+    p.add_argument("fasta", help="input FASTA file")
+    p.add_argument("--batch-reads", type=int, default=2048)
+    p.add_argument("--max-read-len", type=int, default=256)
+    p.add_argument("--stats", action="store_true",
+                   help="JSONL per-batch stats on stderr")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="kmer_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("count", help="count k-mers")
+    _add_common(pc)
+    pc.add_argument("-k", type=int, default=21)
+    pc.add_argument("--canonical", action="store_true")
+    pc.add_argument("--mode", choices=["auto", "dense", "sort"], default="auto")
+
+    pp = sub.add_parser("parity", help="reference-parity sorted chunk dump")
+    pp.add_argument("fasta")
+    pp.add_argument("--batch-reads", type=int, default=256)
+    pp.add_argument("--max-read-len", type=int, default=512)
+
+    pg = sub.add_parser("generate", help="seeded random FASTA to stdout")
+    pg.add_argument("--style", choices=["reference", "reads"], default="reference")
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--n-records", type=int, default=200)
+    pg.add_argument("--read-len", type=int, default=150)
+
+    args = ap.parse_args(argv)
+    try:
+        return _dispatch(args)
+    except (ValueError, OSError) as e:
+        print(f"kmer_tpu: error: {e}", file=sys.stderr)
+        return 1
+
+
+def _dispatch(args) -> int:
+    if args.cmd == "count":
+        from .config import KmerConfig
+        from .pipeline.count import count_fasta
+        cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
+                         batch_reads=args.batch_reads,
+                         max_read_len=max(args.max_read_len, args.k),
+                         stats=args.stats)
+        table = count_fasta(args.fasta, cfg)
+        table.write_tsv(sys.stdout)
+        return 0
+
+    if args.cmd == "parity":
+        from .config import KmerConfig
+        from .pipeline.parity import parity_dump
+        cfg = KmerConfig(gapped=True, batch_reads=args.batch_reads,
+                         max_read_len=args.max_read_len)
+        sys.stdout.buffer.write(parity_dump(args.fasta, cfg))
+        return 0
+
+    if args.cmd == "generate":
+        from .io.generator import random_reads_fasta, reference_style_fasta
+        if args.style == "reference":
+            sys.stdout.write(reference_style_fasta(n_records=args.n_records,
+                                                   seed=args.seed))
+        else:
+            sys.stdout.write(random_reads_fasta(args.n_records, args.read_len,
+                                                seed=args.seed))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,66 @@
+"""Configuration for the counting engine.
+
+The reference hard-codes everything — input path (main.rs:44), L/R window
+lengths (main.rs:48-49), the chunk-size sweep (main.rs:63); test.py has a
+single positional arg (test.py:15-18).  This dataclass is the real flag
+system SURVEY.md §5.6 calls for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class KmerConfig:
+    k: int = 21
+    canonical: bool = False
+    # counting mode: "auto" picks dense for k <= 12, else sort.
+    mode: str = "auto"                      # auto | dense | sort
+    batch_reads: int = 2048                 # reads (segments) per device batch
+    max_read_len: int = 256                 # batch width L; longer reads split
+    # gapped reference-parity extraction (main.rs:48-49,63)
+    gapped: bool = False
+    l_len: int = 27
+    r_len: int = 27
+    c_min: int = 80
+    c_max: int = 140
+    # distributed
+    mesh_shape: tuple[int, ...] = ()        # () = single device
+    # streaming / two-pass
+    partitions: int = 16                    # hash-prefix spill partitions
+    # observability
+    stats: bool = False                     # per-batch JSONL stats to stderr
+
+    def __post_init__(self):
+        if self.k < 1:
+            raise ValueError(f"k must be >= 1, got {self.k}")
+        if self.mode not in ("auto", "dense", "sort"):
+            raise ValueError(f"unknown mode {self.mode!r}")
+        if self.mode == "dense" and self.k > 12:
+            raise ValueError("dense mode requires k <= 12")
+        if self.gapped and (self.l_len, self.r_len) != (27, 27):
+            raise ValueError("gapped parity mode is specialized to L=R=27")
+        if self.max_read_len < self.window_span:
+            raise ValueError(
+                f"max_read_len={self.max_read_len} < window span {self.window_span}")
+
+    @property
+    def window_span(self) -> int:
+        """Longest window the extractor needs in one batch row."""
+        return self.c_max if self.gapped else self.k
+
+    @property
+    def overlap(self) -> int:
+        """Host-side segment overlap so split reads lose no windows."""
+        return self.window_span - 1
+
+    @property
+    def effective_mode(self) -> str:
+        if self.mode != "auto":
+            return self.mode
+        return "dense" if (self.k <= 12 and not self.gapped) else "sort"
+
+    def replace(self, **kw) -> "KmerConfig":
+        return dataclasses.replace(self, **kw)

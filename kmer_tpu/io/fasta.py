@@ -1,0 +1,178 @@
+"""Host FASTA ingest: native C++ parser binding + batching into
+fixed-shape device arrays.
+
+The native library (io/native/fasta_pack.cpp) replaces the reference's
+Rust bio::io::fasta layer (main.rs:44-62).  It is auto-built with g++ on
+first use if the .so is missing; a vectorized NumPy fallback keeps the
+framework functional without a toolchain.
+
+Output contract of `parse_fasta`: (codes, offsets)
+  codes:   (total_bases,) uint8 2-bit codes, all records concatenated
+  offsets: (n_records+1,) int64, record r = codes[offsets[r]:offsets[r+1]]
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..ops.encode import InvalidBaseError
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfasta_pack.so")
+_lib = None
+_lib_failed = False
+
+
+def _load_native():
+    """Load (building if needed) the native parser; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "fasta_pack.cpp")
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
+                 "-o", _SO_PATH, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.fasta_scan.restype = ctypes.c_int
+        lib.fasta_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64]
+        lib.fasta_parse.restype = ctypes.c_int
+        lib.fasta_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+_ERRCODES = {
+    -1: "cannot open file",
+    -2: "malformed FASTA",
+    -3: "invalid base",
+    -4: "internal buffer overflow",
+}
+
+
+def parse_fasta_native(path: str) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+    err = ctypes.create_string_buffer(256)
+    nrec = ctypes.c_int64(0)
+    nbase = ctypes.c_int64(0)
+    rc = lib.fasta_scan(path.encode(), ctypes.byref(nrec), ctypes.byref(nbase),
+                        err, 256)
+    if rc != 0:
+        msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
+        raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
+    codes = np.empty(max(int(nbase.value), 1), dtype=np.uint8)
+    offsets = np.empty(int(nrec.value) + 1, dtype=np.int64)
+    rc = lib.fasta_parse(
+        path.encode(),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), codes.size,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offsets.size,
+        ctypes.byref(nrec), ctypes.byref(nbase), err, 256)
+    if rc != 0:
+        msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
+        raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
+    return codes[: int(nbase.value)], offsets
+
+
+def parse_fasta_numpy(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python/NumPy fallback parser (same contract as native)."""
+    from ..utils.oracle import read_fasta_py
+    from ..ops.encode import encode_seq
+
+    seqs = read_fasta_py(path)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if not seqs:
+        return np.empty(0, np.uint8), offsets
+    codes = np.concatenate([encode_seq(s) for s in seqs])
+    return codes, offsets
+
+
+def parse_fasta(path: str, prefer_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a FASTA file into (codes, offsets); native parser preferred."""
+    if prefer_native and _load_native() is not None:
+        return parse_fasta_native(path)
+    return parse_fasta_numpy(path)
+
+
+# ---------------------------------------------------------------------------
+# Batching: ragged records -> fixed-shape (B, L) device batches.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Batch:
+    codes: np.ndarray        # (B, L) uint8, zero-padded
+    lengths: np.ndarray      # (B,) int32 — valid prefix length per row
+    start_limits: np.ndarray  # (B,) int32 — row owns window starts o < limit
+
+
+def segment_records(offsets: np.ndarray, max_len: int, overlap: int) -> np.ndarray:
+    """Split records longer than max_len into windows with `overlap`
+    shared bases (host-side analog of a (k-1)-base halo exchange).
+
+    Ownership makes extraction exact across seams: a non-final segment
+    owns only window starts o < step (= max_len - overlap); the final
+    segment owns everything it can fit.  Every window of span <=
+    overlap+1 is therefore extracted exactly once.
+
+    Returns (n_segments, 3) int64: [start, end, start_limit).
+    """
+    assert 0 <= overlap < max_len
+    spans = []
+    step = max_len - overlap
+    for r in range(len(offsets) - 1):
+        s, e = int(offsets[r]), int(offsets[r + 1])
+        if e - s <= max_len:
+            spans.append((s, e, max_len))
+            continue
+        p = s
+        while p < e:
+            q = min(p + max_len, e)
+            spans.append((p, q, max_len if q == e else step))
+            if q == e:
+                break
+            p += step
+    return np.asarray(spans, dtype=np.int64).reshape(-1, 3)
+
+
+def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
+                 batch_reads: int, max_len: int, overlap: int) -> Iterator[Batch]:
+    """Yield fixed-shape batches.  The final batch is padded to full B
+    with zero-length rows so every device step sees one static shape
+    (one XLA compilation)."""
+    spans = segment_records(offsets, max_len, overlap)
+    n = len(spans)
+    for i in range(0, max(n, 1), batch_reads):
+        chunk = spans[i:i + batch_reads]
+        B = batch_reads
+        out = np.zeros((B, max_len), dtype=np.uint8)
+        lens = np.zeros((B,), dtype=np.int32)
+        lims = np.zeros((B,), dtype=np.int32)
+        for j, (s, e, lim) in enumerate(chunk):
+            out[j, : e - s] = codes[s:e]
+            lens[j] = e - s
+            lims[j] = lim
+        yield Batch(out, lens, lims)
+        if n == 0:
+            break

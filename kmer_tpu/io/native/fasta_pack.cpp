@@ -1,0 +1,167 @@
+// Native FASTA parser + 2-bit packer (host ingest layer).
+//
+// TPU-native replacement for the reference's only native layer — the Rust
+// bio::io::fasta reader + String handling (k-mer-count/src/main.rs:44-62).
+// Parses a FASTA file in one streaming pass and emits bases as 2-bit codes
+// (A=0,C=1,G=2,T=3, lowercase accepted) into a caller-provided buffer, plus
+// per-record offsets, so Python/JAX sees only fixed-dtype integer arrays.
+// Non-ACGT bases are a clean error with file offset (the reference panics
+// instead: main.rs:23).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: see Makefile (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+namespace {
+
+// byte -> code; 0xFF invalid, 0xFE newline/whitespace (skipped in sequence).
+struct Lut {
+  uint8_t m[256];
+  constexpr Lut() : m() {
+    for (int i = 0; i < 256; ++i) m[i] = 0xFF;
+    m[(int)'A'] = 0; m[(int)'a'] = 0;
+    m[(int)'C'] = 1; m[(int)'c'] = 1;
+    m[(int)'G'] = 2; m[(int)'g'] = 2;
+    m[(int)'T'] = 3; m[(int)'t'] = 3;
+    m[(int)'\n'] = 0xFE; m[(int)'\r'] = 0xFE;
+    m[(int)' '] = 0xFE;  m[(int)'\t'] = 0xFE;
+  }
+};
+constexpr Lut kLut;
+
+void set_err(char* err, int64_t cap, const char* msg, int64_t pos) {
+  if (err && cap > 0) snprintf(err, (size_t)cap, "%s (file offset %lld)", msg, (long long)pos);
+}
+
+constexpr size_t kChunk = 1 << 20;  // 1 MiB streaming reads
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: sizes only (record and base counts; validates alphabet).
+// Returns 0 on success, negative error code otherwise:
+//   -1 file open failure        -3 invalid base
+//   -2 data before first header -4 buffer overflow (caller bug)
+int fasta_scan(const char* path, int64_t* n_records, int64_t* total_bases,
+               char* err, int64_t errcap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
+
+  int64_t nrec = 0, nbase = 0, fpos = 0;
+  bool in_header = false, at_line_start = true, seen_record = false;
+  int rc = 0;
+  static thread_local uint8_t buf[kChunk];
+  size_t got;
+  while ((got = fread(buf, 1, kChunk, f)) > 0) {
+    size_t i = 0;
+    while (i < got) {
+      uint8_t ch = buf[i];
+      if (in_header) {
+        const void* nl = memchr(buf + i, '\n', got - i);
+        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
+        i += adv; fpos += adv;
+        if (nl) { in_header = false; at_line_start = true; }
+        continue;
+      }
+      if (at_line_start && ch == '>') {
+        ++nrec;
+        seen_record = true;
+        in_header = true; at_line_start = false;
+        ++i; ++fpos;
+        continue;
+      }
+      at_line_start = (ch == '\n');
+      uint8_t code = kLut.m[ch];
+      ++i; ++fpos;
+      if (code == 0xFE) continue;
+      if (code == 0xFF) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
+      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
+      ++nbase;
+    }
+  }
+done:
+  fclose(f);
+  if (rc == 0) {
+    *n_records = nrec;
+    *total_bases = nbase;
+  }
+  return rc;
+}
+
+// Pass 2: fill codes (cap = total_bases) and offsets (cap = n_records+1).
+// offsets[r] = start index of record r in codes; offsets[n_records] = total.
+int fasta_parse(const char* path,
+                uint8_t* codes, int64_t codes_cap,
+                int64_t* offsets, int64_t offsets_cap,
+                int64_t* n_records, int64_t* total_bases,
+                char* err, int64_t errcap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
+
+  int64_t nrec = 0, nbase = 0, fpos = 0;
+  bool in_header = false, at_line_start = true, seen_record = false;
+  int rc = 0;
+  static thread_local uint8_t buf[kChunk];
+  size_t got;
+  while ((got = fread(buf, 1, kChunk, f)) > 0) {
+    size_t i = 0;
+    while (i < got) {
+      uint8_t ch = buf[i];
+      if (in_header) {
+        // skip to end of header line
+        const void* nl = memchr(buf + i, '\n', got - i);
+        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
+        i += adv; fpos += adv;
+        if (nl) { in_header = false; at_line_start = true; }
+        continue;
+      }
+      if (at_line_start && ch == '>') {
+        if (nrec >= offsets_cap - 1) { rc = -4; goto done; }
+        offsets[nrec] = nbase;  // start of this record
+        ++nrec;
+        seen_record = true;
+        in_header = true; at_line_start = false;
+        ++i; ++fpos;
+        continue;
+      }
+      at_line_start = (ch == '\n');
+      uint8_t code = kLut.m[ch];
+      ++i; ++fpos;
+      if (code == 0xFE) continue;
+      if (code == 0xFF) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
+      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
+      if (nbase >= codes_cap) { rc = -4; goto done; }
+      codes[nbase++] = code;
+    }
+  }
+done:
+  fclose(f);
+  if (rc == 0) {
+    offsets[nrec] = nbase;
+    *n_records = nrec;
+    *total_bases = nbase;
+  }
+  return rc;
+}
+
+// Pack 2-bit codes into uint32 words, 16 bases per word, first base in the
+// most-significant bit pair (matches ops/encode.py key layout).  n_words
+// must be ceil(n/16); trailing bases of the last word are zero-padded.
+void pack_codes_u32(const uint8_t* codes, int64_t n, uint32_t* out) {
+  int64_t n_words = (n + 15) / 16;
+  for (int64_t w = 0; w < n_words; ++w) {
+    uint32_t acc = 0;
+    int64_t base = w * 16;
+    int64_t lim = (base + 16 <= n) ? 16 : (n - base);
+    for (int64_t j = 0; j < lim; ++j)
+      acc |= (uint32_t)(codes[base + j] & 3) << (2 * (15 - j));
+    out[w] = acc;
+  }
+}
+
+}  // extern "C"

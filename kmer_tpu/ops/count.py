@@ -1,0 +1,76 @@
+"""Device-side counting: sort + segment-sum, and dense 4^k histogram.
+
+The reference materializes 3.55M heap strings and comparison-sorts them
+(main.rs:50,87).  Here keys are fixed-width uint32 word tuples; counting
+is either:
+
+  * sort mode (any k): multi-key sort (lexicographic over W words; the
+    all-ones sentinel of invalid lanes sorts to the end), then run
+    boundaries + segment-sum give (unique key, multiplicity) entirely on
+    device with static shapes;
+  * dense mode (k <= 12): a 4^k int32 scatter-add histogram — one HBM
+    table, no sort at all.
+
+Both paths are jit-compiled; host code only compacts static-shape
+outputs (drop sentinel runs) after the fact.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .extract import SENTINEL
+
+DENSE_K_MAX = 12
+
+
+def sort_words(words: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Lexicographic sort of flattened W-word keys (duplicates kept)."""
+    flat = [w.reshape(-1) for w in words]
+    return list(lax.sort(tuple(flat), num_keys=len(flat)))
+
+
+def run_lengths(sorted_words: list[jnp.ndarray]):
+    """Run boundaries + multiplicities of a sorted key stream.
+
+    Returns (is_start, counts) both shape (N,):
+      is_start[i] — lane i begins a run of equal keys;
+      counts[i]   — multiplicity of that run if is_start[i], else 0.
+    Sentinel lanes (invalid) are excluded from counts but may still set
+    is_start at the sentinel run head (count 0, dropped on compaction).
+    """
+    n = sorted_words[0].shape[0]
+    neq = jnp.zeros((n,), bool).at[0].set(True)
+    for w in sorted_words:
+        neq = neq | (jnp.roll(w, 1) != w).at[0].set(True)
+    is_start = neq
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    valid = sorted_words[0] != SENTINEL
+    seg = jax.ops.segment_sum(valid.astype(jnp.int32), run_id, num_segments=n)
+    counts = jnp.where(is_start, seg[run_id], 0)
+    return is_start, counts
+
+
+def sort_count(words: list[jnp.ndarray]):
+    """sorted keys + run info; the core device count step (sort mode)."""
+    s = sort_words(words)
+    is_start, counts = run_lengths(s)
+    return s, is_start, counts
+
+
+def dense_histogram(word: jnp.ndarray, valid: jnp.ndarray, k: int,
+                    hist: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scatter-add counts into a dense 4^k table (k <= DENSE_K_MAX).
+
+    `word` is the single-word key (B, P) or flat; invalid lanes add 0.
+    Pass `hist` to accumulate across batches (donate it under jit).
+    """
+    assert k <= DENSE_K_MAX, f"dense mode needs k <= {DENSE_K_MAX}"
+    size = 4 ** k
+    idx = jnp.where(valid, word, 0).astype(jnp.int32).reshape(-1)
+    upd = valid.astype(jnp.int32).reshape(-1)
+    if hist is None:
+        hist = jnp.zeros((size,), jnp.int32)
+    return hist.at[idx].add(upd, mode="drop")

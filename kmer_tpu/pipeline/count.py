@@ -1,0 +1,85 @@
+"""End-to-end counting pipeline: FASTA -> device batches -> KmerTable.
+
+Single-host driver (SURVEY.md §7 layer 6).  The device step is one jit
+compilation reused across all batches (static shapes from the batcher);
+the host merges per-batch tables with vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import KmerConfig
+from ..io.fasta import iter_batches, parse_fasta
+from ..ops import count as count_ops
+from ..ops.canonical import canonical_kmer_lanes
+from ..ops.extract import kmer_lanes
+from ..utils.stats import StatsLogger, Timer
+from .table import KmerTable
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"))
+def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool):
+    """One device batch, sort mode: (sorted words, is_start, counts)."""
+    if canonical:
+        words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+    else:
+        words, _ = kmer_lanes(codes, lengths, k, limits=limits)
+    return count_ops.sort_count(words)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical"), donate_argnames=("hist",))
+def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool):
+    """One device batch, dense mode: accumulate into donated 4^k hist."""
+    if canonical:
+        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+    else:
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits)
+    return count_ops.dense_histogram(words[-1], valid, k, hist)
+
+
+def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
+                stats: StatsLogger | None = None) -> KmerTable:
+    """Count k-mers of pre-parsed records (codes/offsets contract of
+    io.fasta.parse_fasta)."""
+    log = stats or StatsLogger(enabled=cfg.stats)
+    mode = cfg.effective_mode
+    table = KmerTable.empty(cfg.k)
+    hist = jnp.zeros((4 ** cfg.k,), jnp.int32) if mode == "dense" else None
+    n_batches = 0
+    total_reads = len(offsets) - 1
+    for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
+                              max_len=cfg.max_read_len, overlap=cfg.overlap):
+        with Timer() as t:
+            if mode == "dense":
+                hist = count_step_dense(jnp.asarray(batch.codes),
+                                        jnp.asarray(batch.lengths),
+                                        jnp.asarray(batch.start_limits), hist,
+                                        k=cfg.k, canonical=cfg.canonical)
+                hist.block_until_ready()
+            else:
+                s, is_start, counts = count_step_sort(
+                    jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                    jnp.asarray(batch.start_limits),
+                    k=cfg.k, canonical=cfg.canonical)
+                btab = KmerTable.from_device_runs(cfg.k, s, is_start, counts)
+                table = table.merge(btab)
+        n_batches += 1
+        log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
+                secs=round(t.elapsed, 4))
+    if mode == "dense":
+        table = KmerTable.from_dense(np.asarray(hist), cfg.k)
+    log.log("done", batches=n_batches, reads=total_reads,
+            distinct=table.num_distinct, total=table.total)
+    return table
+
+
+def count_fasta(path: str, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
+    """Count k-mers of a FASTA file.  `count_fasta(p, k=21)` just works."""
+    cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
+    codes, offsets = parse_fasta(path)
+    return count_codes(codes, offsets, cfg)

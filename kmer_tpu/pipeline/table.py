@@ -1,0 +1,107 @@
+"""Host-side k-mer count table: sorted multi-word keys + counts.
+
+Device steps emit static-shape (sorted keys, run starts, run counts);
+this module compacts and merges them.  Multi-word lexicographic order on
+the host uses a big-endian byte view (np.void compare == bytewise ==
+word-tuple lexicographic), so merging N sorted batch tables is a
+vectorized searchsorted merge, not a Python loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.encode import decode_key_words, words_per_key
+
+
+def _void_view(keys: np.ndarray) -> np.ndarray:
+    """(M, W) uint32 -> (M,) void{4W} big-endian — lexicographic-safe."""
+    be = np.ascontiguousarray(keys.astype(">u4"))
+    return be.view(np.dtype((np.void, be.shape[1] * 4))).reshape(-1)
+
+
+@dataclass
+class KmerTable:
+    k: int                 # bases per key
+    keys: np.ndarray       # (M, W) uint32, lexicographically sorted, unique
+    counts: np.ndarray     # (M,) int64
+
+    @property
+    def num_distinct(self) -> int:
+        return int(self.keys.shape[0])
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def kmers(self) -> list[str]:
+        return decode_key_words(self.keys, self.k)
+
+    def items(self):
+        return zip(self.kmers(), self.counts.tolist())
+
+    def to_dict(self) -> dict[str, int]:
+        return dict(self.items())
+
+    def write_tsv(self, stream) -> None:
+        for kmer, c in self.items():
+            stream.write(f"{kmer}\t{c}\n")
+
+    @staticmethod
+    def empty(k: int) -> "KmerTable":
+        return KmerTable(k, np.zeros((0, words_per_key(k)), np.uint32),
+                         np.zeros((0,), np.int64))
+
+    @staticmethod
+    def from_dense(hist: np.ndarray, k: int) -> "KmerTable":
+        """Dense 4^k histogram -> sparse sorted table."""
+        nz = np.flatnonzero(hist)
+        W = words_per_key(k)
+        keys = np.zeros((nz.size, W), np.uint32)
+        keys[:, W - 1] = nz.astype(np.uint32)
+        return KmerTable(k, keys, hist[nz].astype(np.int64))
+
+    @staticmethod
+    def from_device_runs(k: int, sorted_words, is_start, counts) -> "KmerTable":
+        """Compact one device count step's static-shape outputs.
+
+        sorted_words: tuple/list of W (N,) uint32 (host numpy or jax);
+        is_start/counts per ops.count.run_lengths.  Sentinel runs
+        (count 0) are dropped here.
+        """
+        is_start = np.asarray(is_start)
+        counts = np.asarray(counts)
+        starts = np.flatnonzero(is_start & (counts > 0))
+        keys = np.stack([np.asarray(w)[starts] for w in sorted_words], axis=1)
+        return KmerTable(k, keys.astype(np.uint32),
+                         counts[starts].astype(np.int64))
+
+    def merge(self, other: "KmerTable") -> "KmerTable":
+        """Merge two sorted tables (sum counts of equal keys)."""
+        assert self.k == other.k
+        if other.num_distinct == 0:
+            return self
+        if self.num_distinct == 0:
+            return other
+        keys = np.concatenate([self.keys, other.keys], axis=0)
+        counts = np.concatenate([self.counts, other.counts])
+        v = _void_view(keys)
+        order = np.argsort(v, kind="mergesort")
+        counts = counts[order]
+        kb = keys[order]  # (M, W) uint32 in sorted order
+        new_run = np.empty(len(kb), bool)
+        new_run[0] = True
+        np.any(kb[1:] != kb[:-1], axis=1, out=new_run[1:])
+        run_id = np.cumsum(new_run) - 1
+        merged_counts = np.zeros(run_id[-1] + 1, np.int64)
+        np.add.at(merged_counts, run_id, counts)
+        starts = np.flatnonzero(new_run)
+        return KmerTable(self.k, kb[starts], merged_counts)
+
+    def __eq__(self, other) -> bool:
+        return (isinstance(other, KmerTable) and self.k == other.k
+                and self.keys.shape == other.keys.shape
+                and bool(np.all(self.keys == other.keys))
+                and bool(np.all(self.counts == other.counts)))

@@ -1,0 +1,85 @@
+"""Pure-Python/NumPy differential oracles (no JAX).
+
+The reference's only test methodology is differential: test.py is an
+independent reimplementation diffed against the Rust binary (test.py:14-40
+vs main.rs:43-92).  We adopt that as a first-class subsystem: every
+device path has a tiny, obviously-correct host oracle here, and the test
+suite asserts exact agreement (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterable
+
+from ..ops.encode import revcomp_str
+
+
+def oracle_gapped_lines(seqs: Iterable[str], l_len: int = 27, r_len: int = 27,
+                        c_min: int = 80, c_max: int = 140) -> list[str]:
+    """Reference semantics (test.py:20-38 / main.rs:63-81): every chunk
+    size c in [c_min, c_max], every offset o with o + c <= len, emit
+    seq[o:o+l_len] + seq[o+c-r_len:o+c].  Unsorted; caller sorts."""
+    out: list[str] = []
+    for seq in seqs:
+        n = len(seq)
+        for c in range(c_min, c_max + 1):
+            m = c - l_len - r_len
+            for o in range(0, n):
+                r_end = o + l_len + m + r_len
+                if r_end > n:
+                    break
+                out.append(seq[o:o + l_len] + seq[r_end - r_len:r_end])
+    return out
+
+
+def oracle_gapped_sorted_dump(seqs: Iterable[str], **kw) -> bytes:
+    """Sorted, newline-terminated dump — byte-exact vs the reference's
+    stdout (main.rs:87-90; md5 contract in BASELINE.md)."""
+    lines = oracle_gapped_lines(seqs, **kw)
+    lines.sort()
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+def oracle_kmers(seq: str, k: int, canonical: bool = False) -> list[str]:
+    """All k-mers of one read (reads shorter than k emit nothing)."""
+    out = []
+    for i in range(len(seq) - k + 1):
+        s = seq[i:i + k]
+        if canonical:
+            s = min(s, revcomp_str(s))
+        out.append(s)
+    return out
+
+
+def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False) -> Counter:
+    """(k-mer -> multiplicity) over a read set."""
+    c: Counter = Counter()
+    for seq in seqs:
+        c.update(oracle_kmers(seq, k, canonical))
+    return c
+
+
+def read_fasta_py(path: str) -> list[str]:
+    """Minimal host FASTA reader (oracle-side; the framework's real
+    ingest is the native parser in io/fasta.py).  Mirrors Biopython
+    SeqIO semantics used by test.py:7-11: '>' starts a record, sequence
+    lines are concatenated."""
+    seqs: list[str] = []
+    cur: list[str] | None = None
+    with open(path, "r") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if cur is not None:
+                    seqs.append("".join(cur))
+                cur = []
+            else:
+                if cur is None:
+                    raise ValueError("sequence data before first FASTA header")
+                cur.append(line)
+    if cur is not None:
+        seqs.append("".join(cur))
+    return seqs

@@ -1,0 +1,39 @@
+"""Structured per-batch observability (SURVEY.md §5.5).
+
+The reference's stdout IS its data channel (main.rs:89), so stats here go
+to stderr (or any stream) as JSONL — never stdout, which stays byte-exact
+for parity dumps.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+class StatsLogger:
+    def __init__(self, stream=None, enabled: bool = True):
+        self.stream = stream if stream is not None else sys.stderr
+        self.enabled = enabled
+        self._t0 = time.perf_counter()
+
+    def log(self, event: str, **fields) -> None:
+        if not self.enabled:
+            return
+        rec = {"event": event, "t": round(time.perf_counter() - self._t0, 6)}
+        rec.update(fields)
+        self.stream.write(json.dumps(rec) + "\n")
+        self.stream.flush()
+
+
+class Timer:
+    """Context-manager wall timer."""
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        return False

@@ -1,0 +1,43 @@
+import os
+import subprocess
+import sys
+import tempfile
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+
+
+def _run(*args, **kw):
+    return subprocess.run([sys.executable, "-m", "kmer_tpu", *args],
+                          capture_output=True, env=ENV, cwd=os.path.dirname(
+                              os.path.dirname(os.path.abspath(__file__))), **kw)
+
+
+def test_cli_generate_deterministic():
+    a = _run("generate", "--seed", "7", "--n-records", "3")
+    b = _run("generate", "--seed", "7", "--n-records", "3")
+    assert a.returncode == 0
+    assert a.stdout == b.stdout
+    assert a.stdout.startswith(b">dummy_sequence_001 1th record\n")
+
+
+def test_cli_count_and_parity_roundtrip():
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "g.fasta")
+        gen = _run("generate", "--seed", "1", "--n-records", "4")
+        with open(fa, "wb") as f:
+            f.write(gen.stdout)
+
+        r = _run("count", fa, "-k", "5", "--batch-reads", "8",
+                 "--max-read-len", "512")
+        assert r.returncode == 0, r.stderr.decode()
+        lines = r.stdout.decode().strip().split("\n")
+        assert all("\t" in l for l in lines)
+        from kmer_tpu.utils.oracle import oracle_count, read_fasta_py
+        want = oracle_count(read_fasta_py(fa), 5)
+        got = {l.split("\t")[0]: int(l.split("\t")[1]) for l in lines}
+        assert got == dict(want)
+
+        p = _run("parity", fa, "--batch-reads", "8")
+        assert p.returncode == 0, p.stderr.decode()
+        from kmer_tpu.utils.oracle import oracle_gapped_sorted_dump
+        assert p.stdout == oracle_gapped_sorted_dump(read_fasta_py(fa))

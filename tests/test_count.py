@@ -1,0 +1,105 @@
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from kmer_tpu import KmerConfig, KmerTable, count_fasta
+from kmer_tpu.io.generator import random_reads_fasta, reference_style_fasta
+from kmer_tpu.utils import oracle
+
+
+def _write(tmpdir, text, name="x.fasta"):
+    p = os.path.join(tmpdir, name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+@pytest.mark.parametrize("k,canonical,mode", [
+    (4, False, "dense"), (4, True, "dense"),
+    (8, False, "dense"),
+    (21, False, "sort"), (21, True, "sort"),
+    (31, False, "sort"),
+])
+def test_count_matches_oracle(tmpdir, k, canonical, mode):
+    text = random_reads_fasta(40, 60, seed=k)
+    path = _write(tmpdir, text, f"r{k}{canonical}.fasta")
+    table = count_fasta(path, KmerConfig(k=k, canonical=canonical, mode=mode,
+                                         batch_reads=16, max_read_len=64))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), k, canonical)
+    assert table.to_dict() == dict(want)
+
+
+def test_dense_and_sort_agree(tmpdir):
+    path = _write(tmpdir, random_reads_fasta(30, 50, seed=5), "ds.fasta")
+    t1 = count_fasta(path, KmerConfig(k=6, mode="dense", batch_reads=8, max_read_len=64))
+    t2 = count_fasta(path, KmerConfig(k=6, mode="sort", batch_reads=8, max_read_len=64))
+    assert t1 == t2
+
+
+def test_multiplicity_reference_style(tmpdir):
+    # pool-built corpus guarantees heavy duplication (generator parity)
+    path = _write(tmpdir, reference_style_fasta(n_records=20, seed=1), "ref.fasta")
+    table = count_fasta(path, KmerConfig(k=11, mode="sort", batch_reads=8,
+                                         max_read_len=512))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 11)
+    assert table.to_dict() == dict(want)
+    assert table.counts.max() > 1
+
+
+def test_long_read_segmentation_exact(tmpdir):
+    # reads much longer than max_read_len: segment overlap must not
+    # duplicate or drop any window
+    text = random_reads_fasta(3, 500, seed=9)
+    path = _write(tmpdir, text, "long.fasta")
+    table = count_fasta(path, KmerConfig(k=21, batch_reads=4, max_read_len=128))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 21)
+    assert table.to_dict() == dict(want)
+
+
+def test_reads_shorter_than_k(tmpdir):
+    path = _write(tmpdir, ">a\nACG\n>b\nACGTACGTAC\n", "short.fasta")
+    table = count_fasta(path, KmerConfig(k=5, mode="sort", batch_reads=4,
+                                         max_read_len=16))
+    want = oracle.oracle_count(["ACG", "ACGTACGTAC"], 5)
+    assert table.to_dict() == dict(want)
+
+
+def test_empty_fasta(tmpdir):
+    path = _write(tmpdir, "", "empty.fasta")
+    table = count_fasta(path, KmerConfig(k=5, batch_reads=4, max_read_len=16))
+    assert table.num_distinct == 0 and table.total == 0
+
+
+def test_table_merge_associative():
+    rng = np.random.default_rng(0)
+    def rnd_table(n, seed):
+        r = np.random.default_rng(seed)
+        keys = np.sort(r.choice(1000, n, replace=False)).astype(np.uint32)[:, None]
+        return KmerTable(7, keys, r.integers(1, 10, n).astype(np.int64))
+    a, b, c = rnd_table(50, 1), rnd_table(60, 2), rnd_table(40, 3)
+    t1 = a.merge(b).merge(c)
+    t2 = a.merge(b.merge(c))
+    assert t1 == t2
+    # totals preserved
+    assert t1.total == a.total + b.total + c.total
+
+
+def test_table_tsv(tmpdir):
+    import io as _io
+    path = _write(tmpdir, ">a\nAAACAAAC\n", "tsv.fasta")
+    table = count_fasta(path, KmerConfig(k=4, batch_reads=2, max_read_len=16))
+    buf = _io.StringIO()
+    table.write_tsv(buf)
+    lines = buf.getvalue().strip().split("\n")
+    assert lines[0].split("\t")[0] == "AAAC" and lines[0].split("\t")[1] == "2"
+    # sorted lexicographically
+    kmers = [l.split("\t")[0] for l in lines]
+    assert kmers == sorted(kmers)

@@ -1,0 +1,81 @@
+"""Reference-parity contract: byte-exact reproduction of the reference's
+sorted gapped-chunk dump (main.rs:87-90), including the measured md5 of
+sample.fasta output (BASELINE.md)."""
+
+import hashlib
+import os
+import tempfile
+
+import pytest
+
+from kmer_tpu import KmerConfig, parity_dump, parity_md5, SAMPLE_FASTA_MD5
+from kmer_tpu.io.generator import reference_style_fasta, random_reads_fasta
+from kmer_tpu.utils import oracle
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def _write(tmpdir, text, name):
+    p = os.path.join(tmpdir, name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+def test_parity_dump_matches_oracle_small(tmpdir):
+    text = reference_style_fasta(n_records=6, seed=2)
+    p = _write(tmpdir, text, "small.fasta")
+    got = parity_dump(p)
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert got == want
+
+
+def test_parity_dump_multibatch_merge(tmpdir):
+    # force multiple device batches; global merge must still be sorted
+    text = reference_style_fasta(n_records=10, seed=4)
+    p = _write(tmpdir, text, "multi.fasta")
+    cfg = KmerConfig(gapped=True, batch_reads=3, max_read_len=512)
+    got = parity_dump(p, cfg)
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert got == want
+
+
+def test_parity_long_reads_segmented(tmpdir):
+    # reads longer than max_read_len exercise gapped-mode seam ownership
+    text = random_reads_fasta(3, 700, seed=6)
+    p = _write(tmpdir, text, "long.fasta")
+    cfg = KmerConfig(gapped=True, batch_reads=4, max_read_len=256)
+    got = parity_dump(p, cfg)
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert got == want
+
+
+def test_parity_variable_length_reads(tmpdir):
+    texts = [">a\n" + "ACGT" * 30 + "\n",      # 120 bp
+             ">b\n" + "TTGCA" * 16 + "\n",     # 80 bp, exactly c_min
+             ">c\nACG\n",                       # shorter than everything
+             ">d\n" + "GATTACA" * 20 + "\n"]   # 140 bp, exactly c_max
+    p = _write(tmpdir, "".join(texts), "var.fasta")
+    got = parity_dump(p)
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert got == want
+
+
+def test_sample_fasta_md5(sample_fasta_path):
+    """THE exactness contract (BASELINE.md): md5 of the sorted dump."""
+    assert parity_md5(sample_fasta_path) == SAMPLE_FASTA_MD5
+
+
+def test_sample_fasta_invariants(sample_fasta_path):
+    dump = parity_dump(sample_fasta_path)
+    lines = dump.split(b"\n")
+    assert lines[-1] == b""          # single trailing newline
+    lines = lines[:-1]
+    assert len(lines) == 3_550_200   # BASELINE.md total chunks
+    assert all(len(l) == 54 for l in lines[:100])
+    assert len(set(lines)) == 1_079_497  # distinct chunks
+    assert hashlib.md5(dump).hexdigest() == SAMPLE_FASTA_MD5
