@@ -1,0 +1,203 @@
+"""Multi-chip counting: shard_map count step with hash-prefix
+all_to_all merge (sort mode) and psum/reduce-scatter merge (dense mode).
+
+Design (SURVEY.md §7 layer 7, BASELINE.json north star):
+  * reads are data-parallel over mesh axis "data"; optionally the length
+    dimension is sequence-parallel over "seq" with a (span-1)-base halo
+    exchange (parallel/halo.py);
+  * each device extracts + locally sorts its keys, then keys are routed
+    to their OWNER device by the top bits of the key value — an
+    order-preserving partition, so after one all_to_all and a local
+    re-sort the concatenation of per-device tables in mesh order is the
+    globally sorted count table;
+  * equal keys always share an owner, so counts need no cross-device
+    reduction — determinism is structural (integer counts, fixed routing),
+    giving bit-identical tables for any device count;
+  * dense mode (k <= 12) instead psums local 4^k histograms — one
+    collective, replicated result (or reduce-scattered shards).
+
+Everything is static-shape: routed keys travel in a (n_dev, capacity)
+buffer padded with the sentinel; an overflow flag is returned so callers
+can detect capacity misconfiguration (skewed corpora) instead of
+silently dropping keys.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..ops import count as count_ops
+from ..ops.canonical import canonical_kmer_lanes, lex_min
+from ..ops.encode import words_per_key
+from ..ops.extract import SENTINEL, kmer_lanes, rc_kmer_lanes
+from .halo import halo_extend, seq_shard_lane_mask
+from .mesh import DATA_AXIS, SEQ_AXIS
+
+# top-of-key bits used for routing (order-preserving for any n_dev)
+_ROUTE_BITS = 16
+
+
+def _route_dest(w0: jnp.ndarray, w1: jnp.ndarray | None, k: int,
+                n_dev: int) -> jnp.ndarray:
+    """Owner device of each key from the top tb bits of its value:
+    dest = h * n // 2^tb — monotone in the key, so routing preserves
+    global order for any device count.  Sentinel (all ones) lands on
+    n_dev-1.  w0/w1 are the two most-significant words (w1 may be None
+    when W == 1).
+    """
+    W = words_per_key(k)
+    avail0 = 2 * k - 32 * (W - 1)     # value bits held in w0 (may be 0)
+    tb = min(_ROUTE_BITS, 2 * k)
+    if avail0 >= tb:
+        h = (w0 >> jnp.uint32(avail0 - tb)) & jnp.uint32((1 << tb) - 1)
+    else:
+        # top bits straddle w0/w1 (e.g. k=16: w0 holds only the sentinel
+        # bit) — pull the remainder from the second word
+        need = tb - avail0
+        hi = (w0 & jnp.uint32((1 << avail0) - 1)) << jnp.uint32(need)
+        lo = w1 >> jnp.uint32(32 - need)
+        h = hi | lo
+    # int32 math is safe: h < 2^16 and n_dev <= 2^15
+    return (h.astype(jnp.int32) * n_dev) // (1 << tb)
+
+
+def _partition_and_route(sorted_words: list[jnp.ndarray], dest: jnp.ndarray,
+                         axis_names, n_dev: int, capacity: int):
+    """Scatter locally-sorted keys into (n_dev, capacity) send buffers and
+    all_to_all them to their owners.  Returns (recv_words, overflow)."""
+    N = dest.shape[0]
+    # dest is non-decreasing (keys sorted, routing monotone): bucket b
+    # occupies [starts[b], starts[b+1]).
+    counts = jax.ops.segment_sum(jnp.ones_like(dest), dest, num_segments=n_dev)
+    starts = jnp.cumsum(counts) - counts
+    overflow = jnp.any(counts > capacity)
+    slot = lax.broadcasted_iota(jnp.int32, (n_dev, capacity), 1)
+    src = jnp.clip(starts[:, None] + slot, 0, N - 1)
+    in_bucket = slot < counts[:, None]
+    send = [jnp.where(in_bucket, w[src], SENTINEL) for w in sorted_words]
+    recv = [lax.all_to_all(w, axis_names, split_axis=0, concat_axis=0,
+                           tiled=True).reshape(-1)
+            for w in send]
+    return recv, overflow
+
+
+def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
+                           capacity: int, axis_names=(DATA_AXIS, SEQ_AXIS),
+                           seq_axis: str | None = SEQ_AXIS):
+    """shard_map body: local shapes in, per-owner sorted runs out.
+
+    codes:   (B_loc, L_loc) — rows sharded over "data", columns over "seq"
+    lengths: (B_loc,) GLOBAL read lengths (replicated over "seq")
+    limits:  (B_loc,) window-start ownership limits (host segmentation)
+
+    Returns (sorted_words, is_start, counts, overflow) — concatenating
+    the first three over devices in mesh order yields the global sorted
+    count table.
+    """
+    n_dev = 1
+    for a in axis_names:
+        n_dev *= lax.axis_size(a)
+
+    B, L_loc = codes.shape
+    if seq_axis is not None and lax.axis_size(seq_axis) > 1:
+        ext = halo_extend(codes, seq_axis, k - 1)
+        fwd, _ = kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32), k,
+                            sentinel=False)
+        fwd = [w[:, :L_loc] for w in fwd]
+        valid = seq_shard_lane_mask(B, L_loc, lengths, seq_axis, k)
+        s_idx = lax.axis_index(seq_axis)
+        pos = lax.broadcasted_iota(jnp.int32, (B, L_loc), 1) + s_idx * L_loc
+        valid = valid & (pos < limits.astype(jnp.int32)[:, None])
+        if canonical:
+            rc, _ = rc_kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32),
+                                  k, sentinel=False)
+            rc = [w[:, :L_loc] for w in rc]
+            words = lex_min(fwd, rc)
+        else:
+            words = fwd
+        words = [jnp.where(valid, w, SENTINEL) for w in words]
+    else:
+        if canonical:
+            words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+        else:
+            words, _ = kmer_lanes(codes, lengths, k, limits=limits)
+
+    s = count_ops.sort_words(words)
+    dest = _route_dest(s[0], s[1] if len(s) > 1 else None, k, n_dev)
+    recv, overflow = _partition_and_route(s, dest, axis_names, n_dev, capacity)
+    # overflow anywhere is overflow everywhere (replicated scalar out)
+    overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
+    s2 = count_ops.sort_words(recv)
+    is_start, counts = count_ops.run_lengths(s2)
+    return s2, is_start, counts, overflow
+
+
+def make_distributed_count(mesh, *, k: int, canonical: bool = False,
+                           capacity: int | None = None,
+                           use_seq: bool | None = None):
+    """jit-compiled distributed count step over `mesh`.
+
+    Returns fn(codes, lengths, limits) -> (sorted_words, is_start,
+    counts, overflow) with global outputs sharded over the mesh;
+    compacting them host-side (KmerTable.from_device_runs) yields the
+    exact global table.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+    n_dev = n_data * n_seq
+    if use_seq is None:
+        use_seq = n_seq > 1
+
+    def fn(codes, lengths, limits):
+        # shapes here are per-device (shard_map body)
+        B_loc, L_loc = codes.shape
+        cap = capacity
+        if cap is None:
+            # safe default: every local lane could route to one owner
+            cap = B_loc * (L_loc if use_seq else L_loc - k + 1)
+        return count_step_distributed(
+            codes, lengths, limits, k=k, canonical=canonical, capacity=cap,
+            axis_names=(DATA_AXIS, SEQ_AXIS),
+            seq_axis=SEQ_AXIS if use_seq else None)
+
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS if use_seq else None),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P((DATA_AXIS, SEQ_AXIS)), P((DATA_AXIS, SEQ_AXIS)),
+                   P((DATA_AXIS, SEQ_AXIS)), P()),
+        check_vma=False)
+    return jax.jit(shard)
+
+
+# ---------------------------------------------------------------------------
+# Dense mode: local histograms + psum (replicated) or psum_scatter (sharded).
+# ---------------------------------------------------------------------------
+
+def make_distributed_dense(mesh, *, k: int, canonical: bool = False,
+                           scatter: bool = False):
+    """jit-compiled dense 4^k distributed count over `mesh` ("data" only).
+
+    scatter=False: full histogram replicated on every device (psum).
+    scatter=True:  histogram sharded over "data" (reduce_scatter) — the
+    table-parallel layout for big k.
+    """
+    def fn(codes, lengths, limits):
+        if canonical:
+            words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+        else:
+            words, valid = kmer_lanes(codes, lengths, k, limits=limits)
+        hist = count_ops.dense_histogram(words[-1], valid, k)
+        if scatter:
+            return lax.psum_scatter(hist, DATA_AXIS, tiled=True)
+        return lax.psum(hist, DATA_AXIS)
+
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS) if scatter else P(),
+        check_vma=False)
+    return jax.jit(shard)

@@ -1,0 +1,126 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest).
+
+Determinism contract (SURVEY.md §5.2): the distributed merge must be
+bit-identical to the single-device table for every mesh shape.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kmer_tpu import KmerTable
+from kmer_tpu.ops.encode import encode_seq, BASE_ORDER
+from kmer_tpu.parallel import distributed, halo, mesh as mesh_lib
+from kmer_tpu.utils import oracle
+
+
+def _corpus(rng, n, L):
+    seqs = ["".join(BASE_ORDER[c] for c in rng.integers(0, 4, L)) for _ in range(n)]
+    codes = np.zeros((n, L), np.uint8)
+    for i, s in enumerate(seqs):
+        codes[i] = encode_seq(s)
+    lens = np.full((n,), L, np.int32)
+    lims = np.full((n,), L, np.int32)
+    return seqs, codes, lens, lims
+
+
+def _table_from(k, out):
+    s, is_start, counts, overflow = out
+    assert not bool(overflow)
+    return KmerTable.from_device_runs(k, s, is_start, counts)
+
+
+@pytest.mark.parametrize("shape,canonical,k", [
+    ((8, 1), False, 21),
+    ((8, 1), True, 21),
+    ((4, 2), False, 21),
+    ((2, 4), True, 13),
+    ((8, 1), False, 16),   # k=16: route bits straddle words
+    ((1, 8), False, 9),    # pure sequence parallelism
+])
+def test_distributed_matches_oracle(shape, canonical, k):
+    rng = np.random.default_rng(k * 10 + shape[0])
+    B, L = 16, 64
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    fn = distributed.make_distributed_count(m, k=k, canonical=canonical)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from(k, out)
+    want = oracle.oracle_count(seqs, k, canonical)
+    assert table.to_dict() == dict(want)
+
+
+def test_distributed_identical_across_mesh_shapes():
+    """bit-identical tables for 1, 2, 4, 8 devices (determinism)."""
+    rng = np.random.default_rng(0)
+    B, L, k = 8, 96, 21
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    tables = []
+    for n in (1, 2, 4, 8):
+        m = mesh_lib.make_mesh(n, 1)
+        fn = distributed.make_distributed_count(m, k=k)
+        out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+        tables.append(_table_from(k, out))
+    for t in tables[1:]:
+        assert t == tables[0]
+
+
+def test_distributed_output_globally_sorted():
+    rng = np.random.default_rng(3)
+    B, L, k = 16, 64, 15
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(8, 1)
+    fn = distributed.make_distributed_count(m, k=k)
+    s, is_start, counts, _ = fn(jnp.asarray(codes), jnp.asarray(lens),
+                                jnp.asarray(lims))
+    keys = np.asarray(s[0])
+    real = keys[np.asarray(is_start) & (np.asarray(counts) > 0)]
+    assert (np.diff(real.astype(np.int64)) > 0).all()  # strictly increasing
+
+
+def test_distributed_overflow_flag():
+    # capacity 1 with equal keys everywhere must overflow
+    codes = np.zeros((8, 32), np.uint8)  # all-A reads -> one unique k-mer
+    lens = np.full((8,), 32, np.int32)
+    lims = np.full((8,), 32, np.int32)
+    m = mesh_lib.make_mesh(8, 1)
+    fn = distributed.make_distributed_count(m, k=5, capacity=1)
+    *_, overflow = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    assert bool(overflow)
+
+
+def test_dense_distributed_psum_and_scatter():
+    rng = np.random.default_rng(5)
+    B, L, k = 16, 48, 6
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    want = oracle.oracle_count(seqs, k)
+    m = mesh_lib.make_mesh(8, 1)
+
+    fn = distributed.make_distributed_dense(m, k=k)
+    hist = np.asarray(fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims)))
+    table = KmerTable.from_dense(hist, k)
+    assert table.to_dict() == dict(want)
+
+    fn2 = distributed.make_distributed_dense(m, k=k, scatter=True)
+    hist2 = np.asarray(fn2(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims)))
+    np.testing.assert_array_equal(hist2, hist)
+
+
+def test_halo_extend_ring():
+    m = mesh_lib.make_mesh(1, 8)
+    codes = np.arange(32, dtype=np.uint8).reshape(1, 32) % 4
+    from jax.sharding import PartitionSpec as P
+
+    def body(x):
+        return halo.halo_extend(x, mesh_lib.SEQ_AXIS, 2)
+
+    out = jax.jit(jax.shard_map(body, mesh=m,
+                                in_specs=P(None, mesh_lib.SEQ_AXIS),
+                                out_specs=P(None, mesh_lib.SEQ_AXIS)))(
+        jnp.asarray(codes))
+    out = np.asarray(out).reshape(8, 6)  # each shard: 4 own + 2 halo
+    flat = codes.reshape(8, 4) % 4
+    for s in range(7):
+        np.testing.assert_array_equal(out[s, :4], flat[s])
+        np.testing.assert_array_equal(out[s, 4:], flat[s + 1][:2])
