@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("-k", type=int, default=21)
     pc.add_argument("--canonical", action="store_true")
     pc.add_argument("--mode", choices=["auto", "dense", "sort"], default="auto")
+    pc.add_argument("--two-pass", action="store_true",
+                    help="streaming two-pass spill mode (checkpointable)")
+    pc.add_argument("--spill-dir", default=None,
+                    help="spill/checkpoint directory for --two-pass; "
+                         "rerun with the same dir to resume")
+    pc.add_argument("--partitions", type=int, default=16,
+                    help="hash-prefix spill partitions for --two-pass")
 
     pp = sub.add_parser("parity", help="reference-parity sorted chunk dump")
     pp.add_argument("fasta")
@@ -55,11 +62,20 @@ def main(argv: list[str] | None = None) -> int:
 def _dispatch(args) -> int:
     if args.cmd == "count":
         from .config import KmerConfig
-        from .pipeline.count import count_fasta
         cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
-                         stats=args.stats)
+                         partitions=args.partitions, stats=args.stats)
+        if args.two_pass:
+            if not args.spill_dir:
+                raise ValueError("--two-pass requires --spill-dir")
+            from .pipeline.streaming import StreamingCounter
+            sc = StreamingCounter(args.fasta, cfg.replace(mode="sort"),
+                                  args.spill_dir)
+            sc.run()
+            sc.write_tsv(sys.stdout)
+            return 0
+        from .pipeline.count import count_fasta
         table = count_fasta(args.fasta, cfg)
         table.write_tsv(sys.stdout)
         return 0

@@ -32,6 +32,16 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool):
     return count_ops.sort_count(words)
 
 
+@partial(jax.jit, static_argnames=("c_min", "c_max"))
+def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int):
+    """One device batch of gapped L+R chunks (reference semantics,
+    main.rs:63-79), counted: (sorted words, is_start, counts)."""
+    from ..ops.extract import gapped_lanes
+    words, _ = gapped_lanes(codes, lengths, c_min=c_min, c_max=c_max,
+                            limits=limits)
+    return count_ops.sort_count(words)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical"), donate_argnames=("hist",))
 def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool):
     """One device batch, dense mode: accumulate into donated 4^k hist."""

@@ -1,0 +1,306 @@
+"""Streaming two-pass counting with checkpoint/resume (SURVEY.md §7.8,
+§5.3-5.4).
+
+The reference is one-shot and fully in-memory (main.rs:50-90): a crash
+loses everything and a corpus must fit in RAM.  Here counting is split
+into two checkpointable passes over an on-disk spill directory:
+
+  pass 1  device-count each fixed-shape batch (one jit step), compact the
+          per-batch table host-side, partition its (key, count) pairs by
+          the ORDER-PRESERVING top bits of the key value (the same
+          monotone routing the distributed path uses,
+          parallel/distributed.py:_route_dest), and append each
+          partition's pairs to its spill file.  Checkpoint unit: batch.
+  pass 2  per partition, merge the spilled pairs into a sorted unique
+          table and write it out.  Checkpoint unit: partition.
+
+Because routing is monotone in the key, concatenating the per-partition
+tables in partition order IS the globally sorted table — no final merge.
+
+Crash model: the manifest (manifest.json) is written atomically
+(tmp+rename) after every completed unit and records the exact byte
+length of every spill file; on resume, files are truncated back to their
+manifested lengths, so a crash mid-append never corrupts state.  Output
+is bit-identical whether the run was interrupted 0 or N times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import KmerConfig
+from ..io.fasta import iter_batches, parse_fasta
+from ..ops.encode import words_per_key
+from ..utils.stats import StatsLogger, Timer
+from .table import KmerTable
+
+MANIFEST = "manifest.json"
+_FORMAT_VERSION = 1
+
+
+def route_partition(keys: np.ndarray, n_bases: int, n_parts: int,
+                    route_bits: int = 16) -> np.ndarray:
+    """Order-preserving partition id of each key (host mirror of
+    parallel.distributed._route_dest, generalized to any word count).
+
+    keys: (M, W) uint32, MSW first, no sentinels.  Returns (M,) int64
+    with part = top_bits * n_parts // 2^tb — monotone in the key, so
+    sorted input keys yield non-decreasing partition ids.
+    """
+    keys = np.asarray(keys, dtype=np.uint32)
+    W = keys.shape[1]
+    assert W == words_per_key(n_bases), (W, n_bases)
+    tb = min(route_bits, 2 * n_bases)
+    avail0 = 2 * n_bases - 32 * (W - 1)      # value bits held in word 0
+    if avail0 >= tb:
+        h = (keys[:, 0] >> np.uint32(avail0 - tb)) & np.uint32((1 << tb) - 1)
+    else:
+        need = tb - avail0
+        hi = (keys[:, 0].astype(np.uint64) & np.uint64((1 << avail0) - 1)) << np.uint64(need)
+        lo = keys[:, 1].astype(np.uint64) >> np.uint64(32 - need)
+        h = hi | lo
+    return (h.astype(np.int64) * n_parts) >> tb
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+@dataclass
+class _PairBlock:
+    """One spilled block: keys (n, W) uint32 + counts (n,) uint32."""
+    keys: np.ndarray
+    counts: np.ndarray
+
+    def tobytes(self) -> bytes:
+        n = len(self.counts)
+        rec = np.empty((n, self.keys.shape[1] + 1), dtype=np.uint32)
+        rec[:, :-1] = self.keys
+        rec[:, -1] = self.counts
+        return rec.tobytes()
+
+
+def _read_pairs(path: str, nbytes: int, W: int) -> tuple[np.ndarray, np.ndarray]:
+    if nbytes == 0 or not os.path.exists(path):
+        return (np.zeros((0, W), np.uint32), np.zeros((0,), np.int64))
+    with open(path, "rb") as f:
+        raw = f.read(nbytes)
+    rec = np.frombuffer(raw, dtype=np.uint32).reshape(-1, W + 1)
+    return rec[:, :-1].copy(), rec[:, -1].astype(np.int64)
+
+
+class StreamingCounter:
+    """Two-pass spill counter over one FASTA file.
+
+    Usage:
+        sc = StreamingCounter(fasta, cfg, spill_dir)
+        sc.run()                     # both passes, resumable
+        for p, table in sc.partition_tables(): ...
+        table = sc.final_table()     # concatenated global table
+    """
+
+    def __init__(self, fasta: str, cfg: KmerConfig, spill_dir: str,
+                 stats: StatsLogger | None = None):
+        self.fasta = fasta
+        self.cfg = cfg
+        self.dir = spill_dir
+        self.log = stats or StatsLogger(enabled=cfg.stats)
+        self.P = cfg.partitions
+        self.W = words_per_key(self._n_bases)
+        os.makedirs(spill_dir, exist_ok=True)
+        self.manifest_path = os.path.join(spill_dir, MANIFEST)
+        self.state = self._load_or_init_state()
+
+    @property
+    def _n_bases(self) -> int:
+        return (self.cfg.l_len + self.cfg.r_len) if self.cfg.gapped else self.cfg.k
+
+    def _fingerprint(self) -> dict:
+        c = self.cfg
+        st = os.stat(self.fasta)
+        return {
+            "version": _FORMAT_VERSION, "fasta": os.path.abspath(self.fasta),
+            "fasta_size": st.st_size, "k": c.k, "canonical": c.canonical,
+            "gapped": c.gapped, "partitions": c.partitions,
+            "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
+        }
+
+    def _load_or_init_state(self) -> dict:
+        fp = self._fingerprint()
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                state = json.load(f)
+            if state["fingerprint"] == fp:
+                return state
+            raise ValueError(
+                f"spill dir {self.dir} holds a different run "
+                f"(config/input changed); use a fresh directory")
+        state = {
+            "fingerprint": fp,
+            "pass1_next_batch": 0,
+            "pass1_done": False,
+            "part_bytes": [0] * self.P,
+            "pass2_done": [False] * self.P,
+        }
+        _atomic_write_json(self.manifest_path, state)
+        return state
+
+    def _part_path(self, p: int) -> str:
+        return os.path.join(self.dir, f"part_{p:05d}.bin")
+
+    def _table_path(self, p: int) -> str:
+        return os.path.join(self.dir, f"table_{p:05d}.npz")
+
+    def _checkpoint(self) -> None:
+        _atomic_write_json(self.manifest_path, self.state)
+
+    def _truncate_to_manifest(self) -> None:
+        """Undo any partial appends from a crashed pass-1 batch."""
+        for p in range(self.P):
+            path = self._part_path(p)
+            want = self.state["part_bytes"][p]
+            if os.path.exists(path) and os.path.getsize(path) > want:
+                with open(path, "r+b") as f:
+                    f.truncate(want)
+            elif not os.path.exists(path) and want:
+                raise ValueError(f"spill file {path} missing "
+                                 f"({want} bytes expected)")
+
+    # ---------------------------------------------------------- pass 1
+
+    def _batch_table(self, batch) -> KmerTable:
+        import jax.numpy as jnp
+        cfg = self.cfg
+        if cfg.gapped:
+            from .count import gapped_step_sort
+            s, is_start, counts = gapped_step_sort(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits),
+                c_min=cfg.c_min, c_max=cfg.c_max)
+        else:
+            from .count import count_step_sort
+            s, is_start, counts = count_step_sort(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits),
+                k=cfg.k, canonical=cfg.canonical)
+        return KmerTable.from_device_runs(self._n_bases, s, is_start, counts)
+
+    def run_pass1(self, max_batches: int | None = None) -> None:
+        """Pass 1; `max_batches` limits work this call (for tests and
+        cooperative preemption) — call again to continue."""
+        if self.state["pass1_done"]:
+            return
+        self._truncate_to_manifest()
+        cfg = self.cfg
+        codes, offsets = parse_fasta(self.fasta)
+        start = self.state["pass1_next_batch"]
+        n_done = 0
+        for i, batch in enumerate(iter_batches(
+                codes, offsets, batch_reads=cfg.batch_reads,
+                max_len=cfg.max_read_len, overlap=cfg.overlap)):
+            if i < start:
+                continue
+            if max_batches is not None and n_done >= max_batches:
+                return
+            with Timer() as t:
+                table = self._batch_table(batch)
+                self._spill_table(table)
+            self.state["pass1_next_batch"] = i + 1
+            self._checkpoint()
+            n_done += 1
+            self.log.log("pass1_batch", i=i, pairs=table.num_distinct,
+                         secs=round(t.elapsed, 4))
+        self.state["pass1_done"] = True
+        self._checkpoint()
+        self.log.log("pass1_done", batches=self.state["pass1_next_batch"])
+
+    def _spill_table(self, table: KmerTable) -> None:
+        """Append one batch table's pairs to the per-partition files.
+
+        The table is sorted, routing is monotone -> partition ids are
+        non-decreasing; boundaries come from one searchsorted.
+        """
+        if table.num_distinct == 0:
+            return
+        dest = route_partition(table.keys, self._n_bases, self.P)
+        bounds = np.searchsorted(dest, np.arange(self.P + 1))
+        for p in range(self.P):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if lo == hi:
+                continue
+            blk = _PairBlock(table.keys[lo:hi],
+                             table.counts[lo:hi].astype(np.uint32))
+            data = blk.tobytes()
+            with open(self._part_path(p), "ab") as f:
+                f.write(data)
+            self.state["part_bytes"][p] += len(data)
+
+    # ---------------------------------------------------------- pass 2
+
+    def run_pass2(self) -> None:
+        if not self.state["pass1_done"]:
+            raise RuntimeError("pass 1 incomplete; run_pass1() first")
+        for p in range(self.P):
+            if self.state["pass2_done"][p]:
+                continue
+            with Timer() as t:
+                keys, counts = _read_pairs(self._part_path(p),
+                                           self.state["part_bytes"][p], self.W)
+                table = KmerTable.from_pairs(self._n_bases, keys, counts)
+                tmp = self._table_path(p) + ".tmp.npz"
+                np.savez(tmp, keys=table.keys, counts=table.counts)
+                os.replace(tmp, self._table_path(p))
+            self.state["pass2_done"][p] = True
+            self._checkpoint()
+            self.log.log("pass2_part", p=p, distinct=table.num_distinct,
+                         secs=round(t.elapsed, 4))
+        self.log.log("pass2_done", partitions=self.P)
+
+    # ---------------------------------------------------------- driver
+
+    def run(self) -> None:
+        self.run_pass1()
+        self.run_pass2()
+
+    def partition_tables(self):
+        """Yield (p, KmerTable) in partition (= global key) order."""
+        for p in range(self.P):
+            if not self.state["pass2_done"][p]:
+                raise RuntimeError(f"partition {p} not counted yet; run()")
+            with np.load(self._table_path(p)) as z:
+                yield p, KmerTable(self._n_bases, z["keys"], z["counts"])
+
+    def final_table(self) -> KmerTable:
+        """Concatenate partition tables -> the global sorted table."""
+        keys, counts = [], []
+        for _, t in self.partition_tables():
+            keys.append(t.keys)
+            counts.append(t.counts)
+        if not keys:
+            return KmerTable.empty(self._n_bases)
+        return KmerTable(self._n_bases, np.concatenate(keys, axis=0),
+                         np.concatenate(counts))
+
+    def write_tsv(self, stream) -> None:
+        """Stream the global table as TSV without materializing it."""
+        for _, t in self.partition_tables():
+            t.write_tsv(stream)
+
+
+def stream_count_fasta(path: str, cfg: KmerConfig | None = None,
+                       spill_dir: str = None, **cfg_kw) -> KmerTable:
+    """Two-pass streaming count; resumable via `spill_dir`."""
+    assert spill_dir is not None, "spill_dir is required for streaming"
+    cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
+    sc = StreamingCounter(path, cfg, spill_dir)
+    sc.run()
+    return sc.final_table()

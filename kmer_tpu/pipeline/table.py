@@ -78,15 +78,14 @@ class KmerTable:
         return KmerTable(k, keys.astype(np.uint32),
                          counts[starts].astype(np.int64))
 
-    def merge(self, other: "KmerTable") -> "KmerTable":
-        """Merge two sorted tables (sum counts of equal keys)."""
-        assert self.k == other.k
-        if other.num_distinct == 0:
-            return self
-        if self.num_distinct == 0:
-            return other
-        keys = np.concatenate([self.keys, other.keys], axis=0)
-        counts = np.concatenate([self.counts, other.counts])
+    @staticmethod
+    def from_pairs(k: int, keys: np.ndarray, counts: np.ndarray) -> "KmerTable":
+        """Aggregate unsorted (key, count) pairs into a sorted unique
+        table — one vectorized argsort + run-sum (no Python loop)."""
+        keys = np.asarray(keys, dtype=np.uint32).reshape(-1, words_per_key(k))
+        counts = np.asarray(counts, dtype=np.int64)
+        if len(counts) == 0:
+            return KmerTable.empty(k)
         v = _void_view(keys)
         order = np.argsort(v, kind="mergesort")
         counts = counts[order]
@@ -98,7 +97,18 @@ class KmerTable:
         merged_counts = np.zeros(run_id[-1] + 1, np.int64)
         np.add.at(merged_counts, run_id, counts)
         starts = np.flatnonzero(new_run)
-        return KmerTable(self.k, kb[starts], merged_counts)
+        return KmerTable(k, kb[starts], merged_counts)
+
+    def merge(self, other: "KmerTable") -> "KmerTable":
+        """Merge two sorted tables (sum counts of equal keys)."""
+        assert self.k == other.k
+        if other.num_distinct == 0:
+            return self
+        if self.num_distinct == 0:
+            return other
+        return KmerTable.from_pairs(
+            self.k, np.concatenate([self.keys, other.keys], axis=0),
+            np.concatenate([self.counts, other.counts]))
 
     def __eq__(self, other) -> bool:
         return (isinstance(other, KmerTable) and self.k == other.k
