@@ -17,6 +17,8 @@ outputs (drop sentinel runs) after the fact.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -25,10 +27,22 @@ from .extract import SENTINEL
 
 DENSE_K_MAX = 12
 
+# sort backend: "auto" uses the Pallas VMEM-resident kernel on TPU and
+# lax.sort elsewhere; override with KMER_TPU_SORT=xla|pallas.
+_SORT_BACKEND = os.environ.get("KMER_TPU_SORT", "auto")
 
-def sort_words(words: list[jnp.ndarray]) -> list[jnp.ndarray]:
+
+def sort_words(words: list[jnp.ndarray],
+               backend: str | None = None) -> list[jnp.ndarray]:
     """Lexicographic sort of flattened W-word keys (duplicates kept)."""
     flat = [w.reshape(-1) for w in words]
+    backend = backend or _SORT_BACKEND
+    if backend == "pallas" or (
+            backend == "auto" and jax.default_backend() == "tpu"):
+        from .pallas.sort import sort_words_pallas
+        # off-TPU a forced pallas backend runs interpreted (testing)
+        return sort_words_pallas(flat,
+                                 interpret=jax.default_backend() != "tpu")
     return list(lax.sort(tuple(flat), num_keys=len(flat)))
 
 
@@ -40,16 +54,24 @@ def run_lengths(sorted_words: list[jnp.ndarray]):
       counts[i]   — multiplicity of that run if is_start[i], else 0.
     Sentinel lanes (invalid) are excluded from counts but may still set
     is_start at the sentinel run head (count 0, dropped on compaction).
+
+    Scan-based, scatter-free: a run's length is the distance to the next
+    run start, found with one reverse cummin — runs of equal keys are
+    homogeneous (all real or all sentinel), so no per-lane validity sum
+    is needed.
     """
     n = sorted_words[0].shape[0]
     neq = jnp.zeros((n,), bool).at[0].set(True)
     for w in sorted_words:
         neq = neq | (jnp.roll(w, 1) != w).at[0].set(True)
     is_start = neq
-    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start_pos = jnp.where(is_start, idx, n)
+    suffix_min = lax.cummin(start_pos, axis=0, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[1:], jnp.full((1,), n, jnp.int32)])
     valid = sorted_words[0] != SENTINEL
-    seg = jax.ops.segment_sum(valid.astype(jnp.int32), run_id, num_segments=n)
-    counts = jnp.where(is_start, seg[run_id], 0)
+    counts = jnp.where(is_start & valid, next_start - idx, 0)
     return is_start, counts
 
 
