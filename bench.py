@@ -34,6 +34,9 @@ def log(msg):
 
 
 def main():
+    from kmer_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from kmer_tpu.pipeline.count import count_step_sort
@@ -73,6 +76,12 @@ def main():
     kmers_per_sec = kmers_per_batch * ITERS / dt
     log(f"{ITERS} steps x {kmers_per_batch} kmers in {dt:.3f}s "
         f"({dt / ITERS * 1e3:.1f} ms/step)")
+
+    from kmer_tpu.ops.encode import words_per_key
+    from kmer_tpu.utils.profiling import Roofline
+    rl = Roofline.for_sort_step(B, L, K, words_per_key(K))
+    log(f"HBM roofline fraction: {rl.fraction(dt / ITERS):.3f} "
+        f"(speed-of-light step {rl.seconds_at_roofline() * 1e6:.0f} us)")
 
     print(json.dumps({
         "metric": f"canonical k={K} count throughput (1 chip, sort mode)",

@@ -21,6 +21,8 @@ def _add_common(p):
     p.add_argument("--max-read-len", type=int, default=256)
     p.add_argument("--stats", action="store_true",
                    help="JSONL per-batch stats on stderr")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace into this directory")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -66,17 +68,20 @@ def _dispatch(args) -> int:
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
                          partitions=args.partitions, stats=args.stats)
+        from .utils.profiling import trace
         if args.two_pass:
             if not args.spill_dir:
                 raise ValueError("--two-pass requires --spill-dir")
             from .pipeline.streaming import StreamingCounter
             sc = StreamingCounter(args.fasta, cfg.replace(mode="sort"),
                                   args.spill_dir)
-            sc.run()
+            with trace(args.profile_dir):
+                sc.run()
             sc.write_tsv(sys.stdout)
             return 0
         from .pipeline.count import count_fasta
-        table = count_fasta(args.fasta, cfg)
+        with trace(args.profile_dir):
+            table = count_fasta(args.fasta, cfg)
         table.write_tsv(sys.stdout)
         return 0
 

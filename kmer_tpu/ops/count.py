@@ -83,13 +83,28 @@ def sort_count(words: list[jnp.ndarray]):
 
 
 def dense_histogram(word: jnp.ndarray, valid: jnp.ndarray, k: int,
-                    hist: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Scatter-add counts into a dense 4^k table (k <= DENSE_K_MAX).
+                    hist: jnp.ndarray | None = None,
+                    backend: str | None = None) -> jnp.ndarray:
+    """Counts into a dense 4^k table (k <= DENSE_K_MAX).
 
     `word` is the single-word key (B, P) or flat; invalid lanes add 0.
     Pass `hist` to accumulate across batches (donate it under jit).
+
+    Backends: "mxu" = Pallas one-hot matmul histogram (k <= 8, the TPU
+    fast path — XLA scatter-add serializes); "xla" = scatter-add;
+    "auto" picks mxu on TPU when eligible.
     """
     assert k <= DENSE_K_MAX, f"dense mode needs k <= {DENSE_K_MAX}"
+    backend = backend or _SORT_BACKEND
+    from .pallas.histogram import DENSE_MXU_K_MAX
+    use_mxu = k <= DENSE_MXU_K_MAX and word.size < (1 << 24) and (
+        backend == "pallas" or
+        (backend == "auto" and jax.default_backend() == "tpu"))
+    if use_mxu:
+        from .pallas.histogram import dense_histogram_mxu
+        h = dense_histogram_mxu(word, valid, k,
+                                interpret=jax.default_backend() != "tpu")
+        return h if hist is None else hist + h
     size = 4 ** k
     idx = jnp.where(valid, word, 0).astype(jnp.int32).reshape(-1)
     upd = valid.astype(jnp.int32).reshape(-1)

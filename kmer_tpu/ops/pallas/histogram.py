@@ -1,0 +1,98 @@
+"""Pallas MXU histogram: dense 4^k counting as one-hot matmuls.
+
+XLA lowers `hist.at[idx].add(1)` to a serialized scatter on TPU.  The
+MXU-native formulation: split the 2k-bit index into hi/lo halves and
+compute the outer-product histogram
+
+    hist2d[h, l] = sum_t onehot(hi_t)[h] * onehot(lo_t)[l]
+
+— a (T, H)^T @ (T, L) matmul per tile, accumulated in a VMEM scratch
+across the grid, so HBM sees only the index stream (4 bytes/key) and one
+histogram write.  bf16 one-hots with f32 accumulation are exact for tile
+sums < 2^24 (enforced by the caller-side batch bound).
+
+Replaces the counting step of the reference's sort-then-scan pipeline
+(k-mer-count/src/main.rs:87-90) for small k with a sort-free path.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DENSE_MXU_K_MAX = 8          # 4^8 = 65536 bins = (256, 256)
+_TILE_ROWS = 8               # (8, 128) index tile -> T = 1024 keys/step
+
+
+def _hist_kernel(idx_ref, valid_ref, out_ref, acc_ref, *,
+                 bh: int, bl: int):
+    H, L = 1 << bh, 1 << bl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    idx = idx_ref[:].astype(jnp.int32)          # (Tr, 128)
+    valid = valid_ref[:]                        # (Tr, 128) int32 0/1
+    tr, lanes = idx.shape
+    hi = (idx >> bl)[:, :, None]
+    lo = (idx & (L - 1))[:, :, None]
+    ioh = lax.broadcasted_iota(jnp.int32, (tr, lanes, H), 2)
+    iol = lax.broadcasted_iota(jnp.int32, (tr, lanes, L), 2)
+    oh_hi = ((hi == ioh) & (valid[:, :, None] != 0)).astype(jnp.bfloat16)
+    oh_lo = (lo == iol).astype(jnp.bfloat16)
+    t = tr * lanes
+    acc_ref[:] += lax.dot_general(
+        oh_hi.reshape(t, H), oh_lo.reshape(t, L),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(jnp.int32)
+
+
+def dense_histogram_mxu(word: jnp.ndarray, valid: jnp.ndarray, k: int,
+                        *, interpret: bool = False) -> jnp.ndarray:
+    """4^k histogram of `word` (any shape, flattened) where valid.
+
+    Returns (4^k,) int32.  Requires k <= DENSE_MXU_K_MAX and fewer than
+    2^24 keys per call (f32 accumulator exactness).
+    """
+    assert k <= DENSE_MXU_K_MAX, k
+    bits = 2 * k
+    bh = (bits + 1) // 2
+    bl = bits - bh
+    H, L = 1 << bh, 1 << bl
+
+    idx = word.reshape(-1).astype(jnp.int32)
+    v = valid.reshape(-1).astype(jnp.int32)
+    N = idx.shape[0]
+    assert N < (1 << 24), "tile accumulation exactness bound"
+    tile = _TILE_ROWS * 128
+    n = math.ceil(N / tile) * tile
+    if n != N:
+        idx = jnp.concatenate([idx, jnp.zeros((n - N,), jnp.int32)])
+        v = jnp.concatenate([v, jnp.zeros((n - N,), jnp.int32)])
+    idx2 = idx.reshape(-1, 128)
+    v2 = v.reshape(-1, 128)
+    grid = (n // tile,)
+    spec = pl.BlockSpec((_TILE_ROWS, 128), lambda q: (q, 0),
+                        memory_space=pltpu.VMEM)
+    hist2d = pl.pallas_call(
+        functools.partial(_hist_kernel, bh=bh, bl=bl),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((H, L), lambda q: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, L), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((H, L), jnp.float32)],
+        interpret=interpret,
+    )(idx2, v2)
+    return hist2d.reshape(-1)
