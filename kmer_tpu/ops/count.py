@@ -27,8 +27,11 @@ from .extract import SENTINEL
 
 DENSE_K_MAX = 12
 
-# sort backend: "auto" uses the Pallas VMEM-resident kernel on TPU and
-# lax.sort elsewhere; override with KMER_TPU_SORT=xla|pallas.
+# sort backend, override with KMER_TPU_SORT=auto|xla|pallas.
+# Measured on v5e (scripts/debug_sort_tpu.py): XLA's multi-operand sort
+# hits a fast radix path at ~0.1 ms for 1M 2-word keys — already at the
+# HBM roofline — so "auto" = lax.sort; the Pallas VMEM-resident bitonic
+# kernel (ops/pallas/sort.py) stays as an opt-in backend.
 _SORT_BACKEND = os.environ.get("KMER_TPU_SORT", "auto")
 
 
@@ -37,8 +40,7 @@ def sort_words(words: list[jnp.ndarray],
     """Lexicographic sort of flattened W-word keys (duplicates kept)."""
     flat = [w.reshape(-1) for w in words]
     backend = backend or _SORT_BACKEND
-    if backend == "pallas" or (
-            backend == "auto" and jax.default_backend() == "tpu"):
+    if backend == "pallas":
         from .pallas.sort import sort_words_pallas
         # off-TPU a forced pallas backend runs interpreted (testing)
         return sort_words_pallas(flat,

@@ -183,9 +183,12 @@ def sort_words_pallas(words: list[jnp.ndarray], *,
         flat = [jnp.concatenate([f, jnp.full((pad,), SENTINEL, jnp.uint32)])
                 for f in flat]
     n_chunks = n // M
-    # per-chunk column-major layout: f = q*M + c*r_c + i -> arr[q*r_c+i, c]
-    arrs = [f.reshape(n_chunks, LANES, r_c).swapaxes(1, 2)
-            .reshape(n_chunks * r_c, LANES) for f in flat]
+    # per-chunk column-major cell labels: f = q*M + c*r_c + i lives at
+    # arr[q*r_c+i, c].  The INPUT assignment of values to cells is an
+    # arbitrary bijection (we sort a multiset), so a plain row-major
+    # reshape suffices on the way in; only the way OUT needs the real
+    # inverse mapping.
+    arrs = [f.reshape(n_chunks * r_c, LANES) for f in flat]
 
     arrs = _pallas_chunks(_chunk_sort_kernel, arrs, r_c, interpret,
                           log2m=log2m)

@@ -55,32 +55,44 @@ def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool):
 def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 stats: StatsLogger | None = None) -> KmerTable:
     """Count k-mers of pre-parsed records (codes/offsets contract of
-    io.fasta.parse_fasta)."""
+    io.fasta.parse_fasta).
+
+    The device step is dispatched asynchronously and host compaction
+    runs one batch behind (double buffering, SURVEY.md §7 "host<->device
+    overlap"): while the chip sorts batch i, the host merges batch i-1's
+    table, so neither side stalls on the other.
+    """
     log = stats or StatsLogger(enabled=cfg.stats)
     mode = cfg.effective_mode
     table = KmerTable.empty(cfg.k)
     hist = jnp.zeros((4 ** cfg.k,), jnp.int32) if mode == "dense" else None
     n_batches = 0
     total_reads = len(offsets) - 1
+    pending = None          # sort mode: device outputs one batch behind
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
                               max_len=cfg.max_read_len, overlap=cfg.overlap):
         with Timer() as t:
             if mode == "dense":
+                # hist is donated: accumulation stays on-device, the
+                # host never syncs until the end.
                 hist = count_step_dense(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.lengths),
                                         jnp.asarray(batch.start_limits), hist,
                                         k=cfg.k, canonical=cfg.canonical)
-                hist.block_until_ready()
             else:
-                s, is_start, counts = count_step_sort(
+                out = count_step_sort(
                     jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                     jnp.asarray(batch.start_limits),
                     k=cfg.k, canonical=cfg.canonical)
-                btab = KmerTable.from_device_runs(cfg.k, s, is_start, counts)
-                table = table.merge(btab)
+                if pending is not None:
+                    table = table.merge(
+                        KmerTable.from_device_runs(cfg.k, *pending))
+                pending = out
         n_batches += 1
         log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
                 secs=round(t.elapsed, 4))
+    if pending is not None:
+        table = table.merge(KmerTable.from_device_runs(cfg.k, *pending))
     if mode == "dense":
         table = KmerTable.from_dense(np.asarray(hist), cfg.k)
     log.log("done", batches=n_batches, reads=total_reads,

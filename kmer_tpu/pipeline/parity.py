@@ -35,30 +35,39 @@ def parity_step(codes, lengths, limits, *, c_min: int, c_max: int):
     return s, n_valid
 
 
-def _batch_lines(batch, cfg: KmerConfig) -> np.ndarray:
-    """Device-sort one batch and decode to an (n, ) |S54 array."""
+def _decode_step(step_out, cfg: KmerConfig) -> np.ndarray:
+    """Decode one device-sorted batch to an (n,) |S55 line array."""
     n_chars = cfg.l_len + cfg.r_len
-    s, n_valid = parity_step(jnp.asarray(batch.codes),
-                             jnp.asarray(batch.lengths),
-                             jnp.asarray(batch.start_limits),
-                             c_min=cfg.c_min, c_max=cfg.c_max)
+    s, n_valid = step_out
     n_valid = int(n_valid)
     keys = np.stack([np.asarray(w)[:n_valid] for w in s], axis=1)
     raw = decode_key_words_to_lines(keys, n_chars)   # includes '\n's
-    arr = np.frombuffer(raw, dtype=f"S{n_chars + 1}")
-    return arr
+    return np.frombuffer(raw, dtype=f"S{n_chars + 1}")
 
 
 def parity_dump(path: str, cfg: KmerConfig | None = None) -> bytes:
-    """Full sorted dump bytes for a FASTA file (reference stdout)."""
+    """Full sorted dump bytes for a FASTA file (reference stdout).
+
+    Device sort of batch i overlaps host decode of batch i-1 (the
+    decode lags one step behind the async dispatch).
+    """
     cfg = cfg or KmerConfig(gapped=True, batch_reads=256, max_read_len=512)
     if not cfg.gapped:
         cfg = cfg.replace(gapped=True)
     parts: list[np.ndarray] = []
     codes, offsets = parse_fasta(path)
+    pending = None
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
                               max_len=cfg.max_read_len, overlap=cfg.overlap):
-        parts.append(_batch_lines(batch, cfg))
+        out = parity_step(jnp.asarray(batch.codes),
+                          jnp.asarray(batch.lengths),
+                          jnp.asarray(batch.start_limits),
+                          c_min=cfg.c_min, c_max=cfg.c_max)
+        if pending is not None:
+            parts.append(_decode_step(pending, cfg))
+        pending = out
+    if pending is not None:
+        parts.append(_decode_step(pending, cfg))
     if not parts:
         return b""
     if len(parts) == 1:
