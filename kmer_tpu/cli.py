@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--batch-reads", type=int, default=256)
     pp.add_argument("--max-read-len", type=int, default=512)
 
+    ph = sub.add_parser("histo", help="k-mer multiplicity spectrum "
+                                      "(count\\tnum_distinct per line)")
+    _add_common(ph)
+    ph.add_argument("-k", type=int, default=21)
+    ph.add_argument("--canonical", action="store_true")
+
     pg = sub.add_parser("generate", help="seeded random FASTA to stdout")
     pg.add_argument("--style", choices=["reference", "reads"], default="reference")
     pg.add_argument("--seed", type=int, default=0)
@@ -83,6 +89,18 @@ def _dispatch(args) -> int:
         with trace(args.profile_dir):
             table = count_fasta(args.fasta, cfg)
         table.write_tsv(sys.stdout)
+        return 0
+
+    if args.cmd == "histo":
+        from .config import KmerConfig
+        from .pipeline.count import count_fasta
+        cfg = KmerConfig(k=args.k, canonical=args.canonical,
+                         batch_reads=args.batch_reads,
+                         max_read_len=max(args.max_read_len, args.k),
+                         stats=args.stats)
+        table = count_fasta(args.fasta, cfg)
+        for mult, ndis in sorted(table.multiplicity_histogram().items()):
+            sys.stdout.write(f"{mult}\t{ndis}\n")
         return 0
 
     if args.cmd == "parity":

@@ -110,6 +110,23 @@ class KmerTable:
             self.k, np.concatenate([self.keys, other.keys], axis=0),
             np.concatenate([self.counts, other.counts]))
 
+    def multiplicity_histogram(self) -> dict[int, int]:
+        """{multiplicity -> number of distinct k-mers with that count}
+        (the standard k-mer spectrum, cf. KMC's histogram output)."""
+        if self.num_distinct == 0:
+            return {}
+        vals, freq = np.unique(self.counts, return_counts=True)
+        return {int(v): int(f) for v, f in zip(vals, freq)}
+
+    def top(self, n: int) -> list[tuple[str, int]]:
+        """The n most frequent k-mers, count-descending then key order."""
+        if self.num_distinct == 0:
+            return []
+        order = np.argsort(-self.counts, kind="stable")[:n]
+        from ..ops.encode import decode_key_words
+        kmers = decode_key_words(self.keys[order], self.k)
+        return list(zip(kmers, self.counts[order].tolist()))
+
     def __eq__(self, other) -> bool:
         return (isinstance(other, KmerTable) and self.k == other.k
                 and self.keys.shape == other.keys.shape

@@ -103,3 +103,40 @@ def test_table_tsv(tmpdir):
     # sorted lexicographically
     kmers = [l.split("\t")[0] for l in lines]
     assert kmers == sorted(kmers)
+
+
+def test_sample_fasta_k21_exact(sample_fasta_path):
+    """BASELINE.json config 1: k=21 (kmer, count) parity on the bundled
+    corpus — the count-mode exactness contract."""
+    table = count_fasta(sample_fasta_path,
+                        KmerConfig(k=21, batch_reads=64, max_read_len=512))
+    want = oracle.oracle_count(oracle.read_fasta_py(sample_fasta_path), 21)
+    assert table.to_dict() == dict(want)
+    # invariant: 200 records x 400 bp -> 200 * (400 - 21 + 1) total k-mers
+    assert table.total == 200 * 380
+
+
+def test_k31_canonical_reads(tmpdir):
+    """BASELINE.json config 2 shape (downscaled for CI): k=31 canonical
+    on 150 bp reads."""
+    path = _write(tmpdir, random_reads_fasta(200, 150, seed=31), "k31.fasta")
+    table = count_fasta(path, KmerConfig(k=31, canonical=True,
+                                         batch_reads=64, max_read_len=150))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 31, canonical=True)
+    assert table.to_dict() == dict(want)
+
+
+def test_multiplicity_histogram_and_top(tmpdir):
+    path = _write(tmpdir, reference_style_fasta(n_records=5, seed=2),
+                  "hist.fasta")
+    table = count_fasta(path, KmerConfig(k=11, mode="sort", batch_reads=16,
+                                         max_read_len=512))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 11)
+    from collections import Counter
+    spect = Counter(want.values())
+    assert table.multiplicity_histogram() == dict(spect)
+    top = table.top(5)
+    assert len(top) == 5
+    counts = [c for _, c in top]
+    assert counts == sorted(counts, reverse=True)
+    assert all(want[km] == c for km, c in top)
