@@ -164,4 +164,25 @@ void pack_codes_u32(const uint8_t* codes, int64_t n, uint32_t* out) {
   }
 }
 
+// Fill one fixed-shape device batch from parsed codes: for each span r
+// (start, end, start_limit) copy codes[start:end) into row r of the
+// zeroed (B, L) output and record its length/ownership limit.  Row
+// memcpys run at memory bandwidth — the numpy gather this replaces cost
+// ~10x the device step per batch.
+void fill_batch(const uint8_t* codes, const int64_t* spans, int64_t m,
+                uint8_t* out, int32_t* lens, int32_t* lims,
+                int64_t B, int64_t L) {
+  memset(out, 0, (size_t)(B * L));
+  memset(lens, 0, (size_t)B * sizeof(int32_t));
+  memset(lims, 0, (size_t)B * sizeof(int32_t));
+  for (int64_t r = 0; r < m && r < B; ++r) {
+    int64_t s = spans[3 * r], e = spans[3 * r + 1], lim = spans[3 * r + 2];
+    int64_t n = e - s;
+    if (n > L) n = L;
+    if (n > 0) memcpy(out + r * L, codes + s, (size_t)n);
+    lens[r] = (int32_t)n;
+    lims[r] = (int32_t)lim;
+  }
+}
+
 }  // extern "C"

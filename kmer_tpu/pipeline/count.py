@@ -64,11 +64,27 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     """
     log = stats or StatsLogger(enabled=cfg.stats)
     mode = cfg.effective_mode
-    table = KmerTable.empty(cfg.k)
     hist = jnp.zeros((4 ** cfg.k,), jnp.int32) if mode == "dense" else None
     n_batches = 0
     total_reads = len(offsets) - 1
     pending = None          # sort mode: device outputs one batch behind
+    # per-batch tables are buffered and bulk-merged (one vectorized
+    # argsort over many batches) instead of re-merged every batch —
+    # re-sorting the growing table per batch is O(total^2 log) overall.
+    parts: list[KmerTable] = []
+    buffered = 0
+    FLUSH_PAIRS = 8 << 20
+
+    def flush() -> None:
+        nonlocal parts, buffered
+        if len(parts) > 1:
+            merged = KmerTable.from_pairs(
+                cfg.k,
+                np.concatenate([p.keys for p in parts], axis=0),
+                np.concatenate([p.counts for p in parts]))
+            parts = [merged]
+        buffered = parts[0].num_distinct if parts else 0
+
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
                               max_len=cfg.max_read_len, overlap=cfg.overlap):
         with Timer() as t:
@@ -85,14 +101,19 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     jnp.asarray(batch.start_limits),
                     k=cfg.k, canonical=cfg.canonical)
                 if pending is not None:
-                    table = table.merge(
-                        KmerTable.from_device_runs(cfg.k, *pending))
+                    btab = KmerTable.from_device_runs(cfg.k, *pending)
+                    parts.append(btab)
+                    buffered += btab.num_distinct
+                    if buffered >= FLUSH_PAIRS:
+                        flush()
                 pending = out
         n_batches += 1
         log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
                 secs=round(t.elapsed, 4))
     if pending is not None:
-        table = table.merge(KmerTable.from_device_runs(cfg.k, *pending))
+        parts.append(KmerTable.from_device_runs(cfg.k, *pending))
+    flush()
+    table = parts[0] if parts else KmerTable.empty(cfg.k)
     if mode == "dense":
         table = KmerTable.from_dense(np.asarray(hist), cfg.k)
     log.log("done", batches=n_batches, reads=total_reads,
