@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("-k", type=int, default=21)
     pc.add_argument("--canonical", action="store_true")
     pc.add_argument("--mode", choices=["auto", "dense", "sort"], default="auto")
+    pc.add_argument("--skip-invalid", action="store_true",
+                    help="accept N/IUPAC bases and drop windows containing "
+                         "them (default: error, the reference's contract)")
     pc.add_argument("--two-pass", action="store_true",
                     help="streaming two-pass spill mode (checkpointable)")
     pc.add_argument("--spill-dir", default=None,
@@ -73,7 +76,8 @@ def _dispatch(args) -> int:
         cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
-                         partitions=args.partitions, stats=args.stats)
+                         partitions=args.partitions, stats=args.stats,
+                         skip_invalid=args.skip_invalid)
         from .utils.profiling import trace
         if args.two_pass:
             if not args.spill_dir:

@@ -30,6 +30,11 @@ class KmerConfig:
     mesh_shape: tuple[int, ...] = ()        # () = single device
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
+    # input tolerance: accept N/IUPAC ambiguity codes in the input and
+    # drop every window containing one (the reference panics on any
+    # non-ACGT byte, main.rs:23; strict mode keeps that contract as a
+    # clean error).
+    skip_invalid: bool = False
     # observability
     stats: bool = False                     # per-batch JSONL stats to stderr
 

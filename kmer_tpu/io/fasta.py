@@ -46,12 +46,12 @@ def _load_native():
         lib = ctypes.CDLL(_SO_PATH)
         lib.fasta_scan.restype = ctypes.c_int
         lib.fasta_scan.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int64]
         lib.fasta_parse.restype = ctypes.c_int
         lib.fasta_parse.argtypes = [
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -77,22 +77,24 @@ _ERRCODES = {
 }
 
 
-def parse_fasta_native(path: str) -> tuple[np.ndarray, np.ndarray]:
+def parse_fasta_native(path: str, allow_ambiguous: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
     lib = _load_native()
     if lib is None:
         raise RuntimeError("native parser unavailable")
     err = ctypes.create_string_buffer(256)
     nrec = ctypes.c_int64(0)
     nbase = ctypes.c_int64(0)
-    rc = lib.fasta_scan(path.encode(), ctypes.byref(nrec), ctypes.byref(nbase),
-                        err, 256)
+    amb = 1 if allow_ambiguous else 0
+    rc = lib.fasta_scan(path.encode(), amb, ctypes.byref(nrec),
+                        ctypes.byref(nbase), err, 256)
     if rc != 0:
         msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
         raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
     codes = np.empty(max(int(nbase.value), 1), dtype=np.uint8)
     offsets = np.empty(int(nrec.value) + 1, dtype=np.int64)
     rc = lib.fasta_parse(
-        path.encode(),
+        path.encode(), amb,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), codes.size,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offsets.size,
         ctypes.byref(nrec), ctypes.byref(nbase), err, 256)
@@ -102,7 +104,8 @@ def parse_fasta_native(path: str) -> tuple[np.ndarray, np.ndarray]:
     return codes[: int(nbase.value)], offsets
 
 
-def parse_fasta_numpy(path: str) -> tuple[np.ndarray, np.ndarray]:
+def parse_fasta_numpy(path: str, allow_ambiguous: bool = False
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-Python/NumPy fallback parser (same contract as native)."""
     from ..utils.oracle import read_fasta_py
     from ..ops.encode import encode_seq
@@ -113,15 +116,16 @@ def parse_fasta_numpy(path: str) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(lens, out=offsets[1:])
     if not seqs:
         return np.empty(0, np.uint8), offsets
-    codes = np.concatenate([encode_seq(s) for s in seqs])
+    codes = np.concatenate([encode_seq(s, allow_ambiguous) for s in seqs])
     return codes, offsets
 
 
-def parse_fasta(path: str, prefer_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
+def parse_fasta(path: str, prefer_native: bool = True,
+                allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Parse a FASTA file into (codes, offsets); native parser preferred."""
     if prefer_native and _load_native() is not None:
-        return parse_fasta_native(path)
-    return parse_fasta_numpy(path)
+        return parse_fasta_native(path, allow_ambiguous)
+    return parse_fasta_numpy(path, allow_ambiguous)
 
 
 # ---------------------------------------------------------------------------

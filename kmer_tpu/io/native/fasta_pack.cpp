@@ -18,7 +18,10 @@
 
 namespace {
 
-// byte -> code; 0xFF invalid, 0xFE newline/whitespace (skipped in sequence).
+// byte -> code; 0xFF invalid, 0xFE newline/whitespace (skipped in
+// sequence), 0x04 IUPAC ambiguity code (N etc.) — accepted as the
+// "unknown base" marker when the caller opts in (skip_invalid mode;
+// windows containing it are masked out downstream).
 struct Lut {
   uint8_t m[256];
   constexpr Lut() : m() {
@@ -27,6 +30,8 @@ struct Lut {
     m[(int)'C'] = 1; m[(int)'c'] = 1;
     m[(int)'G'] = 2; m[(int)'g'] = 2;
     m[(int)'T'] = 3; m[(int)'t'] = 3;
+    const char* iupac = "NRYKMSWBDHVUnrykmswbdhvu";
+    for (const char* p = iupac; *p; ++p) m[(int)(unsigned char)*p] = 0x04;
     m[(int)'\n'] = 0xFE; m[(int)'\r'] = 0xFE;
     m[(int)' '] = 0xFE;  m[(int)'\t'] = 0xFE;
   }
@@ -47,7 +52,8 @@ extern "C" {
 // Returns 0 on success, negative error code otherwise:
 //   -1 file open failure        -3 invalid base
 //   -2 data before first header -4 buffer overflow (caller bug)
-int fasta_scan(const char* path, int64_t* n_records, int64_t* total_bases,
+int fasta_scan(const char* path, int allow_ambiguous,
+               int64_t* n_records, int64_t* total_bases,
                char* err, int64_t errcap) {
   FILE* f = fopen(path, "rb");
   if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
@@ -79,7 +85,7 @@ int fasta_scan(const char* path, int64_t* n_records, int64_t* total_bases,
       uint8_t code = kLut.m[ch];
       ++i; ++fpos;
       if (code == 0xFE) continue;
-      if (code == 0xFF) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
+      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
       if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
       ++nbase;
     }
@@ -95,7 +101,7 @@ done:
 
 // Pass 2: fill codes (cap = total_bases) and offsets (cap = n_records+1).
 // offsets[r] = start index of record r in codes; offsets[n_records] = total.
-int fasta_parse(const char* path,
+int fasta_parse(const char* path, int allow_ambiguous,
                 uint8_t* codes, int64_t codes_cap,
                 int64_t* offsets, int64_t offsets_cap,
                 int64_t* n_records, int64_t* total_bases,
@@ -133,7 +139,7 @@ int fasta_parse(const char* path,
       uint8_t code = kLut.m[ch];
       ++i; ++fpos;
       if (code == 0xFE) continue;
-      if (code == 0xFF) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
+      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
       if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
       if (nbase >= codes_cap) { rc = -4; goto done; }
       codes[nbase++] = code;

@@ -37,13 +37,15 @@ def lex_min(a: list[jnp.ndarray], b: list[jnp.ndarray]) -> list[jnp.ndarray]:
 
 
 def canonical_kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
-                         *, limits: jnp.ndarray | None = None):
+                         *, limits: jnp.ndarray | None = None,
+                         mask_ambiguous: bool = False):
     """min(forward, revcomp) key per lane; sentinel on invalid lanes.
 
     Forward and RC keys are built by two slice-sums over the same code
     slices (extract.py) — XLA fuses both into one pass over the batch.
     """
-    fwd, valid = kmer_lanes(codes, lengths, k, limits=limits, sentinel=False)
+    fwd, valid = kmer_lanes(codes, lengths, k, limits=limits, sentinel=False,
+                            mask_ambiguous=mask_ambiguous)
     rc, _ = rc_kmer_lanes(codes, lengths, k, sentinel=False)
     mn = lex_min(fwd, rc)
     return [jnp.where(valid, w, SENTINEL) for w in mn], valid

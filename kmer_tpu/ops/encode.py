@@ -30,11 +30,20 @@ CODE_A, CODE_C, CODE_G, CODE_T = 0, 1, 2, 3
 
 SENTINEL_WORD = np.uint32(0xFFFFFFFF)
 
-# char -> code lookup; 255 marks invalid characters.
+# Unknown-base marker (N and other IUPAC ambiguity codes in
+# allow_ambiguous mode).  Does not fit 2 bits: extraction masks out any
+# window containing it (ops/extract.py) instead of encoding it.
+AMBIG_CODE = np.uint8(4)
+
+# char -> code lookup; 255 marks invalid characters, AMBIG_CODE marks
+# IUPAC ambiguity codes (only accepted when allow_ambiguous).
 _LUT = np.full(256, 255, dtype=np.uint8)
 for _i, _b in enumerate(BASE_ORDER):
     _LUT[ord(_b)] = _i
     _LUT[ord(_b.lower())] = _i
+for _b in "NRYKMSWBDHVU":
+    _LUT[ord(_b)] = AMBIG_CODE
+    _LUT[ord(_b.lower())] = AMBIG_CODE
 
 # code -> ASCII byte lookup.
 _CODE_TO_ASCII = np.frombuffer(BASE_ORDER.encode(), dtype=np.uint8).copy()
@@ -49,12 +58,14 @@ def words_per_key(n_bases: int) -> int:
     return (2 * n_bases + 1 + 31) // 32
 
 
-def encode_seq(seq: str | bytes) -> np.ndarray:
-    """ASCII sequence -> uint8 2-bit codes; raises InvalidBaseError."""
+def encode_seq(seq: str | bytes, allow_ambiguous: bool = False) -> np.ndarray:
+    """ASCII sequence -> uint8 codes (2-bit, plus AMBIG_CODE when
+    allow_ambiguous); raises InvalidBaseError otherwise."""
     raw = np.frombuffer(seq.encode() if isinstance(seq, str) else seq, dtype=np.uint8)
     codes = _LUT[raw]
-    if codes.max(initial=0) == 255:
-        bad = int(np.argmax(codes == 255))
+    bad_cut = 255 if allow_ambiguous else AMBIG_CODE
+    if codes.max(initial=0) >= bad_cut:
+        bad = int(np.argmax(codes >= bad_cut))
         raise InvalidBaseError(
             f"invalid base {chr(int(raw[bad]))!r} at position {bad}"
         )

@@ -36,7 +36,8 @@ def _valid_mask(B, P, lengths, span, limits):
 
 
 def kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
-               *, limits: jnp.ndarray | None = None, sentinel: bool = True):
+               *, limits: jnp.ndarray | None = None, sentinel: bool = True,
+               mask_ambiguous: bool = False):
     """All k-mer keys of every read in a batch.
 
     Args:
@@ -45,6 +46,9 @@ def kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
       k:       k-mer size (static).
       limits:  optional (B,) int32 — row owns only window starts o <
                limits[b] (segment-seam ownership, io.fasta.segment_records).
+      mask_ambiguous: treat codes >= 4 (encode.AMBIG_CODE, i.e. N/IUPAC
+               bases in skip-invalid mode) as window poison — any window
+               containing one is masked out.
 
     Returns:
       words: list of W uint32 arrays, each (B, P) with P = L-k+1,
@@ -57,20 +61,26 @@ def kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     W = words_per_key(k)
     c32 = codes.astype(jnp.uint32)
     words = [jnp.zeros((B, P), dtype=jnp.uint32) for _ in range(W)]
+    amb = jnp.zeros((B, P), bool) if mask_ambiguous else None
     for j in range(k):
         bitpos = 2 * (k - 1 - j)
         wi = W - 1 - bitpos // 32
         sh = bitpos % 32
         sl = lax.dynamic_slice_in_dim(c32, j, P, axis=1)
-        words[wi] = words[wi] | (sl << jnp.uint32(sh))
+        words[wi] = words[wi] | ((sl & jnp.uint32(3)) << jnp.uint32(sh))
+        if mask_ambiguous:
+            amb = amb | (sl >= 4)
     valid = _valid_mask(B, P, lengths, k, limits)
+    if mask_ambiguous:
+        valid = valid & ~amb
     if sentinel:
         words = _apply_sentinel(words, valid)
     return words, valid
 
 
 def rc_kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
-                  *, limits: jnp.ndarray | None = None, sentinel: bool = True):
+                  *, limits: jnp.ndarray | None = None, sentinel: bool = True,
+                  mask_ambiguous: bool = False):
     """Reverse-complement k-mer keys for every lane of `kmer_lanes`.
 
     The RC of window [p, p+k) read 5'→3' on the other strand puts base
@@ -83,13 +93,19 @@ def rc_kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     W = words_per_key(k)
     c32 = codes.astype(jnp.uint32)
     words = [jnp.zeros((B, P), dtype=jnp.uint32) for _ in range(W)]
+    amb = jnp.zeros((B, P), bool) if mask_ambiguous else None
     for j in range(k):
         bitpos = 2 * j
         wi = W - 1 - bitpos // 32
         sh = bitpos % 32
         sl = lax.dynamic_slice_in_dim(c32, j, P, axis=1)
-        words[wi] = words[wi] | ((jnp.uint32(3) - sl) << jnp.uint32(sh))
+        words[wi] = words[wi] | ((jnp.uint32(3) - (sl & jnp.uint32(3)))
+                                << jnp.uint32(sh))
+        if mask_ambiguous:
+            amb = amb | (sl >= 4)
     valid = _valid_mask(B, P, lengths, k, limits)
+    if mask_ambiguous:
+        valid = valid & ~amb
     if sentinel:
         words = _apply_sentinel(words, valid)
     return words, valid

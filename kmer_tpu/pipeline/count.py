@@ -22,13 +22,16 @@ from ..utils.stats import StatsLogger, Timer
 from .table import KmerTable
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"))
-def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool):
+@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous"))
+def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
+                    mask_ambiguous: bool = False):
     """One device batch, sort mode: (sorted words, is_start, counts)."""
     if canonical:
-        words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+        words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits,
+                                        mask_ambiguous=mask_ambiguous)
     else:
-        words, _ = kmer_lanes(codes, lengths, k, limits=limits)
+        words, _ = kmer_lanes(codes, lengths, k, limits=limits,
+                              mask_ambiguous=mask_ambiguous)
     return count_ops.sort_count(words)
 
 
@@ -42,13 +45,17 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int):
     return count_ops.sort_count(words)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical"), donate_argnames=("hist",))
-def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool):
+@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous"),
+         donate_argnames=("hist",))
+def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool,
+                     mask_ambiguous: bool = False):
     """One device batch, dense mode: accumulate into donated 4^k hist."""
     if canonical:
-        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
+                                            mask_ambiguous=mask_ambiguous)
     else:
-        words, valid = kmer_lanes(codes, lengths, k, limits=limits)
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits,
+                                  mask_ambiguous=mask_ambiguous)
     return count_ops.dense_histogram(words[-1], valid, k, hist)
 
 
@@ -94,12 +101,14 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 hist = count_step_dense(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.lengths),
                                         jnp.asarray(batch.start_limits), hist,
-                                        k=cfg.k, canonical=cfg.canonical)
+                                        k=cfg.k, canonical=cfg.canonical,
+                                        mask_ambiguous=cfg.skip_invalid)
             else:
                 out = count_step_sort(
                     jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                     jnp.asarray(batch.start_limits),
-                    k=cfg.k, canonical=cfg.canonical)
+                    k=cfg.k, canonical=cfg.canonical,
+                    mask_ambiguous=cfg.skip_invalid)
                 if pending is not None:
                     btab = KmerTable.from_device_runs(cfg.k, *pending)
                     parts.append(btab)
@@ -124,5 +133,5 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 def count_fasta(path: str, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     """Count k-mers of a FASTA file.  `count_fasta(p, k=21)` just works."""
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    codes, offsets = parse_fasta(path)
+    codes, offsets = parse_fasta(path, allow_ambiguous=cfg.skip_invalid)
     return count_codes(codes, offsets, cfg)

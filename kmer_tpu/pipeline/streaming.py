@@ -132,6 +132,7 @@ class StreamingCounter:
             "fasta_size": st.st_size, "k": c.k, "canonical": c.canonical,
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
+            "skip_invalid": c.skip_invalid,
         }
 
     def _load_or_init_state(self) -> dict:
@@ -191,7 +192,8 @@ class StreamingCounter:
             s, is_start, counts = count_step_sort(
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 jnp.asarray(batch.start_limits),
-                k=cfg.k, canonical=cfg.canonical)
+                k=cfg.k, canonical=cfg.canonical,
+                mask_ambiguous=cfg.skip_invalid)
         return KmerTable.from_device_runs(self._n_bases, s, is_start, counts)
 
     def run_pass1(self, max_batches: int | None = None) -> None:
@@ -201,7 +203,8 @@ class StreamingCounter:
             return
         self._truncate_to_manifest()
         cfg = self.cfg
-        codes, offsets = parse_fasta(self.fasta)
+        codes, offsets = parse_fasta(self.fasta,
+                                     allow_ambiguous=cfg.skip_invalid)
         start = self.state["pass1_next_batch"]
         n_done = 0
         for i, batch in enumerate(iter_batches(

@@ -41,22 +41,30 @@ def oracle_gapped_sorted_dump(seqs: Iterable[str], **kw) -> bytes:
     return ("\n".join(lines) + "\n").encode() if lines else b""
 
 
-def oracle_kmers(seq: str, k: int, canonical: bool = False) -> list[str]:
-    """All k-mers of one read (reads shorter than k emit nothing)."""
+def oracle_kmers(seq: str, k: int, canonical: bool = False,
+                 skip_invalid: bool = False) -> list[str]:
+    """All k-mers of one read (reads shorter than k emit nothing).
+
+    skip_invalid drops any window containing a non-ACGT character
+    (N/IUPAC codes) — the oracle for KmerConfig.skip_invalid."""
     out = []
+    up = seq.upper()
     for i in range(len(seq) - k + 1):
-        s = seq[i:i + k]
+        s = up[i:i + k]
+        if skip_invalid and any(b not in "ACGT" for b in s):
+            continue
         if canonical:
             s = min(s, revcomp_str(s))
         out.append(s)
     return out
 
 
-def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False) -> Counter:
+def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False,
+                 skip_invalid: bool = False) -> Counter:
     """(k-mer -> multiplicity) over a read set."""
     c: Counter = Counter()
     for seq in seqs:
-        c.update(oracle_kmers(seq, k, canonical))
+        c.update(oracle_kmers(seq, k, canonical, skip_invalid))
     return c
 
 
