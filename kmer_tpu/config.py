@@ -45,8 +45,11 @@ class KmerConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.mode == "dense" and self.k > 12:
             raise ValueError("dense mode requires k <= 12")
-        if self.gapped and (self.l_len, self.r_len) != (27, 27):
-            raise ValueError("gapped parity mode is specialized to L=R=27")
+        if self.gapped and (self.l_len < 1 or self.r_len < 1):
+            raise ValueError("gapped mode needs l_len, r_len >= 1")
+        if self.gapped and self.c_min < self.l_len + self.r_len:
+            raise ValueError("gapped mode needs c_min >= l_len + r_len "
+                             "(non-overlapping L/R windows)")
         if self.max_read_len < self.window_span:
             raise ValueError(
                 f"max_read_len={self.max_read_len} < window span {self.window_span}")

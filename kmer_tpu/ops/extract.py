@@ -129,34 +129,72 @@ GAP_R = 27           # main.rs:49
 GAP_C_MIN = 80       # main.rs:63
 GAP_C_MAX = 140      # main.rs:63 (`80..141`)
 
-_M22 = jnp.uint32((1 << 22) - 1)
-_M10 = jnp.uint32((1 << 10) - 1)
+
+def _extract32(S: list[jnp.ndarray], p: int) -> jnp.ndarray:
+    """Bits [p, p+32) of the multi-word big integer S (MS word first),
+    for static p (negative p = the value shifted left by -p)."""
+    Ws = len(S)
+    if p <= -32:
+        return jnp.zeros_like(S[0])
+    if p < 0:
+        return S[Ws - 1] << jnp.uint32(-p)
+    q, sh = divmod(p, 32)
+    lo = Ws - 1 - q
+    if lo < 0:
+        return jnp.zeros_like(S[0])
+    w = S[lo] >> jnp.uint32(sh) if sh else S[lo]
+    if sh and lo - 1 >= 0:
+        w = w | (S[lo - 1] << jnp.uint32(32 - sh))
+    return w
+
+
+def _combine_lr(l_words: list[jnp.ndarray], r_words: list[jnp.ndarray],
+                l_len: int, r_len: int) -> list[jnp.ndarray]:
+    """value = L * 4^r_len + R as words_per_key(l_len+r_len) words."""
+    W = words_per_key(l_len + r_len)
+    out = []
+    for wo in range(W):
+        p = 32 * (W - 1 - wo)
+        out.append(_extract32(r_words, p) |
+                   _extract32(l_words, p - 2 * r_len))
+    return out
 
 
 def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
                  l_len: int = GAP_L, r_len: int = GAP_R,
                  c_min: int = GAP_C_MIN, c_max: int = GAP_C_MAX,
-                 *, limits: jnp.ndarray | None = None):
+                 *, limits: jnp.ndarray | None = None,
+                 mask_ambiguous: bool = False):
     """All gapped L+R chunk keys of a batch, reference semantics.
 
     Returns:
-      words: list of 4 uint32 arrays (B, C, O) — 108-bit keys, MSW first,
-             C = number of chunk sizes, O = offsets for the smallest c;
-             invalid (o + c > len) lanes = sentinel.
+      words: list of W uint32 arrays (B, C, O) — 2(l_len+r_len)-bit
+             keys, MSW first, C = number of chunk sizes, O = offsets for
+             the smallest c; invalid (o + c > len) lanes = sentinel.
       valid: (B, C, O) bool.
     """
-    assert l_len == 27 and r_len == 27, "combine is specialized to 27+27"
+    assert l_len >= 1 and r_len >= 1
+    assert c_min >= l_len + r_len, "L and R windows must not overlap"
     B, L = codes.shape
     n_c = c_max - c_min + 1
     O = max(L - c_min + 1, 0)
-    if O == 0 or L < l_len:
-        words = [jnp.full((B, n_c, max(O, 0)), SENTINEL, jnp.uint32) for _ in range(4)]
+    W = words_per_key(l_len + r_len)
+    if O == 0 or L < max(l_len, r_len):
+        words = [jnp.full((B, n_c, max(O, 0)), SENTINEL, jnp.uint32)
+                 for _ in range(W)]
         return words, jnp.zeros((B, n_c, max(O, 0)), bool)
 
-    # K27 table: 27-mer key at every position p in [0, L-27], 54 bits in
-    # 2 words (hi: 22 bits, lo: 32 bits).  sentinel=False — validity of a
-    # gapped lane is decided by its own mask below.
-    (k_hi, k_lo), _ = kmer_lanes(codes, lengths, 27, sentinel=False)
+    # Sub-key tables: the l_len-mer key at every position (and the
+    # r_len-mer table, shared when l == r).  sentinel=False — validity
+    # of a gapped lane is decided by its own mask below; the ambiguity
+    # masks of both windows feed into it.
+    lw, lval = kmer_lanes(codes, lengths, l_len, sentinel=False,
+                          mask_ambiguous=mask_ambiguous)
+    if r_len == l_len:
+        rw, rval = lw, lval
+    else:
+        rw, rval = kmer_lanes(codes, lengths, r_len, sentinel=False,
+                              mask_ambiguous=mask_ambiguous)
 
     c_vals = jnp.arange(c_min, c_max + 1, dtype=jnp.int32)          # (C,)
     o_vals = jnp.arange(O, dtype=jnp.int32)                          # (O,)
@@ -167,21 +205,23 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
     if limits is not None:
         valid = valid & (o_grid < limits.astype(jnp.int32)[:, None, None])
 
-    P27 = L - 27 + 1
-    l_idx = jnp.clip(jnp.broadcast_to(o_grid, (1, n_c, O)), 0, P27 - 1)
-    r_idx = jnp.clip(r0, 0, P27 - 1)
-    l_idx = jnp.broadcast_to(l_idx, (B, n_c, O))
-    r_idx = jnp.broadcast_to(r_idx, (B, n_c, O))
+    Pl = L - l_len + 1
+    Pr = L - r_len + 1
+    l_idx = jnp.clip(jnp.broadcast_to(o_grid, (1, n_c, O)), 0, Pl - 1)
+    r_idx = jnp.clip(r0, 0, Pr - 1)
+    l_idx = jnp.broadcast_to(l_idx, (B, n_c, O)).reshape(B, 1, -1)
+    r_idx = jnp.broadcast_to(r_idx, (B, n_c, O)).reshape(B, 1, -1)
 
-    l_hi = jnp.take_along_axis(k_hi[:, None, :], l_idx.reshape(B, 1, -1), axis=2).reshape(B, n_c, O)
-    l_lo = jnp.take_along_axis(k_lo[:, None, :], l_idx.reshape(B, 1, -1), axis=2).reshape(B, n_c, O)
-    r_hi = jnp.take_along_axis(k_hi[:, None, :], r_idx.reshape(B, 1, -1), axis=2).reshape(B, n_c, O)
-    r_lo = jnp.take_along_axis(k_lo[:, None, :], r_idx.reshape(B, 1, -1), axis=2).reshape(B, n_c, O)
+    def gather(tbl, idx):
+        return jnp.take_along_axis(tbl[:, None, :], idx,
+                                   axis=2).reshape(B, n_c, O)
 
-    # 108-bit combine: value = L54 * 2^54 + R54, right-aligned in 4 words.
-    w3 = r_lo
-    w2 = (r_hi & _M22) | ((l_lo & _M10) << jnp.uint32(22))
-    w1 = (l_lo >> jnp.uint32(10)) | ((l_hi & _M10) << jnp.uint32(22))
-    w0 = l_hi >> jnp.uint32(10)
-    words = _apply_sentinel([w0, w1, w2, w3], valid)
+    l_g = [gather(w, l_idx) for w in lw]
+    r_g = [gather(w, r_idx) for w in rw]
+    words = _combine_lr(l_g, r_g, l_len, r_len)
+    if mask_ambiguous:
+        amb_ok = (gather(lval.astype(jnp.uint32), l_idx) != 0) & \
+                 (gather(rval.astype(jnp.uint32), r_idx) != 0)
+        valid = valid & amb_ok
+    words = _apply_sentinel(words, valid)
     return words, valid

@@ -40,17 +40,18 @@ from .mesh import DATA_AXIS, SEQ_AXIS
 _ROUTE_BITS = 16
 
 
-def _route_dest(w0: jnp.ndarray, w1: jnp.ndarray | None, k: int,
+def _route_dest(w0: jnp.ndarray, w1: jnp.ndarray | None, n_bases: int,
                 n_dev: int) -> jnp.ndarray:
     """Owner device of each key from the top tb bits of its value:
     dest = h * n // 2^tb — monotone in the key, so routing preserves
     global order for any device count.  Sentinel (all ones) lands on
     n_dev-1.  w0/w1 are the two most-significant words (w1 may be None
-    when W == 1).
+    when W == 1).  n_bases is the key width in bases (k, or l_len+r_len
+    for gapped keys).
     """
-    W = words_per_key(k)
-    avail0 = 2 * k - 32 * (W - 1)     # value bits held in w0 (may be 0)
-    tb = min(_ROUTE_BITS, 2 * k)
+    W = words_per_key(n_bases)
+    avail0 = 2 * n_bases - 32 * (W - 1)  # value bits held in w0 (may be 0)
+    tb = min(_ROUTE_BITS, 2 * n_bases)
     if avail0 >= tb:
         h = (w0 >> jnp.uint32(avail0 - tb)) & jnp.uint32((1 << tb) - 1)
     else:
@@ -165,6 +166,68 @@ def make_distributed_count(mesh, *, k: int, canonical: bool = False,
 
     shard = jax.shard_map(
         fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS if use_seq else None),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P((DATA_AXIS, SEQ_AXIS)), P((DATA_AXIS, SEQ_AXIS)),
+                   P((DATA_AXIS, SEQ_AXIS)), P()),
+        check_vma=False)
+    return jax.jit(shard)
+
+
+def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
+                            c_min: int = 80, c_max: int = 140,
+                            capacity: int | None = None,
+                            use_seq: bool | None = None):
+    """jit-compiled distributed GAPPED-chunk count step over `mesh`
+    (the reference's L+R extraction, main.rs:63-79, scaled out).
+
+    Same contract as make_distributed_count but with 108-bit 4-word
+    keys.  Sequence parallelism uses a (c_max-1)-base halo, so each seq
+    shard must be at least c_max-1 columns wide.
+    """
+    from ..ops.extract import gapped_lanes
+
+    n_bases = l_len + r_len
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+    n_dev = n_data * n_seq
+    if use_seq is None:
+        use_seq = n_seq > 1
+    axis_names = (DATA_AXIS, SEQ_AXIS)
+
+    def body(codes, lengths, limits):
+        B, L_loc = codes.shape
+        if use_seq and n_seq > 1:
+            assert L_loc >= c_max - 1, (
+                f"seq shard width {L_loc} < halo {c_max - 1}")
+            ext = halo_extend(codes, SEQ_AXIS, c_max - 1)
+            s_idx = lax.axis_index(SEQ_AXIS)
+            off = (s_idx * L_loc).astype(jnp.int32)
+            # shifted lengths/limits turn gapped_lanes' local validity
+            # (o + c <= len_shifted) into the global condition; start
+            # ownership additionally caps o < L_loc.
+            sh_len = lengths.astype(jnp.int32) - off
+            sh_lim = jnp.minimum(limits.astype(jnp.int32) - off, L_loc)
+            words, _ = gapped_lanes(ext, sh_len, l_len, r_len, c_min, c_max,
+                                    limits=sh_lim)
+        else:
+            words, _ = gapped_lanes(codes, lengths, l_len, r_len,
+                                    c_min, c_max, limits=limits)
+        s = count_ops.sort_words(words)
+        cap = capacity
+        if cap is None:
+            lanes = words[0].size // B if B else 0
+            cap = B * lanes
+        dest = _route_dest(s[0], s[1] if len(s) > 1 else None,
+                           n_bases, n_dev)
+        recv, overflow = _partition_and_route(s, dest, axis_names, n_dev, cap)
+        overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
+        s2 = count_ops.sort_words(recv)
+        is_start, counts = count_ops.run_lengths(s2)
+        return s2, is_start, counts, overflow
+
+    shard = jax.shard_map(
+        body, mesh=mesh,
         in_specs=(P(DATA_AXIS, SEQ_AXIS if use_seq else None),
                   P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P((DATA_AXIS, SEQ_AXIS)), P((DATA_AXIS, SEQ_AXIS)),

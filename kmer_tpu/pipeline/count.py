@@ -35,13 +35,17 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     return count_ops.sort_count(words)
 
 
-@partial(jax.jit, static_argnames=("c_min", "c_max"))
-def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int):
+@partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
+                                   "mask_ambiguous"))
+def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
+                     l_len: int = 27, r_len: int = 27,
+                     mask_ambiguous: bool = False):
     """One device batch of gapped L+R chunks (reference semantics,
     main.rs:63-79), counted: (sorted words, is_start, counts)."""
     from ..ops.extract import gapped_lanes
-    words, _ = gapped_lanes(codes, lengths, c_min=c_min, c_max=c_max,
-                            limits=limits)
+    words, _ = gapped_lanes(codes, lengths, l_len, r_len,
+                            c_min=c_min, c_max=c_max, limits=limits,
+                            mask_ambiguous=mask_ambiguous)
     return count_ops.sort_count(words)
 
 

@@ -25,11 +25,12 @@ from ..ops.encode import decode_key_words_to_lines
 from ..ops.extract import SENTINEL, gapped_lanes
 
 
-@partial(jax.jit, static_argnames=("c_min", "c_max"))
-def parity_step(codes, lengths, limits, *, c_min: int, c_max: int):
+@partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max"))
+def parity_step(codes, lengths, limits, *, c_min: int, c_max: int,
+                l_len: int = 27, r_len: int = 27):
     """One batch: all gapped chunk keys, sorted, sentinels last."""
-    words, _ = gapped_lanes(codes, lengths, c_min=c_min, c_max=c_max,
-                            limits=limits)
+    words, _ = gapped_lanes(codes, lengths, l_len, r_len,
+                            c_min=c_min, c_max=c_max, limits=limits)
     s = sort_words(words)
     n_valid = jnp.sum((s[0] != SENTINEL).astype(jnp.int32))
     return s, n_valid
@@ -62,7 +63,8 @@ def parity_dump(path: str, cfg: KmerConfig | None = None) -> bytes:
         out = parity_step(jnp.asarray(batch.codes),
                           jnp.asarray(batch.lengths),
                           jnp.asarray(batch.start_limits),
-                          c_min=cfg.c_min, c_max=cfg.c_max)
+                          c_min=cfg.c_min, c_max=cfg.c_max,
+                          l_len=cfg.l_len, r_len=cfg.r_len)
         if pending is not None:
             parts.append(_decode_step(pending, cfg))
         pending = out

@@ -186,7 +186,9 @@ class StreamingCounter:
             s, is_start, counts = gapped_step_sort(
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 jnp.asarray(batch.start_limits),
-                c_min=cfg.c_min, c_max=cfg.c_max)
+                c_min=cfg.c_min, c_max=cfg.c_max,
+                l_len=cfg.l_len, r_len=cfg.r_len,
+                mask_ambiguous=cfg.skip_invalid)
         else:
             from .count import count_step_sort
             s, is_start, counts = count_step_sort(

@@ -124,3 +124,41 @@ def test_halo_extend_ring():
     for s in range(7):
         np.testing.assert_array_equal(out[s, :4], flat[s])
         np.testing.assert_array_equal(out[s, 4:], flat[s + 1][:2])
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_distributed_gapped_matches_oracle(shape):
+    """The reference's gapped L+R extraction scaled over the mesh
+    (DP, and SP with a (c_max-1)-base halo)."""
+    from collections import Counter
+    rng = np.random.default_rng(7)
+    B = 8
+    # small gapped geometry so the test corpus stays tiny
+    l_len = r_len = 5
+    c_min, c_max = 12, 20
+    L = 80 * shape[1]   # per-shard width >= c_max - 1
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    fn = distributed.make_distributed_gapped(
+        m, l_len=l_len, r_len=r_len, c_min=c_min, c_max=c_max)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from(l_len + r_len, out)
+    want = Counter(oracle.oracle_gapped_lines(
+        seqs, l_len=l_len, r_len=r_len, c_min=c_min, c_max=c_max))
+    assert table.to_dict() == dict(want)
+
+
+def test_distributed_gapped_identical_across_meshes():
+    from collections import Counter
+    rng = np.random.default_rng(8)
+    B, L = 8, 160
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    tables = []
+    for shape in ((1, 1), (8, 1), (2, 2)):
+        m = mesh_lib.make_mesh(shape[0], shape[1])
+        fn = distributed.make_distributed_gapped(
+            m, l_len=4, r_len=4, c_min=10, c_max=16)
+        out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+        tables.append(_table_from(8, out))
+    for t in tables[1:]:
+        assert t == tables[0]

@@ -91,3 +91,33 @@ def test_iter_batches_padding():
     b = batches[0]
     assert b.codes.shape == (4, 16)
     assert b.lengths.tolist() == [4, 6, 0, 0]
+
+
+def test_crlf_and_lowercase(tmp_path):
+    p = tmp_path / "crlf.fasta"
+    p.write_bytes(b">r1\r\nacgt\r\nACGT\r\n>r2\r\nTTTT\r\n")
+    c1, o1 = fasta.parse_fasta_native(str(p))
+    c2, o2 = fasta.parse_fasta_numpy(str(p))
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(o1, o2)
+    assert list(o1) == [0, 8, 12]
+    from kmer_tpu.ops.encode import decode_codes
+    assert decode_codes(c1) == "ACGTACGTTTTT"
+
+
+def test_empty_record_between(tmp_path):
+    p = tmp_path / "empty.fasta"
+    p.write_text(">a\nACGT\n>empty\n>b\nGGGG\n")
+    c1, o1 = fasta.parse_fasta_native(str(p))
+    c2, o2 = fasta.parse_fasta_numpy(str(p))
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(o1, o2)
+    assert list(o1) == [0, 4, 4, 8]
+
+
+def test_no_trailing_newline(tmp_path):
+    p = tmp_path / "nonl.fasta"
+    p.write_text(">a\nACGTAC")
+    c1, o1 = fasta.parse_fasta_native(str(p))
+    assert list(o1) == [0, 6]
+    assert len(c1) == 6
