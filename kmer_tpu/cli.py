@@ -56,8 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("-k", type=int, default=21)
     ph.add_argument("--canonical", action="store_true")
 
-    pg = sub.add_parser("generate", help="seeded random FASTA to stdout")
+    pg = sub.add_parser("generate", help="seeded random FASTA/FASTQ to stdout")
     pg.add_argument("--style", choices=["reference", "reads"], default="reference")
+    pg.add_argument("--format", choices=["fasta", "fastq"], default="fasta",
+                    help="fastq implies --style reads")
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--n-records", type=int, default=200)
     pg.add_argument("--read-len", type=int, default=150)
@@ -116,8 +118,12 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "generate":
-        from .io.generator import random_reads_fasta, reference_style_fasta
-        if args.style == "reference":
+        from .io.generator import (random_reads_fasta, random_reads_fastq,
+                                   reference_style_fasta)
+        if args.format == "fastq":
+            sys.stdout.write(random_reads_fastq(args.n_records, args.read_len,
+                                                seed=args.seed))
+        elif args.style == "reference":
             sys.stdout.write(reference_style_fasta(n_records=args.n_records,
                                                    seed=args.seed))
         else:

@@ -56,6 +56,10 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_char_p, ctypes.c_int64]
+        lib.fastq_scan.restype = ctypes.c_int
+        lib.fastq_scan.argtypes = lib.fasta_scan.argtypes
+        lib.fastq_parse.restype = ctypes.c_int
+        lib.fastq_parse.argtypes = lib.fasta_parse.argtypes
         lib.fill_batch.restype = None
         lib.fill_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -77,23 +81,20 @@ _ERRCODES = {
 }
 
 
-def parse_fasta_native(path: str, allow_ambiguous: bool = False
-                       ) -> tuple[np.ndarray, np.ndarray]:
-    lib = _load_native()
-    if lib is None:
-        raise RuntimeError("native parser unavailable")
+def _parse_native_two_pass(path: str, allow_ambiguous: bool, scan, parse
+                           ) -> tuple[np.ndarray, np.ndarray]:
     err = ctypes.create_string_buffer(256)
     nrec = ctypes.c_int64(0)
     nbase = ctypes.c_int64(0)
     amb = 1 if allow_ambiguous else 0
-    rc = lib.fasta_scan(path.encode(), amb, ctypes.byref(nrec),
-                        ctypes.byref(nbase), err, 256)
+    rc = scan(path.encode(), amb, ctypes.byref(nrec),
+              ctypes.byref(nbase), err, 256)
     if rc != 0:
         msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
         raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
     codes = np.empty(max(int(nbase.value), 1), dtype=np.uint8)
     offsets = np.empty(int(nrec.value) + 1, dtype=np.int64)
-    rc = lib.fasta_parse(
+    rc = parse(
         path.encode(), amb,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), codes.size,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offsets.size,
@@ -102,6 +103,24 @@ def parse_fasta_native(path: str, allow_ambiguous: bool = False
         msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
         raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
     return codes[: int(nbase.value)], offsets
+
+
+def parse_fasta_native(path: str, allow_ambiguous: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+    return _parse_native_two_pass(path, allow_ambiguous,
+                                  lib.fasta_scan, lib.fasta_parse)
+
+
+def parse_fastq_native(path: str, allow_ambiguous: bool = False
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native parser unavailable")
+    return _parse_native_two_pass(path, allow_ambiguous,
+                                  lib.fastq_scan, lib.fastq_parse)
 
 
 def parse_fasta_numpy(path: str, allow_ambiguous: bool = False
@@ -120,12 +139,60 @@ def parse_fasta_numpy(path: str, allow_ambiguous: bool = False
     return codes, offsets
 
 
+def parse_fastq_numpy(path: str, allow_ambiguous: bool = False
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python FASTQ fallback (same contract as native)."""
+    from ..utils.oracle import read_fastq_py
+    from ..ops.encode import encode_seq
+
+    seqs = read_fastq_py(path)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if not seqs:
+        return np.empty(0, np.uint8), offsets
+    codes = np.concatenate([encode_seq(s, allow_ambiguous) for s in seqs])
+    return codes, offsets
+
+
 def parse_fasta(path: str, prefer_native: bool = True,
                 allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Parse a FASTA file into (codes, offsets); native parser preferred."""
     if prefer_native and _load_native() is not None:
         return parse_fasta_native(path, allow_ambiguous)
     return parse_fasta_numpy(path, allow_ambiguous)
+
+
+def parse_fastq(path: str, prefer_native: bool = True,
+                allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a FASTQ file into (codes, offsets); native parser preferred."""
+    if prefer_native and _load_native() is not None:
+        return parse_fastq_native(path, allow_ambiguous)
+    return parse_fastq_numpy(path, allow_ambiguous)
+
+
+def detect_format(path: str) -> str:
+    """"fasta" or "fastq" from the first non-whitespace byte.  An empty
+    (or all-whitespace) file counts as an empty FASTA."""
+    with open(path, "rb") as f:
+        head = f.read(256)
+    for b in head:
+        if b in b" \t\r\n":
+            continue
+        if b == ord(">"):
+            return "fasta"
+        if b == ord("@"):
+            return "fastq"
+        raise ValueError(f"{path}: cannot detect FASTA/FASTQ format")
+    return "fasta"
+
+
+def parse_seqs(path: str, prefer_native: bool = True,
+               allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Auto-detecting sequence-file parser (FASTA or FASTQ)."""
+    if detect_format(path) == "fastq":
+        return parse_fastq(path, prefer_native, allow_ambiguous)
+    return parse_fasta(path, prefer_native, allow_ambiguous)
 
 
 # ---------------------------------------------------------------------------

@@ -61,3 +61,19 @@ def random_codes(n_reads: int, read_len: int, seed: int = 0) -> np.ndarray:
     device-bench corpora without parse overhead."""
     rng = np.random.default_rng(seed)
     return rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
+
+
+def random_reads_fastq(n_reads: int, read_len: int, seed: int = 0) -> str:
+    """n_reads uniform-random FASTQ reads (constant 'I' quality)."""
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
+    ascii_rows = _BASES[codes]
+    qual = "I" * read_len
+    buf = _io.StringIO()
+    for i in range(n_reads):
+        buf.write(f"@read_{i:06d}\n")
+        buf.write(ascii_rows[i].tobytes().decode())
+        buf.write("\n+\n")
+        buf.write(qual)
+        buf.write("\n")
+    return buf.getvalue()

@@ -170,6 +170,131 @@ void pack_codes_u32(const uint8_t* codes, int64_t n, uint32_t* out) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// FASTQ (4-line records: @hdr / seq / + / qual).  Sequence may wrap
+// across lines; quality is consumed by LENGTH (qual bytes == seq bases),
+// never by sentinel — '@' is a legal quality character.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+enum class FqState { kHeader, kSeq, kPlus, kQual };
+
+struct FqCallbacks {
+  int64_t* nrec;
+  int64_t* nbase;
+  uint8_t* codes;      // may be null (scan pass)
+  int64_t codes_cap;
+  int64_t* offsets;    // may be null (scan pass)
+  int64_t offsets_cap;
+};
+
+int fastq_walk(const char* path, int allow_ambiguous, FqCallbacks cb,
+               char* err, int64_t errcap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
+  FqState st = FqState::kHeader;
+  int64_t nrec = 0, nbase = 0, fpos = 0, seq_len = 0, qual_seen = 0;
+  bool at_line_start = true, hdr_started = false;
+  int rc = 0;
+  static thread_local uint8_t buf[kChunk];
+  size_t got;
+  while ((got = fread(buf, 1, kChunk, f)) > 0) {
+    size_t i = 0;
+    while (i < got) {
+      uint8_t ch = buf[i];
+      if (st == FqState::kHeader) {
+        if (!hdr_started) {
+          if (ch == '\n' || ch == '\r') { ++i; ++fpos; continue; }
+          if (ch != '@') { set_err(err, errcap, "FASTQ record must start with '@'", fpos); rc = -2; goto done; }
+          hdr_started = true;
+        }
+        const void* nl = memchr(buf + i, '\n', got - i);
+        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
+        i += adv; fpos += adv;
+        if (nl) {
+          hdr_started = false;
+          if (cb.offsets) {
+            if (nrec >= cb.offsets_cap - 1) { rc = -4; goto done; }
+            cb.offsets[nrec] = nbase;
+          }
+          ++nrec; seq_len = 0; qual_seen = 0;
+          st = FqState::kSeq; at_line_start = true;
+        }
+        continue;
+      }
+      if (st == FqState::kSeq) {
+        if (at_line_start && ch == '+') { st = FqState::kPlus; continue; }
+        at_line_start = (ch == '\n');
+        uint8_t code = kLut.m[ch];
+        ++i; ++fpos;
+        if (code == 0xFE) continue;
+        if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
+        if (cb.codes) {
+          if (nbase >= cb.codes_cap) { rc = -4; goto done; }
+          cb.codes[nbase] = code;
+        }
+        ++nbase; ++seq_len;
+        continue;
+      }
+      if (st == FqState::kPlus) {
+        const void* nl = memchr(buf + i, '\n', got - i);
+        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
+        i += adv; fpos += adv;
+        if (nl) {
+          st = (seq_len == 0) ? FqState::kHeader : FqState::kQual;
+          at_line_start = true;
+        }
+        continue;
+      }
+      // kQual: consume exactly seq_len non-newline bytes
+      {
+        if (ch == '\n' || ch == '\r') { ++i; ++fpos; continue; }
+        int64_t want = seq_len - qual_seen;
+        size_t run = got - i;
+        const void* nl = memchr(buf + i, '\n', run);
+        if (nl) run = (size_t)((const uint8_t*)nl - (buf + i));
+        if ((int64_t)run > want) { set_err(err, errcap, "quality longer than sequence", fpos); rc = -2; goto done; }
+        qual_seen += (int64_t)run;
+        i += run; fpos += (int64_t)run;
+        if (qual_seen == seq_len) { st = FqState::kHeader; at_line_start = true; }
+        continue;
+      }
+    }
+  }
+done:
+  if (rc == 0 && (st != FqState::kHeader || hdr_started)) {
+    set_err(err, errcap, "truncated FASTQ record", fpos);
+    rc = -2;
+  }
+  fclose(f);
+  if (rc == 0) {
+    if (cb.offsets) cb.offsets[nrec] = nbase;
+    *cb.nrec = nrec;
+    *cb.nbase = nbase;
+  }
+  return rc;
+}
+
+}  // namespace
+
+int fastq_scan(const char* path, int allow_ambiguous,
+               int64_t* n_records, int64_t* total_bases,
+               char* err, int64_t errcap) {
+  FqCallbacks cb{n_records, total_bases, nullptr, 0, nullptr, 0};
+  return fastq_walk(path, allow_ambiguous, cb, err, errcap);
+}
+
+int fastq_parse(const char* path, int allow_ambiguous,
+                uint8_t* codes, int64_t codes_cap,
+                int64_t* offsets, int64_t offsets_cap,
+                int64_t* n_records, int64_t* total_bases,
+                char* err, int64_t errcap) {
+  FqCallbacks cb{n_records, total_bases, codes, codes_cap, offsets,
+                 offsets_cap};
+  return fastq_walk(path, allow_ambiguous, cb, err, errcap);
+}
+
 // Fill one fixed-shape device batch from parsed codes: for each span r
 // (start, end, start_limit) copy codes[start:end) into row r of the
 // zeroed (B, L) output and record its length/ownership limit.  Row

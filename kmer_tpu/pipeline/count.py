@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KmerConfig
-from ..io.fasta import iter_batches, parse_fasta
+from ..io.fasta import iter_batches, parse_seqs
 from ..ops import count as count_ops
 from ..ops.canonical import canonical_kmer_lanes
 from ..ops.extract import kmer_lanes
@@ -135,7 +135,8 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 
 
 def count_fasta(path: str, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
-    """Count k-mers of a FASTA file.  `count_fasta(p, k=21)` just works."""
+    """Count k-mers of a FASTA or FASTQ file (auto-detected).
+    `count_fasta(p, k=21)` just works."""
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    codes, offsets = parse_fasta(path, allow_ambiguous=cfg.skip_invalid)
+    codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
     return count_codes(codes, offsets, cfg)

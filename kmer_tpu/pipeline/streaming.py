@@ -33,7 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import KmerConfig
-from ..io.fasta import iter_batches, parse_fasta
+from ..io.fasta import iter_batches, parse_seqs
 from ..ops.encode import words_per_key
 from ..utils.stats import StatsLogger, Timer
 from .table import KmerTable
@@ -205,8 +205,8 @@ class StreamingCounter:
             return
         self._truncate_to_manifest()
         cfg = self.cfg
-        codes, offsets = parse_fasta(self.fasta,
-                                     allow_ambiguous=cfg.skip_invalid)
+        codes, offsets = parse_seqs(self.fasta,
+                                    allow_ambiguous=cfg.skip_invalid)
         start = self.state["pass1_next_batch"]
         n_done = 0
         for i, batch in enumerate(iter_batches(

@@ -68,6 +68,36 @@ def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False,
     return c
 
 
+def read_fastq_py(path: str) -> list[str]:
+    """Minimal FASTQ reader (oracle-side): 4-line records, sequence may
+    wrap; quality consumed by length ('@' is a legal quality char)."""
+    seqs: list[str] = []
+    with open(path, "r") as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        if not lines[i].startswith("@"):
+            raise ValueError("FASTQ record must start with '@'")
+        i += 1
+        seq = []
+        while i < len(lines) and not lines[i].startswith("+"):
+            seq.append(lines[i].strip())
+            i += 1
+        i += 1                      # the '+' line
+        s = "".join(seq)
+        q = 0
+        while i < len(lines) and q < len(s):
+            q += len(lines[i].strip())
+            i += 1
+        if q != len(s):
+            raise ValueError("truncated FASTQ record")
+        seqs.append(s)
+    return seqs
+
+
 def read_fasta_py(path: str) -> list[str]:
     """Minimal host FASTA reader (oracle-side; the framework's real
     ingest is the native parser in io/fasta.py).  Mirrors Biopython
