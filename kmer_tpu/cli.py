@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--skip-invalid", action="store_true",
                     help="accept N/IUPAC bases and drop windows containing "
                          "them (default: error, the reference's contract)")
+    pc.add_argument("--min-count", type=int, default=1,
+                    help="suppress k-mers with count below this")
+    pc.add_argument("--out-npz", default=None,
+                    help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",
                     help="streaming two-pass spill mode (checkpointable)")
     pc.add_argument("--spill-dir", default=None,
@@ -94,6 +98,10 @@ def _dispatch(args) -> int:
         from .pipeline.count import count_fasta
         with trace(args.profile_dir):
             table = count_fasta(args.fasta, cfg)
+        if args.min_count > 1:
+            table = table.filter_min_count(args.min_count)
+        if args.out_npz:
+            table.save(args.out_npz)
         table.write_tsv(sys.stdout)
         return 0
 

@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 LANES = 128              # lane (minor) dim of the on-chip chunk matrix
-DEFAULT_CHUNK = 1 << 18  # elements per VMEM-resident chunk (2 MB/word)
+# Elements per VMEM-resident chunk.  2^16 compiles within the default
+# 16 MiB scoped-vmem limit (the unrolled ~150-stage network keeps many
+# temporaries live); larger chunks (2^17-2^18, slightly faster) need
+# jax.jit(..., compiler_options={"xla_tpu_scoped_vmem_limit_kib":
+# "65536"}) — v5e has headroom beyond the conservative default.
+DEFAULT_CHUNK = 1 << 16
 _MIN_FLAT = 1024         # below this, lax.sort is fine
 
 

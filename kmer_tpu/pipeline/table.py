@@ -110,6 +110,34 @@ class KmerTable:
             self.k, np.concatenate([self.keys, other.keys], axis=0),
             np.concatenate([self.counts, other.counts]))
 
+    def filter_min_count(self, min_count: int) -> "KmerTable":
+        """Drop k-mers with count < min_count (error-kmer cutoff)."""
+        keep = self.counts >= min_count
+        return KmerTable(self.k, self.keys[keep], self.counts[keep])
+
+    def get(self, kmer: str) -> int:
+        """Count of one k-mer (0 if absent) — binary search."""
+        from ..ops.encode import encode_seq, key_words_from_codes
+        if len(kmer) != self.k:
+            raise ValueError(f"expected a {self.k}-mer, got {len(kmer)} bases")
+        key = key_words_from_codes(encode_seq(kmer))
+        v = _void_view(self.keys)
+        target = _void_view(key.reshape(1, -1))[0]
+        i = int(np.searchsorted(v, target))
+        if i < len(v) and v[i] == target:
+            return int(self.counts[i])
+        return 0
+
+    def save(self, path: str) -> None:
+        """Persist as .npz (keys/counts/k)."""
+        np.savez_compressed(path, k=np.int64(self.k), keys=self.keys,
+                            counts=self.counts)
+
+    @staticmethod
+    def load(path: str) -> "KmerTable":
+        with np.load(path) as z:
+            return KmerTable(int(z["k"]), z["keys"], z["counts"])
+
     def multiplicity_histogram(self) -> dict[int, int]:
         """{multiplicity -> number of distinct k-mers with that count}
         (the standard k-mer spectrum, cf. KMC's histogram output)."""

@@ -140,3 +140,24 @@ def test_multiplicity_histogram_and_top(tmpdir):
     counts = [c for _, c in top]
     assert counts == sorted(counts, reverse=True)
     assert all(want[km] == c for km, c in top)
+
+
+def test_table_filter_get_save_load(tmpdir):
+    path = _write(tmpdir, reference_style_fasta(n_records=4, seed=5),
+                  "ops.fasta")
+    table = count_fasta(path, KmerConfig(k=9, mode="sort", batch_reads=8,
+                                         max_read_len=512))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 9)
+    # get
+    some = next(iter(want))
+    assert table.get(some) == want[some]
+    assert table.get("A" * 9) == want.get("A" * 9, 0)
+    with pytest.raises(ValueError):
+        table.get("ACGT")
+    # filter
+    t2 = table.filter_min_count(3)
+    assert t2.to_dict() == {k: v for k, v in want.items() if v >= 3}
+    # save/load round trip
+    p = os.path.join(tmpdir, "t.npz")
+    table.save(p)
+    assert KmerTable.load(p) == table
