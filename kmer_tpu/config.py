@@ -66,9 +66,14 @@ class KmerConfig:
 
     @property
     def effective_mode(self) -> str:
+        """auto: dense only where the MXU one-hot histogram applies
+        (k <= 8) — for k = 9..12 the dense table needs an XLA
+        scatter-add, measured ~100x slower per batch than the sort
+        path, so auto prefers sort there (dense stays available
+        explicitly for users who want the 4^k table layout)."""
         if self.mode != "auto":
             return self.mode
-        return "dense" if (self.k <= 12 and not self.gapped) else "sort"
+        return "dense" if (self.k <= 8 and not self.gapped) else "sort"
 
     def replace(self, **kw) -> "KmerConfig":
         return dataclasses.replace(self, **kw)

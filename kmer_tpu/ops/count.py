@@ -45,6 +45,13 @@ def sort_words(words: list[jnp.ndarray],
         # off-TPU a forced pallas backend runs interpreted (testing)
         return sort_words_pallas(flat,
                                  interpret=jax.default_backend() != "tpu")
+    if len(flat) == 1 and jax.default_backend() == "tpu":
+        # XLA:TPU's single-operand sort takes a ~10x slower path than
+        # its variadic sort (measured: 25 ms vs 2.7 ms per 2^20 keys);
+        # a throwaway payload operand selects the fast path.
+        dummy = jnp.zeros_like(flat[0])
+        out = lax.sort((flat[0], dummy), num_keys=1)
+        return [out[0]]
     return list(lax.sort(tuple(flat), num_keys=len(flat)))
 
 
