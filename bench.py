@@ -23,7 +23,7 @@ BASELINE_KMERS_PER_SEC = 0.40e6   # BASELINE.md: oracle extract+sort rate
 
 K = 21
 CANONICAL = True
-B = 8192          # reads per batch
+B = 16384         # reads per batch (swept: 4k=241M/s, 8k=294, 16k=312, 32k=308)
 L = 150           # read length (BASELINE.json config 2 shape)
 WARMUP = 3
 ITERS = 20
