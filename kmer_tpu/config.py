@@ -26,8 +26,6 @@ class KmerConfig:
     r_len: int = 27
     c_min: int = 80
     c_max: int = 140
-    # distributed
-    mesh_shape: tuple[int, ...] = ()        # () = single device
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
     # input tolerance: accept N/IUPAC ambiguity codes in the input and
@@ -45,6 +43,8 @@ class KmerConfig:
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.mode == "dense" and self.k > 12:
             raise ValueError("dense mode requires k <= 12")
+        if self.gapped and self.mode == "dense":
+            raise ValueError("gapped mode requires sort mode")
         if self.gapped and (self.l_len < 1 or self.r_len < 1):
             raise ValueError("gapped mode needs l_len, r_len >= 1")
         if self.gapped and self.c_min < self.l_len + self.r_len:

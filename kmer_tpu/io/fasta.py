@@ -241,15 +241,17 @@ def segment_records(offsets: np.ndarray, max_len: int, overlap: int) -> np.ndarr
 
 
 def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
-                 batch_reads: int, max_len: int, overlap: int) -> Iterator[Batch]:
+                 batch_reads: int, max_len: int, overlap: int,
+                 start_batch: int = 0) -> Iterator[Batch]:
     """Yield fixed-shape batches.  The final batch is padded to full B
     with zero-length rows so every device step sees one static shape
-    (one XLA compilation)."""
+    (one XLA compilation).  `start_batch` skips the first batches
+    without building them (checkpoint resume)."""
     spans = segment_records(offsets, max_len, overlap)
     n = len(spans)
     pos = np.arange(max_len)
     top = max(len(codes) - 1, 0)
-    for i in range(0, max(n, 1), batch_reads):
+    for i in range(start_batch * batch_reads, max(n, 1), batch_reads):
         chunk = spans[i:i + batch_reads]
         m = len(chunk)
         B = batch_reads

@@ -254,6 +254,9 @@ int fastq_walk(const char* path, int allow_ambiguous, FqCallbacks cb,
         size_t run = got - i;
         const void* nl = memchr(buf + i, '\n', run);
         if (nl) run = (size_t)((const uint8_t*)nl - (buf + i));
+        // CRLF: the '\r' before the newline is not a quality byte
+        const void* cr = memchr(buf + i, '\r', run);
+        if (cr) run = (size_t)((const uint8_t*)cr - (buf + i));
         if ((int64_t)run > want) { set_err(err, errcap, "quality longer than sequence", fpos); rc = -2; goto done; }
         qual_seen += (int64_t)run;
         i += run; fpos += (int64_t)run;

@@ -104,6 +104,9 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
 
     B, L_loc = codes.shape
     if seq_axis is not None and lax.axis_size(seq_axis) > 1:
+        assert L_loc >= k - 1, (
+            f"seq shard width {L_loc} < halo {k - 1}; use fewer seq shards "
+            f"or wider batches")
         ext = halo_extend(codes, seq_axis, k - 1)
         fwd, _ = kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32), k,
                             sentinel=False)
@@ -151,6 +154,12 @@ def make_distributed_count(mesh, *, k: int, canonical: bool = False,
     n_dev = n_data * n_seq
     if use_seq is None:
         use_seq = n_seq > 1
+    if not use_seq and n_seq > 1:
+        # replicating shards over an unused seq axis would multiply
+        # every count by n_seq (each replica contributes to the merge)
+        raise ValueError(
+            f"use_seq=False on a mesh with seq={n_seq}; build the mesh "
+            f"with n_seq=1 instead")
 
     def fn(codes, lengths, limits):
         # shapes here are per-device (shard_map body)
@@ -193,6 +202,10 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
     n_dev = n_data * n_seq
     if use_seq is None:
         use_seq = n_seq > 1
+    if not use_seq and n_seq > 1:
+        raise ValueError(
+            f"use_seq=False on a mesh with seq={n_seq}; build the mesh "
+            f"with n_seq=1 instead")
     axis_names = (DATA_AXIS, SEQ_AXIS)
 
     def body(codes, lengths, limits):

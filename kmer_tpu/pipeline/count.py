@@ -75,7 +75,14 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     """
     log = stats or StatsLogger(enabled=cfg.stats)
     mode = cfg.effective_mode
+    n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
     hist = jnp.zeros((4 ** cfg.k,), jnp.int32) if mode == "dense" else None
+    # the device histogram is int32; drain it to a host int64 table
+    # before any bin could reach 2^31 (worst case: every key in a batch
+    # lands in one bin)
+    host_hist = None
+    drain_every = max(1, (2 ** 31 - 1) //
+                      max(cfg.batch_reads * cfg.max_read_len, 1))
     n_batches = 0
     total_reads = len(offsets) - 1
     pending = None          # sort mode: device outputs one batch behind
@@ -90,7 +97,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
         nonlocal parts, buffered
         if len(parts) > 1:
             merged = KmerTable.from_pairs(
-                cfg.k,
+                n_bases,
                 np.concatenate([p.keys for p in parts], axis=0),
                 np.concatenate([p.counts for p in parts]))
             parts = [merged]
@@ -100,21 +107,33 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                               max_len=cfg.max_read_len, overlap=cfg.overlap):
         with Timer() as t:
             if mode == "dense":
-                # hist is donated: accumulation stays on-device, the
-                # host never syncs until the end.
+                # hist is donated: accumulation stays on-device between
+                # drains; the host syncs only every `drain_every` batches.
                 hist = count_step_dense(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.lengths),
                                         jnp.asarray(batch.start_limits), hist,
                                         k=cfg.k, canonical=cfg.canonical,
                                         mask_ambiguous=cfg.skip_invalid)
+                if (n_batches + 1) % drain_every == 0:
+                    part = np.asarray(hist).astype(np.int64)
+                    host_hist = part if host_hist is None else host_hist + part
+                    hist = jnp.zeros((4 ** cfg.k,), jnp.int32)
             else:
-                out = count_step_sort(
-                    jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                    jnp.asarray(batch.start_limits),
-                    k=cfg.k, canonical=cfg.canonical,
-                    mask_ambiguous=cfg.skip_invalid)
+                if cfg.gapped:
+                    out = gapped_step_sort(
+                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.start_limits),
+                        c_min=cfg.c_min, c_max=cfg.c_max,
+                        l_len=cfg.l_len, r_len=cfg.r_len,
+                        mask_ambiguous=cfg.skip_invalid)
+                else:
+                    out = count_step_sort(
+                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.start_limits),
+                        k=cfg.k, canonical=cfg.canonical,
+                        mask_ambiguous=cfg.skip_invalid)
                 if pending is not None:
-                    btab = KmerTable.from_device_runs(cfg.k, *pending)
+                    btab = KmerTable.from_device_runs(n_bases, *pending)
                     parts.append(btab)
                     buffered += btab.num_distinct
                     if buffered >= FLUSH_PAIRS:
@@ -124,11 +143,14 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
         log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
                 secs=round(t.elapsed, 4))
     if pending is not None:
-        parts.append(KmerTable.from_device_runs(cfg.k, *pending))
+        parts.append(KmerTable.from_device_runs(n_bases, *pending))
     flush()
-    table = parts[0] if parts else KmerTable.empty(cfg.k)
+    table = parts[0] if parts else KmerTable.empty(n_bases)
     if mode == "dense":
-        table = KmerTable.from_dense(np.asarray(hist), cfg.k)
+        final = np.asarray(hist).astype(np.int64)
+        if host_hist is not None:
+            final = final + host_hist
+        table = KmerTable.from_dense(final, cfg.k)
     log.log("done", batches=n_batches, reads=total_reads,
             distinct=table.num_distinct, total=table.total)
     return table

@@ -133,6 +133,8 @@ class StreamingCounter:
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
             "skip_invalid": c.skip_invalid,
+            "l_len": c.l_len, "r_len": c.r_len,
+            "c_min": c.c_min, "c_max": c.c_max,
         }
 
     def _load_or_init_state(self) -> dict:
@@ -211,9 +213,8 @@ class StreamingCounter:
         n_done = 0
         for i, batch in enumerate(iter_batches(
                 codes, offsets, batch_reads=cfg.batch_reads,
-                max_len=cfg.max_read_len, overlap=cfg.overlap)):
-            if i < start:
-                continue
+                max_len=cfg.max_read_len, overlap=cfg.overlap,
+                start_batch=start), start=start):
             if max_batches is not None and n_done >= max_batches:
                 return
             with Timer() as t:

@@ -161,3 +161,33 @@ def test_table_filter_get_save_load(tmpdir):
     p = os.path.join(tmpdir, "t.npz")
     table.save(p)
     assert KmerTable.load(p) == table
+
+
+def test_count_fasta_gapped_mode(tmpdir):
+    """cfg.gapped must flow through the flagship count path (it was
+    silently ignored once): the table holds 54-base gapped chunks."""
+    from collections import Counter
+    path = _write(tmpdir, reference_style_fasta(n_records=3, seed=6),
+                  "gap.fasta")
+    cfg = KmerConfig(gapped=True, mode="sort", batch_reads=8,
+                     max_read_len=512)
+    table = count_fasta(path, cfg)
+    want = Counter(oracle.oracle_gapped_lines(oracle.read_fasta_py(path)))
+    assert table.k == 54
+    assert table.to_dict() == dict(want)
+
+
+def test_gapped_dense_rejected():
+    with pytest.raises(ValueError, match="sort"):
+        KmerConfig(gapped=True, mode="dense", k=8, max_read_len=512)
+
+
+def test_dense_drain_int64_path(tmpdir):
+    """Force drain_every=1 equivalent by tiny batch bound: results must
+    be identical to the oracle even with multiple host drains."""
+    path = _write(tmpdir, random_reads_fasta(30, 40, seed=10), "dd.fasta")
+    cfg = KmerConfig(k=4, mode="dense", batch_reads=4, max_read_len=40)
+    from kmer_tpu.pipeline import count as count_mod
+    table = count_fasta(path, cfg)
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 4)
+    assert table.to_dict() == dict(want)

@@ -162,3 +162,13 @@ def test_distributed_gapped_identical_across_meshes():
         tables.append(_table_from(8, out))
     for t in tables[1:]:
         assert t == tables[0]
+
+
+def test_use_seq_false_on_seq_mesh_rejected():
+    m = mesh_lib.make_mesh(4, 2)
+    with pytest.raises(ValueError, match="use_seq"):
+        distributed.make_distributed_count(m, k=5, use_seq=False)
+    with pytest.raises(ValueError, match="use_seq"):
+        distributed.make_distributed_gapped(m, l_len=4, r_len=4,
+                                            c_min=10, c_max=12,
+                                            use_seq=False)

@@ -80,3 +80,10 @@ def test_fastq_truncated(tmp_path):
         fasta.parse_fastq_native(str(p))
     with pytest.raises(ValueError):
         oracle.read_fastq_py(str(p))
+
+
+def test_fastq_crlf(tmp_path):
+    p = tmp_path / "crlf.fastq"
+    p.write_bytes(b"@r1\r\nACGT\r\n+\r\nIIII\r\n@r2\r\nGGGG\r\n+\r\n!!!!\r\n")
+    c, o = fasta.parse_fastq_native(str(p))
+    assert list(o) == [0, 4, 8]
