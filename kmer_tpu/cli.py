@@ -16,7 +16,8 @@ import sys
 
 
 def _add_common(p):
-    p.add_argument("fasta", help="input FASTA file")
+    p.add_argument("fasta", nargs="+",
+                   help="input FASTA/FASTQ file(s), auto-detected")
     p.add_argument("--batch-reads", type=int, default=2048)
     p.add_argument("--max-read-len", type=int, default=256)
     p.add_argument("--stats", action="store_true",
@@ -88,16 +89,18 @@ def _dispatch(args) -> int:
         if args.two_pass:
             if not args.spill_dir:
                 raise ValueError("--two-pass requires --spill-dir")
+            if len(args.fasta) != 1:
+                raise ValueError("--two-pass takes exactly one input file")
             from .pipeline.streaming import StreamingCounter
-            sc = StreamingCounter(args.fasta, cfg.replace(mode="sort"),
+            sc = StreamingCounter(args.fasta[0], cfg.replace(mode="sort"),
                                   args.spill_dir)
             with trace(args.profile_dir):
                 sc.run()
             sc.write_tsv(sys.stdout)
             return 0
-        from .pipeline.count import count_fasta
+        from .pipeline.count import count_files
         with trace(args.profile_dir):
-            table = count_fasta(args.fasta, cfg)
+            table = count_files(args.fasta, cfg)
         if args.min_count > 1:
             table = table.filter_min_count(args.min_count)
         if args.out_npz:
@@ -107,12 +110,12 @@ def _dispatch(args) -> int:
 
     if args.cmd == "histo":
         from .config import KmerConfig
-        from .pipeline.count import count_fasta
+        from .pipeline.count import count_files
         cfg = KmerConfig(k=args.k, canonical=args.canonical,
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
                          stats=args.stats)
-        table = count_fasta(args.fasta, cfg)
+        table = count_files(args.fasta, cfg)
         for mult, ndis in sorted(table.multiplicity_histogram().items()):
             sys.stdout.write(f"{mult}\t{ndis}\n")
         return 0

@@ -162,3 +162,19 @@ def count_fasta(path: str, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
     codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
     return count_codes(codes, offsets, cfg)
+
+
+def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
+    """Count k-mers across several FASTA/FASTQ files (one merged table;
+    formats may be mixed — each file is auto-detected)."""
+    cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
+    all_codes, all_offsets = [], [np.zeros(1, np.int64)]
+    base = 0
+    for p in paths:
+        codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid)
+        all_codes.append(codes)
+        all_offsets.append(offsets[1:] + base)
+        base += len(codes)
+    codes = np.concatenate(all_codes) if all_codes else np.empty(0, np.uint8)
+    offsets = np.concatenate(all_offsets)
+    return count_codes(codes, offsets, cfg)

@@ -301,6 +301,21 @@ class StreamingCounter:
         for _, t in self.partition_tables():
             t.write_tsv(stream)
 
+    def cleanup(self, keep_tables: bool = True) -> None:
+        """Delete spill files (and optionally the per-partition tables
+        + manifest) after a completed run."""
+        for p in range(self.P):
+            path = self._part_path(p)
+            if os.path.exists(path):
+                os.remove(path)
+        if not keep_tables:
+            for p in range(self.P):
+                t = self._table_path(p)
+                if os.path.exists(t):
+                    os.remove(t)
+            if os.path.exists(self.manifest_path):
+                os.remove(self.manifest_path)
+
 
 def stream_count_fasta(path: str, cfg: KmerConfig | None = None,
                        spill_dir: str = None, **cfg_kw) -> KmerTable:

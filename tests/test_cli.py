@@ -41,3 +41,18 @@ def test_cli_count_and_parity_roundtrip():
         assert p.returncode == 0, p.stderr.decode()
         from kmer_tpu.utils.oracle import oracle_gapped_sorted_dump
         assert p.stdout == oracle_gapped_sorted_dump(read_fasta_py(fa))
+
+
+def test_count_multiple_files(tmp_path, capsys):
+    from kmer_tpu.io.generator import random_reads_fasta, random_reads_fastq
+    from kmer_tpu import cli
+    p1 = tmp_path / "a.fasta"
+    p1.write_text(random_reads_fasta(10, 40, seed=1))
+    p2 = tmp_path / "b.fastq"
+    p2.write_text(random_reads_fastq(10, 40, seed=2))
+    rc = cli.main(["count", str(p1), str(p2), "-k", "7",
+                   "--batch-reads", "8", "--max-read-len", "64"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    total = sum(int(line.split("\t")[1]) for line in out.splitlines())
+    assert total == 20 * (40 - 7 + 1)
