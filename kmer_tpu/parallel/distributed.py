@@ -104,9 +104,6 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
 
     B, L_loc = codes.shape
     if seq_axis is not None and lax.axis_size(seq_axis) > 1:
-        assert L_loc >= k - 1, (
-            f"seq shard width {L_loc} < halo {k - 1}; use fewer seq shards "
-            f"or wider batches")
         ext = halo_extend(codes, seq_axis, k - 1)
         fwd, _ = kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32), k,
                             sentinel=False)
@@ -211,8 +208,6 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
     def body(codes, lengths, limits):
         B, L_loc = codes.shape
         if use_seq and n_seq > 1:
-            assert L_loc >= c_max - 1, (
-                f"seq shard width {L_loc} < halo {c_max - 1}")
             ext = halo_extend(codes, SEQ_AXIS, c_max - 1)
             s_idx = lax.axis_index(SEQ_AXIS)
             off = (s_idx * L_loc).astype(jnp.int32)

@@ -16,23 +16,35 @@ from jax import lax
 
 
 def halo_extend(codes_local: jnp.ndarray, axis_name: str, halo: int) -> jnp.ndarray:
-    """Append the next seq-shard's first `halo` columns to this shard.
+    """Append the next `halo` columns (from following seq shards) to
+    this shard.
 
-    codes_local: (B, L_loc) uint8 inside shard_map.  The last shard
-    receives wraparound garbage from shard 0 — harmless because window
-    validity is computed from global read lengths (global positions past
-    len-k are masked regardless of content).
+    codes_local: (B, L_loc) uint8 inside shard_map.  When halo > L_loc
+    the exchange runs multiple ring hops, pulling whole shards from
+    neighbors 1, 2, ... until the halo is covered — so arbitrarily
+    large window spans work on arbitrarily narrow shards.  Trailing
+    shards receive wraparound garbage — harmless because window
+    validity is computed from global read lengths (global positions
+    past len-span are masked regardless of content).
     """
     n = lax.axis_size(axis_name)
+    L_loc = codes_local.shape[1]
     if halo == 0 or n == 1:
         pad = jnp.zeros((codes_local.shape[0], halo), codes_local.dtype)
         return jnp.concatenate([codes_local, pad], axis=1) if halo else codes_local
-    left = codes_local[:, :halo]
-    # send my left edge to my LEFT neighbor (i -> i-1): I receive my right
-    # neighbor's left edge.
-    perm = [(i, (i - 1) % n) for i in range(n)]
-    recv = lax.ppermute(left, axis_name, perm)
-    return jnp.concatenate([codes_local, recv], axis=1)
+    parts = [codes_local]
+    remaining = halo
+    hop = 1
+    while remaining > 0:
+        # pull the shard `hop` positions to the right (ring): every
+        # shard sends its own block `hop` steps to the LEFT.
+        perm = [(i, (i - hop) % n) for i in range(n)]
+        recv = lax.ppermute(codes_local, axis_name, perm)
+        take = min(remaining, L_loc)
+        parts.append(recv[:, :take])
+        remaining -= take
+        hop += 1
+    return jnp.concatenate(parts, axis=1)
 
 
 def seq_shard_lane_mask(B: int, L_loc: int, lengths: jnp.ndarray,

@@ -172,3 +172,27 @@ def test_use_seq_false_on_seq_mesh_rejected():
         distributed.make_distributed_gapped(m, l_len=4, r_len=4,
                                             c_min=10, c_max=12,
                                             use_seq=False)
+
+
+def test_multi_hop_halo_narrow_shards():
+    """halo > shard width: k-1 = 20 across 16-wide seq shards needs two
+    ring hops; gapped c_max-1 = 19 across 8-wide shards needs three."""
+    from collections import Counter
+    rng = np.random.default_rng(9)
+    B, L, k = 8, 128, 21
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(1, 8)          # L_loc = 16 < k-1
+    fn = distributed.make_distributed_count(m, k=k)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from(k, out)
+    assert table.to_dict() == dict(oracle.oracle_count(seqs, k))
+
+    B2, L2 = 8, 64                         # L_loc = 8 < c_max-1 = 19
+    seqs2, codes2, lens2, lims2 = _corpus(rng, B2, L2)
+    gfn = distributed.make_distributed_gapped(m, l_len=4, r_len=4,
+                                              c_min=10, c_max=20)
+    out2 = gfn(jnp.asarray(codes2), jnp.asarray(lens2), jnp.asarray(lims2))
+    t2 = _table_from(8, out2)
+    want = Counter(oracle.oracle_gapped_lines(seqs2, l_len=4, r_len=4,
+                                              c_min=10, c_max=20))
+    assert t2.to_dict() == dict(want)
