@@ -161,3 +161,16 @@ def test_manifest_is_valid_json_at_every_step(tmpdir):
     with open(os.path.join(sp, "manifest.json")) as f:
         state = json.load(f)
     assert state["pass1_done"] and all(state["pass2_done"])
+
+
+def test_partition_count_invariance(tmpdir):
+    """The final table is identical for any spill partition count."""
+    path = _write(tmpdir, random_reads_fasta(40, 70, seed=11))
+    tables = []
+    for P in (1, 4, 32):
+        cfg = _cfg(partitions=P)
+        t = stream_count_fasta(path, cfg,
+                               spill_dir=os.path.join(tmpdir, f"sp{P}"))
+        tables.append(t)
+    assert tables[1] == tables[0]
+    assert tables[2] == tables[0]
