@@ -109,13 +109,41 @@ class StreamingCounter:
     """
 
     def __init__(self, fasta: str, cfg: KmerConfig, spill_dir: str,
-                 stats: StatsLogger | None = None):
+                 stats: StatsLogger | None = None, mesh=None):
+        """`mesh`: optional jax Mesh — pass 1 batches are then counted
+        with the multi-chip distributed step (data/seq sharding + the
+        order-preserving all_to_all merge) before spilling; the spill
+        format and resume semantics are unchanged, so a run can even be
+        resumed on a different mesh shape."""
         self.fasta = fasta
         self.cfg = cfg
         self.dir = spill_dir
         self.log = stats or StatsLogger(enabled=cfg.stats)
         self.P = cfg.partitions
         self.W = words_per_key(self._n_bases)
+        self.mesh = mesh
+        self._dist_fn = None
+        if mesh is not None:
+            from ..parallel import distributed
+            from ..parallel.mesh import DATA_AXIS
+            from ..parallel.mesh import SEQ_AXIS
+            n_data = mesh.shape[DATA_AXIS]
+            n_seq = mesh.shape.get(SEQ_AXIS, 1)
+            if cfg.batch_reads % max(n_data, 1):
+                raise ValueError(
+                    f"batch_reads={cfg.batch_reads} not divisible by mesh "
+                    f"data axis {n_data}")
+            if n_seq > 1 and cfg.max_read_len % n_seq:
+                raise ValueError(
+                    f"max_read_len={cfg.max_read_len} not divisible by "
+                    f"mesh seq axis {n_seq}")
+            if cfg.gapped:
+                self._dist_fn = distributed.make_distributed_gapped(
+                    mesh, l_len=cfg.l_len, r_len=cfg.r_len,
+                    c_min=cfg.c_min, c_max=cfg.c_max)
+            else:
+                self._dist_fn = distributed.make_distributed_count(
+                    mesh, k=cfg.k, canonical=cfg.canonical)
         os.makedirs(spill_dir, exist_ok=True)
         self.manifest_path = os.path.join(spill_dir, MANIFEST)
         self.state = self._load_or_init_state()
@@ -183,6 +211,16 @@ class StreamingCounter:
     def _batch_table(self, batch) -> KmerTable:
         import jax.numpy as jnp
         cfg = self.cfg
+        if self._dist_fn is not None:
+            s, is_start, counts, overflow = self._dist_fn(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits))
+            if bool(overflow):
+                raise RuntimeError(
+                    "distributed routing capacity overflow; raise "
+                    "capacity or rebalance the corpus")
+            return KmerTable.from_device_runs(self._n_bases, s, is_start,
+                                              counts)
         if cfg.gapped:
             from .count import gapped_step_sort
             s, is_start, counts = gapped_step_sort(

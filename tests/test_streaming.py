@@ -174,3 +174,18 @@ def test_partition_count_invariance(tmpdir):
         tables.append(t)
     assert tables[1] == tables[0]
     assert tables[2] == tables[0]
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_streaming_with_mesh_matches_single(tmpdir, shape):
+    """Multi-chip pass 1 (distributed count step feeding the spills)
+    yields the exact single-device streaming table."""
+    from kmer_tpu.parallel import mesh as mesh_lib
+    path = _write(tmpdir, random_reads_fasta(40, 64, seed=12))
+    cfg = _cfg(batch_reads=16, max_read_len=64)
+    want = stream_count_fasta(path, cfg, spill_dir=os.path.join(tmpdir, "s1"))
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    sc = StreamingCounter(path, cfg, os.path.join(tmpdir, f"sm{shape[0]}"),
+                          mesh=m)
+    sc.run()
+    assert sc.final_table() == want
