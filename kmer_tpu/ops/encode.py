@@ -116,6 +116,14 @@ def decode_key_words(words: np.ndarray, n_bases: int) -> list[str]:
     return [row.tobytes().decode() for row in ascii_arr]
 
 
+def decode_key_words_to_bytes(words: np.ndarray, n_bases: int) -> np.ndarray:
+    """Batch-decode (M, W) key words into an (M,) |S{n_bases} array."""
+    words = np.atleast_2d(np.asarray(words, dtype=np.uint32))
+    codes = codes_from_key_words(words, n_bases)
+    raw = np.ascontiguousarray(_CODE_TO_ASCII[codes]).tobytes()
+    return np.frombuffer(raw, dtype=f"S{n_bases}")
+
+
 def decode_key_words_to_lines(words: np.ndarray, n_bases: int) -> bytes:
     """Batch-decode (M, W) key words into newline-terminated ASCII bytes.
 

@@ -45,9 +45,21 @@ class KmerTable:
     def to_dict(self) -> dict[str, int]:
         return dict(self.items())
 
-    def write_tsv(self, stream) -> None:
-        for kmer, c in self.items():
-            stream.write(f"{kmer}\t{c}\n")
+    def write_tsv(self, stream, chunk: int = 1 << 20) -> None:
+        """Vectorized TSV dump (a per-row Python loop costs minutes on
+        100M-distinct tables); works on text or binary streams."""
+        from ..ops.encode import decode_key_words_to_bytes
+        binary = not hasattr(stream, "encoding")
+        for lo in range(0, self.num_distinct, chunk):
+            hi = min(lo + chunk, self.num_distinct)
+            kmers = decode_key_words_to_bytes(self.keys[lo:hi], self.k)
+            counts = np.char.mod(b"%d", self.counts[lo:hi])
+            lines = (np.char.add(np.char.add(kmers, b"\t"),
+                                 np.char.add(counts, b"\n"))
+                     .tobytes())
+            # |S columns are padded with NULs; strip them
+            lines = lines.replace(b"\x00", b"")
+            stream.write(lines if binary else lines.decode())
 
     @staticmethod
     def empty(k: int) -> "KmerTable":
