@@ -10,6 +10,16 @@ vs_baseline compares against the only measurable reference number
 at ~0.40 M chunks/s on this host's CPU (the committed Rust binary is a
 macOS Mach-O and cannot run here; the reference publishes no numbers).
 
+Measurement methodology (docs/DESIGN.md, memory/tpu-bench-methodology):
+this attachment's runtime makes naive timing lie in BOTH directions —
+`block_until_ready` does not reliably wait, results of identical
+dispatches can be served without re-execution, and fresh executables run
+slow until "promoted" after ~100 executions.  So the loop (a) chains a
+genuine data dependency from each step's counts into the next step's
+codes (no elision / no result reuse possible; XLA cannot fold it), (b)
+warms 150 forced steps first, and (c) forces completion with a host
+readback that depends on the whole chain.
+
 Extra diagnostics go to stderr; stdout carries exactly the JSON line.
 """
 
@@ -23,10 +33,10 @@ BASELINE_KMERS_PER_SEC = 0.40e6   # BASELINE.md: oracle extract+sort rate
 
 K = 21
 CANONICAL = True
-B = 16384         # reads per batch (swept: 4k=241M/s, 8k=294, 16k=312, 32k=308)
+B = 16384         # reads per batch
 L = 150           # read length (BASELINE.json config 2 shape)
-WARMUP = 3
-ITERS = 20
+WARMUP = 150      # executable-promotion warmup (forced)
+ITERS = 300
 
 
 def log(msg):
@@ -45,37 +55,41 @@ def main():
     log(f"device: {dev} backend={jax.default_backend()}")
 
     rng = np.random.default_rng(0)
-    n_batches = 4
-    batches = []
-    for i in range(n_batches):
-        codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
-        lengths = jnp.full((B,), L, jnp.int32)
-        limits = jnp.full((B,), L, jnp.int32)
-        batches.append((codes, lengths, limits))
-    jax.block_until_ready(batches)
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    lengths = jnp.full((B,), L, jnp.int32)
+    limits = jnp.full((B,), L, jnp.int32)
 
-    kmers_per_batch = B * (L - K + 1)
+    @jax.jit
+    def step_chained(codes):
+        s, is_start, counts = count_step_sort(codes, lengths, limits,
+                                              k=K, canonical=CANONICAL)
+        # feed data-dependent bits back into the batch: the count step
+        # can never be elided and every iteration sorts fresh data
+        inj = (counts[:L] % 4).astype(jnp.uint8)
+        return codes.at[0, :].set(inj)
 
-    def step(i):
-        c, le, li = batches[i % n_batches]
-        return count_step_sort(c, le, li, k=K, canonical=CANONICAL)
+    kmers_per_step = B * (L - K + 1)
 
     t0 = time.perf_counter()
-    jax.block_until_ready(step(0))
+    c = step_chained(codes)
+    _ = np.asarray(c[0, :8])
     log(f"first step (incl. compile): {time.perf_counter() - t0:.2f}s")
 
-    for i in range(WARMUP):
-        jax.block_until_ready(step(i))
+    t0 = time.perf_counter()
+    for _ in range(WARMUP):
+        c = step_chained(c)
+    _ = np.asarray(c[0, :8])
+    log(f"warmup {WARMUP} steps: {time.perf_counter() - t0:.2f}s")
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = step(i)
-    jax.block_until_ready(out)
+    for _ in range(ITERS):
+        c = step_chained(c)
+    _ = np.asarray(c[0, :8])      # depends on the whole chain
     dt = time.perf_counter() - t0
 
-    kmers_per_sec = kmers_per_batch * ITERS / dt
-    log(f"{ITERS} steps x {kmers_per_batch} kmers in {dt:.3f}s "
-        f"({dt / ITERS * 1e3:.1f} ms/step)")
+    kmers_per_sec = kmers_per_step * ITERS / dt
+    log(f"{ITERS} chained steps x {kmers_per_step} kmers in {dt:.3f}s "
+        f"({dt / ITERS * 1e3:.2f} ms/step)")
 
     from kmer_tpu.ops.encode import words_per_key
     from kmer_tpu.utils.profiling import Roofline
