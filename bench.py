@@ -59,10 +59,15 @@ def main():
     lengths = jnp.full((B,), L, jnp.int32)
     limits = jnp.full((B,), L, jnp.int32)
 
+    from kmer_tpu.config import KmerConfig
+    groups = KmerConfig(k=K).sort_groups_for(B, L - K + 1)
+    log(f"sort groups: {groups} (~{B * (L - K + 1) // groups} keys each)")
+
     @jax.jit
     def step_chained(codes):
         s, is_start, counts = count_step_sort(codes, lengths, limits,
-                                              k=K, canonical=CANONICAL)
+                                              k=K, canonical=CANONICAL,
+                                              sort_groups=groups)
         # feed data-dependent bits back into the batch: the count step
         # can never be elided and every iteration sorts fresh data
         inj = (counts[:L] % 4).astype(jnp.uint8)

@@ -26,6 +26,12 @@ class KmerConfig:
     r_len: int = 27
     c_min: int = 80
     c_max: int = 140
+    # sort-mode grouping: target keys per independent device sort slice
+    # (the sort is O(n log^2 n): 2^12-key groups measured ~4x the flat
+    # sort's throughput on v5e).  Equal keys may then span groups, which
+    # the host aggregation absorbs; 0 = one global sort per batch
+    # (required by paths that rely on globally sorted device output).
+    sort_group_keys: int = 4096
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
     # input tolerance: accept N/IUPAC ambiguity codes in the input and
@@ -63,6 +69,18 @@ class KmerConfig:
     def overlap(self) -> int:
         """Host-side segment overlap so split reads lose no windows."""
         return self.window_span - 1
+
+    def sort_groups_for(self, n_rows: int, lanes_per_row: int) -> int:
+        """Number of independent sort slices for a batch of n_rows
+        (must divide n_rows; power-of-two rows give full freedom)."""
+        if self.sort_group_keys <= 0:
+            return 1
+        n_keys = n_rows * lanes_per_row
+        g = 1
+        while (g * 2 <= n_rows and n_rows % (g * 2) == 0
+               and n_keys // (g * 2) >= self.sort_group_keys):
+            g *= 2
+        return g
 
     @property
     def effective_mode(self) -> str:

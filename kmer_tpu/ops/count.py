@@ -55,6 +55,28 @@ def sort_words(words: list[jnp.ndarray],
     return list(lax.sort(tuple(flat), num_keys=len(flat)))
 
 
+def sort_words_grouped(words: list[jnp.ndarray], groups: int
+                       ) -> list[jnp.ndarray]:
+    """Sort W-word keys within `groups` independent equal slices of the
+    flattened key stream (lax.sort over a batch dimension).
+
+    Why: the sort is O(n log^2 n), so g sorts of n/g keys beat one sort
+    of n — measured on v5e: 2^21 keys flat = 477 M keys/s, in 2^13-key
+    groups = 1.7 B keys/s.  The output is only group-locally sorted;
+    equal keys may repeat across groups, so callers must aggregate with
+    KmerTable.from_pairs (run_lengths itself stays correct: group
+    boundaries either start a new run naturally or legitimately merge
+    equal adjacent runs, and sentinel tails sort to each group's end).
+    """
+    flat = [w.reshape(-1) for w in words]
+    n = flat[0].shape[0]
+    assert n % groups == 0, (n, groups)
+    m = n // groups
+    shaped = tuple(f.reshape(groups, m) for f in flat)
+    out = lax.sort(shaped, num_keys=len(shaped), dimension=1)
+    return [o.reshape(-1) for o in out]
+
+
 def run_lengths(sorted_words: list[jnp.ndarray]):
     """Run boundaries + multiplicities of a sorted key stream.
 

@@ -22,16 +22,27 @@ from ..utils.stats import StatsLogger, Timer
 from .table import KmerTable
 
 
-@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous"))
+@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
+                                   "sort_groups"))
 def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
-                    mask_ambiguous: bool = False):
-    """One device batch, sort mode: (sorted words, is_start, counts)."""
+                    mask_ambiguous: bool = False, sort_groups: int = 1):
+    """One device batch, sort mode: (sorted words, is_start, counts).
+
+    sort_groups > 1 sorts the key stream in independent slices (a large
+    measured win, ops/count.sort_words_grouped) — the output may then
+    contain the same key in several runs, which the host merge
+    aggregates (KmerTable.from_pairs).
+    """
     if canonical:
         words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                         mask_ambiguous=mask_ambiguous)
     else:
         words, _ = kmer_lanes(codes, lengths, k, limits=limits,
                               mask_ambiguous=mask_ambiguous)
+    if sort_groups > 1:
+        s = count_ops.sort_words_grouped(words, sort_groups)
+        is_start, counts = count_ops.run_lengths(s)
+        return s, is_start, counts
     return count_ops.sort_count(words)
 
 
@@ -93,9 +104,14 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     buffered = 0
     FLUSH_PAIRS = 8 << 20
 
-    def flush() -> None:
+    # grouped sorting leaves per-batch tables group-locally sorted with
+    # possible duplicate keys, so even a single part must be aggregated
+    grouped = (mode == "sort" and not cfg.gapped
+               and cfg.sort_group_keys > 0)
+
+    def flush(final: bool = False) -> None:
         nonlocal parts, buffered
-        if len(parts) > 1:
+        if len(parts) > 1 or (final and grouped and parts):
             merged = KmerTable.from_pairs(
                 n_bases,
                 np.concatenate([p.keys for p in parts], axis=0),
@@ -127,11 +143,13 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                         l_len=cfg.l_len, r_len=cfg.r_len,
                         mask_ambiguous=cfg.skip_invalid)
                 else:
+                    B, Lw = batch.codes.shape
                     out = count_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         k=cfg.k, canonical=cfg.canonical,
-                        mask_ambiguous=cfg.skip_invalid)
+                        mask_ambiguous=cfg.skip_invalid,
+                        sort_groups=cfg.sort_groups_for(B, Lw - cfg.k + 1))
                 if pending is not None:
                     btab = KmerTable.from_device_runs(n_bases, *pending)
                     parts.append(btab)
@@ -144,7 +162,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 secs=round(t.elapsed, 4))
     if pending is not None:
         parts.append(KmerTable.from_device_runs(n_bases, *pending))
-    flush()
+    flush(final=True)
     table = parts[0] if parts else KmerTable.empty(n_bases)
     if mode == "dense":
         final = np.asarray(hist).astype(np.int64)

@@ -191,3 +191,36 @@ def test_dense_drain_int64_path(tmpdir):
     table = count_fasta(path, cfg)
     want = oracle.oracle_count(oracle.read_fasta_py(path), 4)
     assert table.to_dict() == dict(want)
+
+
+@pytest.mark.parametrize("group_keys", [16, 64, 1024])
+def test_grouped_sort_count_matches_oracle(tmpdir, group_keys):
+    """Group-local sorting (device fast path) must yield the same table
+    as the global sort after host aggregation."""
+    path = _write(tmpdir, reference_style_fasta(n_records=5, seed=13),
+                  f"grp{group_keys}.fasta")
+    cfg = KmerConfig(k=15, mode="sort", batch_reads=16, max_read_len=512,
+                     sort_group_keys=group_keys)
+    table = count_fasta(path, cfg)
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 15)
+    assert table.to_dict() == dict(want)
+    # invariants of the aggregated table
+    assert table.num_distinct == len(want)
+    ref = count_fasta(path, cfg.replace(sort_group_keys=0))
+    assert table == ref
+
+
+def test_grouped_single_batch_aggregated(tmpdir):
+    """One batch + grouping: duplicates across groups must still be
+    merged into a sorted unique table."""
+    path = _write(tmpdir, reference_style_fasta(n_records=2, seed=14),
+                  "grp1b.fasta")
+    cfg = KmerConfig(k=9, mode="sort", batch_reads=64, max_read_len=512,
+                     sort_group_keys=8)
+    table = count_fasta(path, cfg)
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 9)
+    assert table.to_dict() == dict(want)
+    import numpy as np
+    v = table.keys.astype(np.uint64)
+    flat = (v[:, 0] << np.uint64(32)) | v[:, 1] if v.shape[1] == 2 else v[:, 0]
+    assert (np.diff(flat.astype(np.int64)) > 0).all()  # strictly sorted unique
