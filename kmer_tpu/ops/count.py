@@ -74,7 +74,26 @@ def sort_words_grouped(words: list[jnp.ndarray], groups: int
     m = n // groups
     shaped = tuple(f.reshape(groups, m) for f in flat)
     out = lax.sort(shaped, num_keys=len(shaped), dimension=1)
-    return [o.reshape(-1) for o in out]
+    return list(out)           # (G, m) shaped; flatten at the caller
+
+
+def run_lengths_grouped(sorted_2d: list[jnp.ndarray]):
+    """run_lengths over (G, m) group-locally sorted words: scans run
+    along axis 1 (depth m instead of n — much better VPU shape), runs
+    never span groups.  Returns flat (G*m,) is_start / counts."""
+    G, m = sorted_2d[0].shape
+    neq = jnp.zeros((G, m), bool).at[:, 0].set(True)
+    for w in sorted_2d:
+        neq = neq | (jnp.roll(w, 1, axis=1) != w).at[:, 0].set(True)
+    is_start = neq
+    idx = lax.broadcasted_iota(jnp.int32, (G, m), 1)
+    start_pos = jnp.where(is_start, idx, m)
+    suffix_min = lax.cummin(start_pos, axis=1, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((G, 1), m, jnp.int32)], axis=1)
+    valid = sorted_2d[0] != SENTINEL
+    counts = jnp.where(is_start & valid, next_start - idx, 0)
+    return is_start.reshape(-1), counts.reshape(-1)
 
 
 def run_lengths(sorted_words: list[jnp.ndarray]):

@@ -40,9 +40,9 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
         words, _ = kmer_lanes(codes, lengths, k, limits=limits,
                               mask_ambiguous=mask_ambiguous)
     if sort_groups > 1:
-        s = count_ops.sort_words_grouped(words, sort_groups)
-        is_start, counts = count_ops.run_lengths(s)
-        return s, is_start, counts
+        s2d = count_ops.sort_words_grouped(words, sort_groups)
+        is_start, counts = count_ops.run_lengths_grouped(s2d)
+        return [w.reshape(-1) for w in s2d], is_start, counts
     return count_ops.sort_count(words)
 
 
