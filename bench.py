@@ -59,8 +59,11 @@ def main():
     lengths = jnp.full((B,), L, jnp.int32)
     limits = jnp.full((B,), L, jnp.int32)
 
+    import os
     from kmer_tpu.config import KmerConfig
-    groups = KmerConfig(k=K).sort_groups_for(B, L - K + 1)
+    gk = int(os.environ.get("KMER_TPU_BENCH_GROUP_KEYS", "0")) or None
+    cfg = KmerConfig(k=K, **({"sort_group_keys": gk} if gk else {}))
+    groups = cfg.sort_groups_for(B, L - K + 1)
     log(f"sort groups: {groups} (~{B * (L - K + 1) // groups} keys each)")
 
     @jax.jit

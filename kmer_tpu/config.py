@@ -27,11 +27,12 @@ class KmerConfig:
     c_min: int = 80
     c_max: int = 140
     # sort-mode grouping: target keys per independent device sort slice
-    # (the sort is O(n log^2 n): 2^12-key groups measured ~4x the flat
-    # sort's throughput on v5e).  Equal keys may then span groups, which
-    # the host aggregation absorbs; 0 = one global sort per batch
-    # (required by paths that rely on globally sorted device output).
-    sort_group_keys: int = 4096
+    # (the sort is O(n log^2 n): ~2k-key groups measured ~5x the flat
+    # sort's step throughput on v5e).  Equal keys may then span groups,
+    # which the host aggregation absorbs — smaller groups trade device
+    # speed against on-device dedup for repetitive corpora; 0 = one
+    # global sort per batch (globally sorted device output).
+    sort_group_keys: int = 2048
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
     # input tolerance: accept N/IUPAC ambiguity codes in the input and
