@@ -96,7 +96,15 @@ def _dispatch(args) -> int:
                                   args.spill_dir)
             with trace(args.profile_dir):
                 sc.run()
-            sc.write_tsv(sys.stdout)
+            if args.min_count > 1 or args.out_npz:
+                table = sc.final_table()
+                if args.min_count > 1:
+                    table = table.filter_min_count(args.min_count)
+                if args.out_npz:
+                    table.save(args.out_npz)
+                table.write_tsv(sys.stdout)
+            else:
+                sc.write_tsv(sys.stdout)
             return 0
         from .pipeline.count import count_files
         with trace(args.profile_dir):

@@ -278,9 +278,10 @@ def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
             if m:
                 lens[:m] = (chunk[:, 1] - chunk[:, 0]).astype(np.int32)
                 lims[:m] = chunk[:, 2].astype(np.int32)
+                cc = codes if codes.size else np.zeros(1, np.uint8)
                 idx = np.minimum(chunk[:, 0:1] + pos[None, :], top)
                 valid = pos[None, :] < lens[:m, None]
-                out[:m] = np.where(valid, codes[idx], 0)
+                out[:m] = np.where(valid, cc[idx], 0)
         yield Batch(out, lens, lims)
         if n == 0:
             break

@@ -140,15 +140,16 @@ def dense_histogram(word: jnp.ndarray, valid: jnp.ndarray, k: int,
     `word` is the single-word key (B, P) or flat; invalid lanes add 0.
     Pass `hist` to accumulate across batches (donate it under jit).
 
-    Backends: "mxu" = Pallas one-hot matmul histogram (k <= 8, the TPU
-    fast path — XLA scatter-add serializes); "xla" = scatter-add;
-    "auto" picks mxu on TPU when eligible.
+    Backends: "mxu" (alias "pallas") = Pallas one-hot matmul histogram
+    (k <= 8, the TPU fast path — XLA scatter-add serializes); "xla" =
+    scatter-add; "auto" (default, or env KMER_TPU_DENSE) picks mxu on
+    TPU when eligible.
     """
     assert k <= DENSE_K_MAX, f"dense mode needs k <= {DENSE_K_MAX}"
-    backend = backend or _SORT_BACKEND
+    backend = backend or os.environ.get("KMER_TPU_DENSE", "auto")
     from .pallas.histogram import DENSE_MXU_K_MAX
     use_mxu = k <= DENSE_MXU_K_MAX and word.size < (1 << 24) and (
-        backend == "pallas" or
+        backend in ("mxu", "pallas") or
         (backend == "auto" and jax.default_backend() == "tpu"))
     if use_mxu:
         from .pallas.histogram import dense_histogram_mxu

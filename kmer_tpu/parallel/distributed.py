@@ -87,7 +87,8 @@ def _partition_and_route(sorted_words: list[jnp.ndarray], dest: jnp.ndarray,
 
 def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
                            capacity: int, axis_names=(DATA_AXIS, SEQ_AXIS),
-                           seq_axis: str | None = SEQ_AXIS):
+                           seq_axis: str | None = SEQ_AXIS,
+                           mask_ambiguous: bool = False):
     """shard_map body: local shapes in, per-owner sorted runs out.
 
     codes:   (B_loc, L_loc) — rows sharded over "data", columns over "seq"
@@ -105,10 +106,12 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
     B, L_loc = codes.shape
     if seq_axis is not None and lax.axis_size(seq_axis) > 1:
         ext = halo_extend(codes, seq_axis, k - 1)
-        fwd, _ = kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32), k,
-                            sentinel=False)
+        fwd, fval = kmer_lanes(ext, jnp.full((B,), ext.shape[1], jnp.int32), k,
+                               sentinel=False, mask_ambiguous=mask_ambiguous)
         fwd = [w[:, :L_loc] for w in fwd]
         valid = seq_shard_lane_mask(B, L_loc, lengths, seq_axis, k)
+        if mask_ambiguous:
+            valid = valid & fval[:, :L_loc]
         s_idx = lax.axis_index(seq_axis)
         pos = lax.broadcasted_iota(jnp.int32, (B, L_loc), 1) + s_idx * L_loc
         valid = valid & (pos < limits.astype(jnp.int32)[:, None])
@@ -122,9 +125,11 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
         words = [jnp.where(valid, w, SENTINEL) for w in words]
     else:
         if canonical:
-            words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+            words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits,
+                                            mask_ambiguous=mask_ambiguous)
         else:
-            words, _ = kmer_lanes(codes, lengths, k, limits=limits)
+            words, _ = kmer_lanes(codes, lengths, k, limits=limits,
+                                  mask_ambiguous=mask_ambiguous)
 
     s = count_ops.sort_words(words)
     dest = _route_dest(s[0], s[1] if len(s) > 1 else None, k, n_dev)
@@ -138,7 +143,8 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
 
 def make_distributed_count(mesh, *, k: int, canonical: bool = False,
                            capacity: int | None = None,
-                           use_seq: bool | None = None):
+                           use_seq: bool | None = None,
+                           mask_ambiguous: bool = False):
     """jit-compiled distributed count step over `mesh`.
 
     Returns fn(codes, lengths, limits) -> (sorted_words, is_start,
@@ -168,7 +174,8 @@ def make_distributed_count(mesh, *, k: int, canonical: bool = False,
         return count_step_distributed(
             codes, lengths, limits, k=k, canonical=canonical, capacity=cap,
             axis_names=(DATA_AXIS, SEQ_AXIS),
-            seq_axis=SEQ_AXIS if use_seq else None)
+            seq_axis=SEQ_AXIS if use_seq else None,
+            mask_ambiguous=mask_ambiguous)
 
     shard = jax.shard_map(
         fn, mesh=mesh,
@@ -183,7 +190,8 @@ def make_distributed_count(mesh, *, k: int, canonical: bool = False,
 def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
                             c_min: int = 80, c_max: int = 140,
                             capacity: int | None = None,
-                            use_seq: bool | None = None):
+                            use_seq: bool | None = None,
+                            mask_ambiguous: bool = False):
     """jit-compiled distributed GAPPED-chunk count step over `mesh`
     (the reference's L+R extraction, main.rs:63-79, scaled out).
 
@@ -217,10 +225,12 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
             sh_len = lengths.astype(jnp.int32) - off
             sh_lim = jnp.minimum(limits.astype(jnp.int32) - off, L_loc)
             words, _ = gapped_lanes(ext, sh_len, l_len, r_len, c_min, c_max,
-                                    limits=sh_lim)
+                                    limits=sh_lim,
+                                    mask_ambiguous=mask_ambiguous)
         else:
             words, _ = gapped_lanes(codes, lengths, l_len, r_len,
-                                    c_min, c_max, limits=limits)
+                                    c_min, c_max, limits=limits,
+                                    mask_ambiguous=mask_ambiguous)
         s = count_ops.sort_words(words)
         cap = capacity
         if cap is None:

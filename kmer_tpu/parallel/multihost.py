@@ -30,18 +30,27 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Join the multi-host process group (no-op for a single process).
 
-    Arguments default to JAX's standard env autodetection
-    (COORDINATOR_ADDRESS etc. / TPU metadata); explicit values win.
+    Arguments default to JAX's standard autodetection (COORDINATOR_ADDRESS
+    env / TPU pod metadata); explicit values win.  Must run before any
+    JAX computation — this function never touches the backend itself
+    (calling e.g. jax.process_count() here would initialize it and make
+    jax.distributed.initialize impossible).
     """
     import jax
-    if num_processes == 1 or (
-            num_processes is None and coordinator_address is None
-            and "COORDINATOR_ADDRESS" not in os.environ
-            and jax.process_count() == 1):
+    if num_processes == 1:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None
+                or "COORDINATOR_ADDRESS" in os.environ)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        if explicit:
+            raise
+        # zero-config on a non-pod host: single-process run, nothing to
+        # join — autodetection having nothing to find is not an error
 
 
 def host_record_range(n_records: int, process_id: int | None = None,

@@ -140,10 +140,12 @@ class StreamingCounter:
             if cfg.gapped:
                 self._dist_fn = distributed.make_distributed_gapped(
                     mesh, l_len=cfg.l_len, r_len=cfg.r_len,
-                    c_min=cfg.c_min, c_max=cfg.c_max)
+                    c_min=cfg.c_min, c_max=cfg.c_max,
+                    mask_ambiguous=cfg.skip_invalid)
             else:
                 self._dist_fn = distributed.make_distributed_count(
-                    mesh, k=cfg.k, canonical=cfg.canonical)
+                    mesh, k=cfg.k, canonical=cfg.canonical,
+                    mask_ambiguous=cfg.skip_invalid)
         os.makedirs(spill_dir, exist_ok=True)
         self.manifest_path = os.path.join(spill_dir, MANIFEST)
         self.state = self._load_or_init_state()

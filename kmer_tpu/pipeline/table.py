@@ -127,11 +127,17 @@ class KmerTable:
         keep = self.counts >= min_count
         return KmerTable(self.k, self.keys[keep], self.counts[keep])
 
-    def get(self, kmer: str) -> int:
-        """Count of one k-mer (0 if absent) — binary search."""
-        from ..ops.encode import encode_seq, key_words_from_codes
+    def get(self, kmer: str, canonical: bool = False) -> int:
+        """Count of one k-mer (0 if absent) — binary search.
+
+        Pass canonical=True when the table was built with canonical
+        counting: the query is then mapped to min(kmer, revcomp) first
+        (the table itself stores only canonical forms)."""
+        from ..ops.encode import encode_seq, key_words_from_codes, revcomp_str
         if len(kmer) != self.k:
             raise ValueError(f"expected a {self.k}-mer, got {len(kmer)} bases")
+        if canonical:
+            kmer = min(kmer, revcomp_str(kmer))
         key = key_words_from_codes(encode_seq(kmer))
         v = _void_view(self.keys)
         target = _void_view(key.reshape(1, -1))[0]

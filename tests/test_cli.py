@@ -56,3 +56,35 @@ def test_count_multiple_files(tmp_path, capsys):
     out = capsys.readouterr().out
     total = sum(int(line.split("\t")[1]) for line in out.splitlines())
     assert total == 20 * (40 - 7 + 1)
+
+
+def test_two_pass_min_count_and_npz(tmp_path, capsys):
+    from kmer_tpu.io.generator import reference_style_fasta
+    from kmer_tpu import cli, KmerTable
+    p = tmp_path / "a.fasta"
+    p.write_text(reference_style_fasta(n_records=4, seed=3))
+    npz = tmp_path / "t.npz"
+    rc = cli.main(["count", str(p), "-k", "9", "--batch-reads", "8",
+                   "--max-read-len", "512", "--two-pass",
+                   "--spill-dir", str(tmp_path / "sp"),
+                   "--min-count", "3", "--out-npz", str(npz)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert all(int(l.split("\t")[1]) >= 3 for l in out.splitlines())
+    assert npz.exists()
+    t = KmerTable.load(str(npz))
+    assert all(c >= 3 for c in t.counts)
+
+
+def test_get_canonical(tmp_path):
+    from kmer_tpu import count_fasta, KmerConfig
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.ops.encode import revcomp_str
+    p = tmp_path / "c.fasta"
+    p.write_text(random_reads_fasta(10, 50, seed=4))
+    t = count_fasta(str(p), KmerConfig(k=11, canonical=True, batch_reads=8,
+                                       max_read_len=64))
+    km = t.kmers()[0]
+    rc = revcomp_str(km)
+    assert t.get(km, canonical=True) == t.counts[0]
+    assert t.get(rc, canonical=True) == t.counts[0]

@@ -121,3 +121,20 @@ def test_no_trailing_newline(tmp_path):
     c1, o1 = fasta.parse_fasta_native(str(p))
     assert list(o1) == [0, 6]
     assert len(c1) == 6
+
+
+def test_numpy_fallback_empty_records(tmp_path):
+    p = tmp_path / "e.fasta"
+    p.write_text(">a\n>b\n")
+    codes, offsets = fasta.parse_fasta_numpy(str(p))
+    batches = list(fasta.iter_batches(codes, offsets, batch_reads=4,
+                                      max_len=16, overlap=3))
+    # force the numpy branch
+    saved, fasta._lib, fasta._lib_failed = fasta._lib, None, True
+    try:
+        b2 = list(fasta.iter_batches(codes, offsets, batch_reads=4,
+                                     max_len=16, overlap=3))
+    finally:
+        fasta._lib, fasta._lib_failed = saved, False
+    assert (b2[0].lengths == 0).all()
+    np.testing.assert_array_equal(batches[0].codes, b2[0].codes)

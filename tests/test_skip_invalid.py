@@ -97,3 +97,46 @@ def test_skip_invalid_across_segment_seams(tmpdir):
     table = count_fasta(p, cfg)
     want = oracle.oracle_count([seq], 9, skip_invalid=True)
     assert table.to_dict() == dict(want)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_skip_invalid_distributed(shape):
+    """skip_invalid must flow through the mesh path (it was silently
+    dropped once: N encoded as 'A' and counted)."""
+    import jax.numpy as jnp
+    from kmer_tpu.ops.encode import encode_seq
+    from kmer_tpu.parallel import distributed, mesh as mesh_lib
+    rng = np.random.default_rng(0)
+    B, L, k = 8, 64, 9
+    seqs = []
+    for _ in range(B):
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        pos = int(rng.integers(0, L))
+        s = s[:pos] + "N" + s[pos + 1:]
+        seqs.append(s)
+    codes = np.stack([encode_seq(s, allow_ambiguous=True) for s in seqs])
+    lens = np.full((B,), L, np.int32)
+    lims = np.full((B,), L, np.int32)
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    fn = distributed.make_distributed_count(m, k=k, mask_ambiguous=True)
+    from kmer_tpu import KmerTable
+    s_, st, cnt, ov = fn(jnp.asarray(codes), jnp.asarray(lens),
+                         jnp.asarray(lims))
+    assert not bool(ov)
+    table = KmerTable.from_device_runs(k, s_, st, cnt)
+    want = oracle.oracle_count(seqs, k, skip_invalid=True)
+    assert table.to_dict() == dict(want)
+
+
+def test_skip_invalid_streaming_with_mesh(tmpdir):
+    from kmer_tpu.parallel import mesh as mesh_lib
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    path = _write(tmpdir, FASTA_N * 3)
+    cfg = KmerConfig(k=7, mode="sort", batch_reads=8, max_read_len=32,
+                     partitions=4, skip_invalid=True)
+    m = mesh_lib.make_mesh(8, 1)
+    sc = StreamingCounter(path, cfg, os.path.join(tmpdir, "spm"), mesh=m)
+    sc.run()
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 7,
+                               skip_invalid=True)
+    assert sc.final_table().to_dict() == dict(want)
