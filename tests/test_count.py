@@ -224,3 +224,14 @@ def test_grouped_single_batch_aggregated(tmpdir):
     v = table.keys.astype(np.uint64)
     flat = (v[:, 0] << np.uint64(32)) | v[:, 1] if v.shape[1] == 2 else v[:, 0]
     assert (np.diff(flat.astype(np.int64)) > 0).all()  # strictly sorted unique
+
+
+@pytest.mark.parametrize("k", [33, 41, 63])
+def test_large_k_multiword(tmpdir, k):
+    """W=3..4-word keys (k > 32) through the full pipeline."""
+    path = _write(tmpdir, random_reads_fasta(20, 80, seed=k), f"lk{k}.fasta")
+    table = count_fasta(path, KmerConfig(k=k, canonical=(k == 41),
+                                         batch_reads=8, max_read_len=80))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), k,
+                               canonical=(k == 41))
+    assert table.to_dict() == dict(want)
