@@ -33,7 +33,7 @@ BASELINE_KMERS_PER_SEC = 0.40e6   # BASELINE.md: oracle extract+sort rate
 
 K = 21
 CANONICAL = True
-B = 16384         # reads per batch
+B = 32768         # reads per batch (grouped sort keeps per-key cost flat; 32k amortizes best)
 L = 150           # read length (BASELINE.json config 2 shape)
 WARMUP = 150      # executable-promotion warmup (forced)
 ITERS = 300
