@@ -259,7 +259,8 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
 # ---------------------------------------------------------------------------
 
 def make_distributed_dense(mesh, *, k: int, canonical: bool = False,
-                           scatter: bool = False):
+                           scatter: bool = False,
+                           mask_ambiguous: bool = False):
     """jit-compiled dense 4^k distributed count over `mesh` ("data" only).
 
     scatter=False: full histogram replicated on every device (psum).
@@ -268,9 +269,12 @@ def make_distributed_dense(mesh, *, k: int, canonical: bool = False,
     """
     def fn(codes, lengths, limits):
         if canonical:
-            words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+            words, valid = canonical_kmer_lanes(
+                codes, lengths, k, limits=limits,
+                mask_ambiguous=mask_ambiguous)
         else:
-            words, valid = kmer_lanes(codes, lengths, k, limits=limits)
+            words, valid = kmer_lanes(codes, lengths, k, limits=limits,
+                                      mask_ambiguous=mask_ambiguous)
         hist = count_ops.dense_histogram(words[-1], valid, k)
         if scatter:
             return lax.psum_scatter(hist, DATA_AXIS, tiled=True)

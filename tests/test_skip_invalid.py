@@ -140,3 +140,27 @@ def test_skip_invalid_streaming_with_mesh(tmpdir):
     want = oracle.oracle_count(oracle.read_fasta_py(path), 7,
                                skip_invalid=True)
     assert sc.final_table().to_dict() == dict(want)
+
+
+def test_skip_invalid_dense_distributed():
+    import jax.numpy as jnp
+    from kmer_tpu import KmerTable
+    from kmer_tpu.ops.encode import encode_seq
+    from kmer_tpu.parallel import distributed, mesh as mesh_lib
+    rng = np.random.default_rng(1)
+    B, L, k = 8, 48, 6
+    seqs = []
+    for _ in range(B):
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        s = s[:10] + "N" + s[11:]
+        seqs.append(s)
+    codes = np.stack([encode_seq(s, allow_ambiguous=True) for s in seqs])
+    lens = np.full((B,), L, np.int32)
+    lims = np.full((B,), L, np.int32)
+    m = mesh_lib.make_mesh(8, 1)
+    fn = distributed.make_distributed_dense(m, k=k, mask_ambiguous=True)
+    hist = np.asarray(fn(jnp.asarray(codes), jnp.asarray(lens),
+                         jnp.asarray(lims)))
+    table = KmerTable.from_dense(hist, k)
+    want = oracle.oracle_count(seqs, k, skip_invalid=True)
+    assert table.to_dict() == dict(want)
