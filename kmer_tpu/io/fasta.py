@@ -171,11 +171,36 @@ def parse_fastq(path: str, prefer_native: bool = True,
     return parse_fastq_numpy(path, allow_ambiguous)
 
 
+def _maybe_decompress(path: str):
+    """Transparent gzip support: returns (real_path, cleanup_fn).
+
+    .gz inputs are streamed to a temp file once so the native parser
+    (which mmap-style streams from a path) works unchanged."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic != b"\x1f\x8b":
+        return path, (lambda: None)
+    import gzip
+    import shutil
+    import tempfile
+    tmp = tempfile.NamedTemporaryFile(suffix=".seq", delete=False)
+    try:
+        with gzip.open(path, "rb") as src:
+            shutil.copyfileobj(src, tmp, length=1 << 20)
+    finally:
+        tmp.close()
+    return tmp.name, (lambda: os.remove(tmp.name))
+
+
 def detect_format(path: str) -> str:
     """"fasta" or "fastq" from the first non-whitespace byte.  An empty
     (or all-whitespace) file counts as an empty FASTA."""
     with open(path, "rb") as f:
         head = f.read(256)
+    if head[:2] == b"\x1f\x8b":
+        import gzip
+        with gzip.open(path, "rb") as f:
+            head = f.read(256)
     for b in head:
         if b in b" \t\r\n":
             continue
@@ -189,10 +214,16 @@ def detect_format(path: str) -> str:
 
 def parse_seqs(path: str, prefer_native: bool = True,
                allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
-    """Auto-detecting sequence-file parser (FASTA or FASTQ)."""
-    if detect_format(path) == "fastq":
-        return parse_fastq(path, prefer_native, allow_ambiguous)
-    return parse_fasta(path, prefer_native, allow_ambiguous)
+    """Auto-detecting sequence-file parser (FASTA or FASTQ, plain or
+    gzip-compressed)."""
+    fmt = detect_format(path)
+    real, cleanup = _maybe_decompress(path)
+    try:
+        if fmt == "fastq":
+            return parse_fastq(real, prefer_native, allow_ambiguous)
+        return parse_fasta(real, prefer_native, allow_ambiguous)
+    finally:
+        cleanup()
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,23 @@ def test_numpy_fallback_empty_records(tmp_path):
         fasta._lib, fasta._lib_failed = saved, False
     assert (b2[0].lengths == 0).all()
     np.testing.assert_array_equal(batches[0].codes, b2[0].codes)
+
+
+def test_gzip_inputs(tmp_path):
+    import gzip
+    from kmer_tpu import count_fasta, KmerConfig
+    from kmer_tpu.io.generator import random_reads_fasta, random_reads_fastq
+    fa = random_reads_fasta(10, 40, seed=20)
+    fq = random_reads_fastq(10, 40, seed=21)
+    pa = tmp_path / "r.fasta.gz"
+    pq = tmp_path / "r.fastq.gz"
+    with gzip.open(pa, "wt") as f:
+        f.write(fa)
+    with gzip.open(pq, "wt") as f:
+        f.write(fq)
+    assert fasta.detect_format(str(pa)) == "fasta"
+    assert fasta.detect_format(str(pq)) == "fastq"
+    for p in (pa, pq):
+        t = count_fasta(str(p), KmerConfig(k=7, batch_reads=8,
+                                           max_read_len=64))
+        assert t.total == 10 * (40 - 7 + 1)
