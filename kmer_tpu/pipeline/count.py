@@ -47,16 +47,23 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
 
 
 @partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
-                                   "mask_ambiguous"))
+                                   "mask_ambiguous", "sort_groups"))
 def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
                      l_len: int = 27, r_len: int = 27,
-                     mask_ambiguous: bool = False):
+                     mask_ambiguous: bool = False, sort_groups: int = 1):
     """One device batch of gapped L+R chunks (reference semantics,
-    main.rs:63-79), counted: (sorted words, is_start, counts)."""
+    main.rs:63-79), counted: (sorted words, is_start, counts).
+
+    sort_groups as in count_step_sort — callers must aggregate with
+    KmerTable.from_pairs when > 1."""
     from ..ops.extract import gapped_lanes
     words, _ = gapped_lanes(codes, lengths, l_len, r_len,
                             c_min=c_min, c_max=c_max, limits=limits,
                             mask_ambiguous=mask_ambiguous)
+    if sort_groups > 1:
+        s2d = count_ops.sort_words_grouped(words, sort_groups)
+        is_start, counts = count_ops.run_lengths_grouped(s2d)
+        return [w.reshape(-1) for w in s2d], is_start, counts
     return count_ops.sort_count(words)
 
 
@@ -106,8 +113,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 
     # grouped sorting leaves per-batch tables group-locally sorted with
     # possible duplicate keys, so even a single part must be aggregated
-    grouped = (mode == "sort" and not cfg.gapped
-               and cfg.sort_group_keys > 0)
+    grouped = mode == "sort" and cfg.sort_group_keys > 0
 
     def flush(final: bool = False) -> None:
         nonlocal parts, buffered
@@ -136,12 +142,16 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     hist = jnp.zeros((4 ** cfg.k,), jnp.int32)
             else:
                 if cfg.gapped:
+                    B, Lw = batch.codes.shape
+                    n_c = cfg.c_max - cfg.c_min + 1
+                    O = max(Lw - cfg.c_min + 1, 0)
                     out = gapped_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         c_min=cfg.c_min, c_max=cfg.c_max,
                         l_len=cfg.l_len, r_len=cfg.r_len,
-                        mask_ambiguous=cfg.skip_invalid)
+                        mask_ambiguous=cfg.skip_invalid,
+                        sort_groups=cfg.sort_groups_for(B, n_c * O))
                 else:
                     B, Lw = batch.codes.shape
                     out = count_step_sort(

@@ -235,3 +235,16 @@ def test_large_k_multiword(tmpdir, k):
     want = oracle.oracle_count(oracle.read_fasta_py(path), k,
                                canonical=(k == 41))
     assert table.to_dict() == dict(want)
+
+
+def test_gapped_grouped_sort(tmpdir):
+    """Grouped sorting through the gapped counting path."""
+    from collections import Counter
+    path = _write(tmpdir, reference_style_fasta(n_records=3, seed=15),
+                  "gg.fasta")
+    for gk in (0, 64):
+        cfg = KmerConfig(gapped=True, mode="sort", batch_reads=8,
+                         max_read_len=512, sort_group_keys=gk)
+        table = count_fasta(path, cfg)
+        want = Counter(oracle.oracle_gapped_lines(oracle.read_fasta_py(path)))
+        assert table.to_dict() == dict(want)
