@@ -63,14 +63,13 @@ def main():
     from kmer_tpu.config import KmerConfig
     gk = int(os.environ.get("KMER_TPU_BENCH_GROUP_KEYS", "0")) or None
     cfg = KmerConfig(k=K, **({"sort_group_keys": gk} if gk else {}))
-    groups = cfg.sort_groups_for(B, L - K + 1)
-    log(f"sort groups: {groups} (~{B * (L - K + 1) // groups} keys each)")
+    log(f"sort group keys: {cfg.sort_group_keys}")
 
     @jax.jit
     def step_chained(codes):
         s, is_start, counts = count_step_sort(codes, lengths, limits,
                                               k=K, canonical=CANONICAL,
-                                              sort_groups=groups)
+                                              group_keys=cfg.sort_group_keys)
         # feed data-dependent bits back into the batch: the count step
         # can never be elided and every iteration sorts fresh data
         inj = (counts[:L] % 4).astype(jnp.uint8)

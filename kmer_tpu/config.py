@@ -16,7 +16,8 @@ from dataclasses import dataclass
 class KmerConfig:
     k: int = 21
     canonical: bool = False
-    # counting mode: "auto" picks dense for k <= 12, else sort.
+    # counting mode: "auto" picks dense for k <= 8 (MXU one-hot
+    # histogram), else sort — see effective_mode.
     mode: str = "auto"                      # auto | dense | sort
     batch_reads: int = 2048                 # reads (segments) per device batch
     max_read_len: int = 256                 # batch width L; longer reads split
@@ -26,13 +27,14 @@ class KmerConfig:
     r_len: int = 27
     c_min: int = 80
     c_max: int = 140
-    # sort-mode grouping: target keys per independent device sort slice
-    # (the sort is O(n log^2 n): ~2k-key groups measured ~5x the flat
-    # sort's step throughput on v5e).  Equal keys may then span groups,
+    # sort-mode grouping: keys per independent device sort slice (the
+    # sort is O(n log^2 n), so many small sorts beat one big one; 512
+    # measured optimal on v5e with the repacked 1-key comparator,
+    # scripts/r2_sort_experiments.py).  Equal keys may then span groups,
     # which the host aggregation absorbs — smaller groups trade device
     # speed against on-device dedup for repetitive corpora; 0 = one
     # global sort per batch (globally sorted device output).
-    sort_group_keys: int = 2048
+    sort_group_keys: int = 512
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
     # input tolerance: accept N/IUPAC ambiguity codes in the input and
@@ -70,18 +72,6 @@ class KmerConfig:
     def overlap(self) -> int:
         """Host-side segment overlap so split reads lose no windows."""
         return self.window_span - 1
-
-    def sort_groups_for(self, n_rows: int, lanes_per_row: int) -> int:
-        """Number of independent sort slices for a batch of n_rows
-        (must divide n_rows; power-of-two rows give full freedom)."""
-        if self.sort_group_keys <= 0:
-            return 1
-        n_keys = n_rows * lanes_per_row
-        g = 1
-        while (g * 2 <= n_rows and n_rows % (g * 2) == 0
-               and n_keys // (g * 2) >= self.sort_group_keys):
-            g *= 2
-        return g
 
     @property
     def effective_mode(self) -> str:

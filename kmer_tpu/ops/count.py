@@ -55,6 +55,70 @@ def sort_words(words: list[jnp.ndarray],
     return list(lax.sort(tuple(flat), num_keys=len(flat)))
 
 
+def repack_words(words: list[jnp.ndarray], valid: jnp.ndarray, n_bases: int
+                 ) -> tuple[list[jnp.ndarray], int]:
+    """Repack std-layout key words into the sort-optimal layout.
+
+    Std layout (ops/encode.py): W words MS-first, the top word holds
+    only s = 2*n_bases - 32*(W-1) used bits.  Sort-optimal layout packs
+    32 key bits into each of words 0..W-2 and the s residual bits into
+    the LAST word — so a lexicographic sort needs only num_keys = W-1
+    comparator words, with the residual riding along as payload.  Ties
+    in the first W-1 words may leave equal keys non-adjacent, which the
+    counting contract absorbs (partial aggregation; host from_pairs).
+    Measured on v5e: the 1-key grouped sort runs ~1.8x the 2-key one.
+
+    The last word doubles as the validity channel: real lanes hold
+    values < 2^s < SENTINEL, invalid lanes hold SENTINEL — so repacked
+    keys never collide with the sentinel (fixing, where it applies, the
+    std-layout corner where the all-T key IS the sentinel pattern).
+
+    Returns (repacked_words, num_keys).  Identity (words, 1) when
+    W == 1 (k <= 15: word 0 has <= 30 used bits, sentinel-safe as is).
+    When 2*n_bases is a multiple of 32 (k = 16, 32, ...) the std top
+    word carries no key bits (only the sentinel bit, words_per_key) —
+    it is dropped and replaced by a trailing 0/SENTINEL flag payload.
+    """
+    W = len(words)
+    bits = 2 * n_bases
+    s = bits - 32 * (W - 1)
+    assert 0 <= s < 32, (n_bases, W, s)   # words_per_key reserves a bit
+    if W == 1:
+        return words, 1
+    if s == 0:
+        flag = jnp.where(valid, jnp.uint32(0), SENTINEL)
+        return list(words[1:]) + [flag], W - 1
+    t = 32 - s
+    out = []
+    for j in range(W - 1):
+        out.append((words[j] << jnp.uint32(t)) | (words[j + 1] >> jnp.uint32(s)))
+    last = words[W - 1] & jnp.uint32((1 << s) - 1)
+    out.append(jnp.where(valid, last, SENTINEL))
+    return out, W - 1
+
+
+def unpack_words(rwords: list[jnp.ndarray], n_bases: int) -> list[jnp.ndarray]:
+    """Inverse of repack_words (sentinel lanes map back to all-SENTINEL)."""
+    W = len(rwords)
+    bits = 2 * n_bases
+    s = bits - 32 * (W - 1)
+    if W == 1:
+        return rwords
+    if s == 0:
+        # rwords = key words + flag payload; std w0 is the flag itself
+        # (0 for real lanes, SENTINEL for invalid — invalid key words
+        # are already all-SENTINEL)
+        return [rwords[-1]] + list(rwords[:-1])
+    t = 32 - s
+    valid = rwords[-1] != SENTINEL
+    last = jnp.where(valid, rwords[-1], 0)
+    out = [rwords[0] >> jnp.uint32(t)]
+    for j in range(1, W - 1):
+        out.append((rwords[j - 1] << jnp.uint32(s)) | (rwords[j] >> jnp.uint32(t)))
+    out.append((rwords[W - 2] << jnp.uint32(s)) | last)
+    return [jnp.where(valid, w, SENTINEL) for w in out]
+
+
 def sort_words_grouped(words: list[jnp.ndarray], groups: int
                        ) -> list[jnp.ndarray]:
     """Sort W-word keys within `groups` independent equal slices of the
@@ -77,10 +141,17 @@ def sort_words_grouped(words: list[jnp.ndarray], groups: int
     return list(out)           # (G, m) shaped; flatten at the caller
 
 
-def run_lengths_grouped(sorted_2d: list[jnp.ndarray]):
+def run_lengths_grouped(sorted_2d: list[jnp.ndarray], *,
+                        valid_word: int = 0):
     """run_lengths over (G, m) group-locally sorted words: scans run
     along axis 1 (depth m instead of n — much better VPU shape), runs
-    never span groups.  Returns flat (G*m,) is_start / counts."""
+    never span groups.  Returns flat (G*m,) is_start / counts.
+
+    valid_word: index of a word whose real values never reach SENTINEL
+    (std layout: word 0, which holds <= 31 used bits by words_per_key's
+    reserved sentinel bit; repacked layout: word -1).  Lanes whose
+    valid_word == SENTINEL count 0.
+    """
     G, m = sorted_2d[0].shape
     neq = jnp.zeros((G, m), bool).at[:, 0].set(True)
     for w in sorted_2d:
@@ -91,8 +162,9 @@ def run_lengths_grouped(sorted_2d: list[jnp.ndarray]):
     suffix_min = lax.cummin(start_pos, axis=1, reverse=True)
     next_start = jnp.concatenate(
         [suffix_min[:, 1:], jnp.full((G, 1), m, jnp.int32)], axis=1)
-    valid = sorted_2d[0] != SENTINEL
-    counts = jnp.where(is_start & valid, next_start - idx, 0)
+    run_len = next_start - idx
+    valid = sorted_2d[valid_word] != SENTINEL
+    counts = jnp.where(is_start & valid, run_len, 0)
     return is_start.reshape(-1), counts.reshape(-1)
 
 
@@ -125,6 +197,72 @@ def run_lengths(sorted_words: list[jnp.ndarray]):
     return is_start, counts
 
 
+def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
+                  n_bases: int, group_keys: int,
+                  backend: str | None = None):
+    """The production sort-mode count step core: repacked 1-key grouped
+    sort + run-length, with sentinel padding so any group size works.
+
+    words/valid: extractor outputs (std layout, any shape).  The flat
+    key stream is padded with sentinel lanes to a multiple of
+    group_keys, reshaped (G, m=group_keys), sorted within groups with
+    the minimum comparator width (repack_words), and run-length
+    encoded.  Output keys are converted back to std layout.
+
+    Backends (env KMER_TPU_GROUPED): "pallas" = fused in-VMEM bitonic
+    sort + run-length (ops/pallas/fused_count, the TPU fast path —
+    needs m a power of two >= 128); "xla" = lax.sort + scan;
+    "auto" picks pallas on TPU when eligible.
+
+    Returns (sorted_words_flat_std, is_start, counts) of padded flat
+    size; equal keys may span groups/ties — callers aggregate with
+    KmerTable.from_pairs (partial-aggregation contract).
+    """
+    backend = backend or os.environ.get("KMER_TPU_GROUPED", "auto")
+    flat = [w.reshape(-1) for w in words]
+    vflat = valid.reshape(-1)
+    n = flat[0].shape[0]
+    m = max(min(group_keys, n), 1)
+    from .pallas.fused_count import BLOCK_G
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = (m >= 128 and (m & (m - 1)) == 0 and
+                  (backend == "pallas" or (backend == "auto" and on_tpu)))
+    pad_unit = m * BLOCK_G if use_pallas else m
+    pad = (-n) % pad_unit
+    if pad:
+        flat = [jnp.concatenate([w, jnp.full((pad,), SENTINEL, w.dtype)])
+                for w in flat]
+        vflat = jnp.concatenate([vflat, jnp.zeros((pad,), bool)])
+    G = (n + pad) // m
+    rwords, nk = repack_words(flat, vflat, n_bases)
+    shaped = [w.reshape(G, m) for w in rwords]
+    if use_pallas:
+        from .pallas.fused_count import fused_grouped_count
+        s2d, counts2d = fused_grouped_count(shaped, interpret=not on_tpu)
+        counts = counts2d.reshape(-1)
+        is_start = counts > 0
+        if nk < len(words):
+            std = unpack_words([w.reshape(-1) for w in s2d], n_bases)
+        else:
+            std = [w.reshape(-1) for w in s2d]
+        return std, is_start, counts
+    if len(shaped) == 1:
+        # XLA:TPU single-operand sort takes a ~10x slower path than the
+        # variadic one; a throwaway payload operand selects the fast path
+        dummy = jnp.zeros_like(shaped[0])
+        s2d = [lax.sort((shaped[0], dummy), num_keys=1, dimension=1)[0]]
+    else:
+        s2d = list(lax.sort(tuple(shaped), num_keys=nk, dimension=1))
+    if nk == len(words):            # no repack happened (W == 1)
+        is_start, counts = run_lengths_grouped(s2d, valid_word=0)
+        std = s2d
+    else:
+        is_start, counts = run_lengths_grouped(s2d, valid_word=-1)
+        std = [w.reshape(G, m) for w in
+               unpack_words([w.reshape(-1) for w in s2d], n_bases)]
+    return [w.reshape(-1) for w in std], is_start, counts
+
+
 def sort_count(words: list[jnp.ndarray]):
     """sorted keys + run info; the core device count step (sort mode)."""
     s = sort_words(words)
@@ -148,7 +286,15 @@ def dense_histogram(word: jnp.ndarray, valid: jnp.ndarray, k: int,
     assert k <= DENSE_K_MAX, f"dense mode needs k <= {DENSE_K_MAX}"
     backend = backend or os.environ.get("KMER_TPU_DENSE", "auto")
     from .pallas.histogram import DENSE_MXU_K_MAX
-    use_mxu = k <= DENSE_MXU_K_MAX and word.size < (1 << 24) and (
+    eligible = k <= DENSE_MXU_K_MAX and word.size < (1 << 24)
+    if backend in ("mxu", "pallas") and not eligible:
+        # never silently route an explicit opt-in onto the ~100x-slower
+        # scatter path (ADVICE r1)
+        raise ValueError(
+            f"dense backend {backend!r} needs k <= {DENSE_MXU_K_MAX} and "
+            f"< 2^24 keys per call (got k={k}, {word.size} keys); use "
+            f"backend='xla' or 'auto'")
+    use_mxu = eligible and (
         backend in ("mxu", "pallas") or
         (backend == "auto" and jax.default_backend() == "tpu"))
     if use_mxu:

@@ -1,0 +1,119 @@
+"""Fused grouped sort + run-length Pallas kernel — the sort-mode hot
+path (replaces the reference's Vec::sort + implicit run counting,
+k-mer-count/src/main.rs:87-90, with a TPU-resident formulation).
+
+Why fused: measured on v5e (scripts/r2_sort_experiments.py), the XLA
+grouped sort costs ~0.97 ms and the separate run-length scan ~0.80 ms
+per 4.26 M keys — the scan's reverse cummin alone makes log(m) HBM-level
+passes.  Here one kernel invocation DMAs a block of groups into VMEM,
+runs the full bitonic network and the suffix-min run-length scan on
+registers/VMEM, and writes back sorted keys + run counts: HBM sees each
+key exactly once in and once out.
+
+Key layout: repacked words (ops/count.repack_words) — word 0 is the
+32-bit sort key, the remaining words ride as payload (single-word
+comparator; ties may leave equal keys non-adjacent, absorbed by the
+partial-aggregation contract).  The LAST word doubles as the validity
+channel (< 2^s for real lanes, SENTINEL for invalid ones).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL = 0xFFFFFFFF          # plain int: jnp constants can't be
+                               # closure-captured by a pallas kernel
+
+# block of groups per grid step: (BLOCK_G, m) uint32 per word array.
+# 64 x 512 x 4 B = 128 KiB per operand; a W=2 kernel keeps ~8 live
+# arrays -> ~1 MiB VMEM, well inside the 16 MiB/core budget.
+BLOCK_G = 64
+
+
+def _kernel(*refs, n_words: int, m: int):
+    in_refs = refs[:n_words]
+    out_refs = refs[n_words:2 * n_words]
+    cnt_ref = refs[2 * n_words]
+
+    ws = [r[:] for r in in_refs]                     # each (Gc, m) u32
+    idx = lax.broadcasted_iota(jnp.uint32, ws[0].shape, 1)
+    idx_i = idx.astype(jnp.int32)
+
+    # ---- bitonic sort along axis 1 (m a power of two) ----
+    k_ = 2
+    while k_ <= m:
+        asc = (idx & k_) == 0                        # ascending block
+        j = k_ // 2
+        while j >= 1:
+            upper = (idx & j) != 0                   # partner is below
+            take_min = asc ^ upper
+            partner = [jnp.where(upper,
+                                 pltpu.roll(w, j, axis=1),       # x[i-j]
+                                 pltpu.roll(w, m - j, axis=1))   # x[i+j]
+                       for w in ws]
+            p0, w0 = partner[0], ws[0]
+            # strict compares keep equal-key pairs in place on BOTH
+            # sides (a non-strict variant would duplicate one payload
+            # and drop the other)
+            takep = jnp.where(take_min, p0 < w0, p0 > w0)
+            ws = [jnp.where(takep, pw, w) for pw, w in zip(partner, ws)]
+            j //= 2
+        k_ *= 2
+
+    # ---- run-length (suffix-min of start positions), all in VMEM ----
+    is_start = idx == 0
+    for w in ws:
+        is_start = is_start | (w != pltpu.roll(w, 1, axis=1))
+    sp = jnp.where(is_start, idx_i, m)
+    d = 1
+    while d < m:
+        sh = jnp.where(idx_i >= m - d, m, pltpu.roll(sp, m - d, axis=1))
+        sp = jnp.minimum(sp, sh)                     # min over [i, i+2d)
+        d *= 2
+    next_start = jnp.where(idx_i == m - 1, m, pltpu.roll(sp, m - 1, axis=1))
+    valid = ws[-1] != jnp.uint32(SENTINEL)
+    counts = jnp.where(is_start & valid, next_start - idx_i, 0)
+
+    for r, w in zip(out_refs, ws):
+        r[:] = w
+    cnt_ref[:] = counts
+
+
+def fused_grouped_count(rwords: list[jnp.ndarray], *,
+                        block_groups: int = BLOCK_G,
+                        interpret: bool = False):
+    """Sort each row of the (G, m) repacked word arrays by word 0
+    (payload words follow) and run-length encode the rows.
+
+    Requires m a power of two >= 128 and G a multiple of block_groups
+    (callers pad with sentinel groups).  Returns (sorted_rwords,
+    counts) with counts[i] = multiplicity of the run starting at lane i
+    (0 elsewhere / for sentinel runs).
+    """
+    G, m = rwords[0].shape
+    assert m >= 128 and (m & (m - 1)) == 0, f"m={m} must be a pow2 >= 128"
+    assert G % block_groups == 0, (G, block_groups)
+    n_words = len(rwords)
+
+    spec = pl.BlockSpec((block_groups, m), lambda q: (q, 0),
+                        memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((G, m), jnp.uint32)
+                   for _ in range(n_words)]
+                  + [jax.ShapeDtypeStruct((G, m), jnp.int32)])
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_words=n_words, m=m),
+        grid=(G // block_groups,),
+        in_specs=[spec] * n_words,
+        out_specs=[spec] * (n_words + 1),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*rwords)
+    return list(outs[:n_words]), outs[n_words]

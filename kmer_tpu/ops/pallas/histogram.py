@@ -74,6 +74,10 @@ def dense_histogram_mxu(word: jnp.ndarray, valid: jnp.ndarray, k: int,
     idx = word.reshape(-1).astype(jnp.int32)
     v = valid.reshape(-1).astype(jnp.int32)
     N = idx.shape[0]
+    if N == 0:
+        # a zero-iteration pallas grid never writes out_ref — the result
+        # would be uninitialized memory (ADVICE r1)
+        return jnp.zeros((4 ** k,), jnp.int32)
     assert N < (1 << 24), "tile accumulation exactness bound"
     tile = _TILE_ROWS * 128
     n = math.ceil(N / tile) * tile

@@ -23,47 +23,48 @@ from .table import KmerTable
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
-                                   "sort_groups"))
+                                   "group_keys"))
 def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
-                    mask_ambiguous: bool = False, sort_groups: int = 1):
+                    mask_ambiguous: bool = False, group_keys: int = 0):
     """One device batch, sort mode: (sorted words, is_start, counts).
 
-    sort_groups > 1 sorts the key stream in independent slices (a large
-    measured win, ops/count.sort_words_grouped) — the output may then
-    contain the same key in several runs, which the host merge
-    aggregates (KmerTable.from_pairs).
+    group_keys > 0 runs the grouped partial-aggregation path
+    (ops/count.grouped_count): the key stream is counted in independent
+    group_keys-sized slices with the minimum-width repacked comparator
+    — a large measured win (v5e: 1.8x over the flat-layout 2-key sort
+    at group_keys=512) — and the output may contain the same key in
+    several runs, which the host merge aggregates
+    (KmerTable.from_pairs).  group_keys == 0 gives one exact flat sort
+    (globally sorted output; the parity path).
     """
     if canonical:
-        words, _ = canonical_kmer_lanes(codes, lengths, k, limits=limits,
-                                        mask_ambiguous=mask_ambiguous)
+        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
+                                            mask_ambiguous=mask_ambiguous)
     else:
-        words, _ = kmer_lanes(codes, lengths, k, limits=limits,
-                              mask_ambiguous=mask_ambiguous)
-    if sort_groups > 1:
-        s2d = count_ops.sort_words_grouped(words, sort_groups)
-        is_start, counts = count_ops.run_lengths_grouped(s2d)
-        return [w.reshape(-1) for w in s2d], is_start, counts
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits,
+                                  mask_ambiguous=mask_ambiguous)
+    if group_keys > 0:
+        return count_ops.grouped_count(words, valid, k, group_keys)
     return count_ops.sort_count(words)
 
 
 @partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
-                                   "mask_ambiguous", "sort_groups"))
+                                   "mask_ambiguous", "group_keys"))
 def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
                      l_len: int = 27, r_len: int = 27,
-                     mask_ambiguous: bool = False, sort_groups: int = 1):
+                     mask_ambiguous: bool = False, group_keys: int = 0):
     """One device batch of gapped L+R chunks (reference semantics,
     main.rs:63-79), counted: (sorted words, is_start, counts).
 
-    sort_groups as in count_step_sort — callers must aggregate with
-    KmerTable.from_pairs when > 1."""
+    group_keys as in count_step_sort — callers must aggregate with
+    KmerTable.from_pairs when > 0."""
     from ..ops.extract import gapped_lanes
-    words, _ = gapped_lanes(codes, lengths, l_len, r_len,
-                            c_min=c_min, c_max=c_max, limits=limits,
-                            mask_ambiguous=mask_ambiguous)
-    if sort_groups > 1:
-        s2d = count_ops.sort_words_grouped(words, sort_groups)
-        is_start, counts = count_ops.run_lengths_grouped(s2d)
-        return [w.reshape(-1) for w in s2d], is_start, counts
+    words, valid = gapped_lanes(codes, lengths, l_len, r_len,
+                                c_min=c_min, c_max=c_max, limits=limits,
+                                mask_ambiguous=mask_ambiguous)
+    if group_keys > 0:
+        return count_ops.grouped_count(words, valid, l_len + r_len,
+                                       group_keys)
     return count_ops.sort_count(words)
 
 
@@ -142,24 +143,20 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     hist = jnp.zeros((4 ** cfg.k,), jnp.int32)
             else:
                 if cfg.gapped:
-                    B, Lw = batch.codes.shape
-                    n_c = cfg.c_max - cfg.c_min + 1
-                    O = max(Lw - cfg.c_min + 1, 0)
                     out = gapped_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         c_min=cfg.c_min, c_max=cfg.c_max,
                         l_len=cfg.l_len, r_len=cfg.r_len,
                         mask_ambiguous=cfg.skip_invalid,
-                        sort_groups=cfg.sort_groups_for(B, n_c * O))
+                        group_keys=cfg.sort_group_keys)
                 else:
-                    B, Lw = batch.codes.shape
                     out = count_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         k=cfg.k, canonical=cfg.canonical,
                         mask_ambiguous=cfg.skip_invalid,
-                        sort_groups=cfg.sort_groups_for(B, Lw - cfg.k + 1))
+                        group_keys=cfg.sort_group_keys)
                 if pending is not None:
                     btab = KmerTable.from_device_runs(n_bases, *pending)
                     parts.append(btab)

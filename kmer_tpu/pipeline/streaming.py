@@ -159,7 +159,8 @@ class StreamingCounter:
         st = os.stat(self.fasta)
         return {
             "version": _FORMAT_VERSION, "fasta": os.path.abspath(self.fasta),
-            "fasta_size": st.st_size, "k": c.k, "canonical": c.canonical,
+            "fasta_size": st.st_size, "fasta_mtime_ns": st.st_mtime_ns,
+            "k": c.k, "canonical": c.canonical,
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
             "skip_invalid": c.skip_invalid,

@@ -1,0 +1,284 @@
+#!/usr/bin/env python3
+"""Round-2 experiments: close the roofline gap of the count step.
+
+Hypotheses (VERDICT.md #1, memory/tpu-bench-methodology):
+  H1  XLA's grouped variadic sort is near the bitonic VPU speed of
+      light, so the comparator cost is the lever: a 42-bit key repacked
+      as (top32, bot10) and sorted with num_keys=1 (bot as payload)
+      does 1 compare per stage instead of a 2-word lexicographic
+      compare.  Ties in top32 may interleave — the counting contract
+      only needs partial aggregation (host from_pairs absorbs it).
+  H2  Smaller groups = fewer bitonic stages (log^2 m): m=512/256 should
+      beat the current m=2080.
+  H3  The non-sort parts of the step (extract+canonical, run-length
+      scans) are small; measure to confirm.
+  H4  On-device compaction needs a within-group partition sort
+      (1-key, 4 operands) — measure its cost.
+
+Methodology per memory/tpu-bench-methodology: chain a real data
+dependency through every iteration, warm 150 forced steps, force with a
+host readback.  ONE process, variants interleaved where it matters.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from kmer_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from kmer_tpu.ops.canonical import canonical_kmer_lanes
+
+WARM = 150
+ITERS = 200
+K = 21
+B = 32768
+L = 150
+P = L - K + 1
+N_STEP = B * P                  # 4,259,840
+N_SORT = 1 << 22                # sort-only probes
+
+SENT = jnp.uint32(0xFFFFFFFF)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench(name, step, state, n_keys, iters=ITERS):
+    t0 = time.perf_counter()
+    state = step(state)
+    np.asarray(jax.tree_util.tree_leaves(state)[0].ravel()[:8])
+    log(f"[{name}] compile+first: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(WARM):
+        state = step(state)
+    np.asarray(jax.tree_util.tree_leaves(state)[0].ravel()[:8])
+    warm_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    np.asarray(jax.tree_util.tree_leaves(state)[0].ravel()[:8])
+    dt = (time.perf_counter() - t0) / iters
+    ok = abs(warm_dt / WARM - dt) / dt < 0.25
+    print(f"{name:22s} {dt * 1e3:8.3f} ms  {n_keys / dt / 1e9:7.2f} B keys/s"
+          f"  (warm {warm_dt / WARM * 1e3:.3f} ms{'' if ok else '  MISMATCH'})",
+          flush=True)
+    return dt
+
+
+def remix(s0, s1):
+    """Data-dependent fresh uniform u32 pair from sorted outputs."""
+    a = s0 * jnp.uint32(2654435761) ^ jnp.roll(s1, 3, axis=-1)
+    b = s1 * jnp.uint32(1597334677) + jnp.roll(s0, 5, axis=-1)
+    return a, b
+
+
+def mk_sort2(m):
+    G = N_SORT // m
+
+    @jax.jit
+    def step(s):
+        a, b = s
+        hi = a.reshape(G, m) >> 22          # 10 used bits, like prod layout
+        lo = b.reshape(G, m)
+        s0, s1 = lax.sort((hi, lo), num_keys=2, dimension=1)
+        return remix(s0, s1)
+    return step
+
+
+def mk_sort1(m, dim0=False):
+    G = N_SORT // m
+
+    @jax.jit
+    def step(s):
+        a, b = s
+        if dim0:
+            top = a.reshape(m, G)
+            bot = b.reshape(m, G)
+            s0, s1 = lax.sort((top, bot), num_keys=1, dimension=0)
+            s0, s1 = s0.T, s1.T
+        else:
+            top = a.reshape(G, m)
+            bot = b.reshape(G, m)
+            s0, s1 = lax.sort((top, bot), num_keys=1, dimension=1)
+        return remix(s0, s1)
+    return step
+
+
+def mk_part4(m):
+    """Within-group partition sort: 1-bit-ish key + 3 payload words
+    (the compaction stage-2 candidate)."""
+    G = N_SORT // m
+
+    @jax.jit
+    def step(s):
+        a, b = s
+        f = (a.reshape(G, m) >> 31)         # pseudo is_start flag
+        w0 = a.reshape(G, m)
+        w1 = b.reshape(G, m)
+        c = (b.reshape(G, m) >> 16)
+        s0, s1, s2, s3 = lax.sort((f, w0, w1, c), num_keys=1, dimension=1)
+        return remix(s1, s2)
+    return step
+
+
+# ---- full count-step variants -------------------------------------------
+
+lengths = None
+limits = None
+
+
+def run_lengths_repacked(sorted_2d):
+    """run_lengths over (G, m) repacked (top32..., botS) words: validity
+    from the LAST word (= SENT only for sentinel lanes)."""
+    G, m = sorted_2d[0].shape
+    neq = jnp.zeros((G, m), bool).at[:, 0].set(True)
+    for w in sorted_2d:
+        neq = neq | (jnp.roll(w, 1, axis=1) != w).at[:, 0].set(True)
+    is_start = neq
+    idx = lax.broadcasted_iota(jnp.int32, (G, m), 1)
+    start_pos = jnp.where(is_start, idx, m)
+    suffix_min = lax.cummin(start_pos, axis=1, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((G, 1), m, jnp.int32)], axis=1)
+    valid = sorted_2d[-1] != SENT
+    counts = jnp.where(is_start & valid, next_start - idx, 0)
+    return is_start, counts
+
+
+def mk_step_cur(m):
+    from kmer_tpu.ops import count as count_ops
+    G = N_STEP // m
+
+    @jax.jit
+    def step(codes):
+        words, _ = canonical_kmer_lanes(codes, lengths, K, limits=limits)
+        flat = [w.reshape(G, m) for w in words]
+        s2d = list(lax.sort(tuple(flat), num_keys=2, dimension=1))
+        is_start, counts = count_ops.run_lengths_grouped(s2d)
+        inj = (counts[:L] % 4).astype(jnp.uint8)
+        return codes.at[0, :].set(inj)
+    return step
+
+
+def mk_step_nk1(m):
+    G = N_STEP // m
+
+    @jax.jit
+    def step(codes):
+        words, valid = canonical_kmer_lanes(codes, lengths, K, limits=limits)
+        hi, lo = words
+        top = (hi << jnp.uint32(22)) | (lo >> jnp.uint32(10))
+        bot = jnp.where(valid, lo & jnp.uint32(0x3FF), SENT)
+        s0, s1 = lax.sort((top.reshape(G, m), bot.reshape(G, m)),
+                          num_keys=1, dimension=1)
+        is_start, counts = run_lengths_repacked([s0, s1])
+        inj = (counts.reshape(-1)[:L] % 4).astype(jnp.uint8)
+        return codes.at[0, :].set(inj)
+    return step
+
+
+def mk_extract_only():
+    @jax.jit
+    def step(codes):
+        words, valid = canonical_kmer_lanes(codes, lengths, K, limits=limits)
+        hi, lo = words
+        top = (hi << jnp.uint32(22)) | (lo >> jnp.uint32(10))
+        bot = jnp.where(valid, lo & jnp.uint32(0x3FF), SENT)
+        inj = ((top[0, :P] ^ bot[0, :P]) % 4).astype(jnp.uint8)
+        return codes.at[0, :P].set(inj)
+    return step
+
+
+def run_lengths_repacked16(sorted_2d):
+    """Scan in int16 (counts <= m < 2^15): narrower VPU traffic."""
+    G, m = sorted_2d[0].shape
+    neq = jnp.zeros((G, m), bool).at[:, 0].set(True)
+    for w in sorted_2d:
+        neq = neq | (jnp.roll(w, 1, axis=1) != w).at[:, 0].set(True)
+    is_start = neq
+    idx = lax.broadcasted_iota(jnp.int16, (G, m), 1)
+    start_pos = jnp.where(is_start, idx, jnp.int16(m))
+    suffix_min = lax.cummin(start_pos, axis=1, reverse=True)
+    next_start = jnp.concatenate(
+        [suffix_min[:, 1:], jnp.full((G, 1), m, jnp.int16)], axis=1)
+    valid = sorted_2d[-1] != SENT
+    counts = jnp.where(is_start & valid, next_start - idx, jnp.int16(0))
+    return is_start, counts
+
+
+def mk_scan_only(m, bits16=False):
+    G = N_SORT // m
+    rl = run_lengths_repacked16 if bits16 else run_lengths_repacked
+
+    @jax.jit
+    def step(s):
+        a, b = s
+        is_start, counts = rl([a.reshape(G, m), b.reshape(G, m)])
+        c2 = counts.astype(jnp.uint32)
+        return (a ^ c2.reshape(a.shape),
+                b + is_start.astype(jnp.uint32).reshape(b.shape))
+    return step
+
+
+def mk_step_nk1_16(m):
+    G = N_STEP // m
+
+    @jax.jit
+    def step(codes):
+        words, valid = canonical_kmer_lanes(codes, lengths, K, limits=limits)
+        hi, lo = words
+        top = (hi << jnp.uint32(22)) | (lo >> jnp.uint32(10))
+        bot = jnp.where(valid, lo & jnp.uint32(0x3FF), SENT)
+        s0, s1 = lax.sort((top.reshape(G, m), bot.reshape(G, m)),
+                          num_keys=1, dimension=1)
+        is_start, counts = run_lengths_repacked16([s0, s1])
+        inj = (counts.reshape(-1)[:L].astype(jnp.int32) % 4).astype(jnp.uint8)
+        return codes.at[0, :].set(inj)
+    return step
+
+
+def main():
+    global lengths, limits
+    dev = jax.devices()[0]
+    log(f"device: {dev} backend={jax.default_backend()}")
+
+    rng = np.random.default_rng(0)
+    sort_state = (jnp.asarray(rng.integers(0, 1 << 32, N_SORT, dtype=np.uint32)),
+                  jnp.asarray(rng.integers(0, 1 << 32, N_SORT, dtype=np.uint32)))
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    lengths = jnp.full((B,), L, jnp.int32)
+    limits = jnp.full((B,), L, jnp.int32)
+
+    phase = int(__import__("os").environ.get("PHASE", "1"))
+    if phase == 1:
+        # ranked by importance — partial output is still useful
+        bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)
+        bench("step_nk1_m512", mk_step_nk1(512), codes, N_STEP)
+        bench("step_nk1_m256", mk_step_nk1(256), codes, N_STEP)
+        bench("s2k_m512", mk_sort2(512), sort_state, N_SORT)
+        bench("s1k_m512", mk_sort1(512), sort_state, N_SORT)
+        bench("s1k_m256", mk_sort1(256), sort_state, N_SORT)
+        bench("s1k_m1024", mk_sort1(1024), sort_state, N_SORT)
+        bench("s2k_m2048", mk_sort2(2048), sort_state, N_SORT)
+    bench("extract_only", mk_extract_only(), codes, N_STEP)
+    bench("scan_m512", mk_scan_only(512), sort_state, N_SORT)
+    bench("scan16_m512", mk_scan_only(512, bits16=True), sort_state, N_SORT)
+    bench("step_nk1_16_m512", mk_step_nk1_16(512), codes, N_STEP)
+    bench("step_nk1_16_m256", mk_step_nk1_16(256), codes, N_STEP)
+    bench("part4_m512", mk_part4(512), sort_state, N_SORT)
+    bench("s1k_m128", mk_sort1(128), sort_state, N_SORT)
+    bench("s1k_m512_dim0", mk_sort1(512, dim0=True), sort_state, N_SORT)
+    # re-run to catch cross-run drift
+    bench("step_nk1_m512#2", mk_step_nk1(512), codes, N_STEP)
+    bench("step_cur_m2080#2", mk_step_cur(2080), codes, N_STEP)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,11 +26,19 @@ assert len(jax.devices()) >= 8, jax.devices()
 import pytest  # noqa: E402
 
 
+# The exactness-contract corpus (md5 of the sorted gapped dump:
+# 1a4ca1e7d4f2e70253aadca10d8351b4, SURVEY.md §0) is vendored so the
+# parity tests can never silently skip (VERDICT r1).  When the upstream
+# reference checkout is present, assert the vendored copy is byte-exact.
+VENDORED_SAMPLE = os.path.join(os.path.dirname(__file__), "data", "sample.fasta")
 REFERENCE_SAMPLE = "/root/reference/k-mer-count/sample.fasta"
 
 
 @pytest.fixture(scope="session")
 def sample_fasta_path():
-    if not os.path.exists(REFERENCE_SAMPLE):
-        pytest.skip("reference sample.fasta not available")
-    return REFERENCE_SAMPLE
+    assert os.path.exists(VENDORED_SAMPLE), "vendored fixture missing"
+    if os.path.exists(REFERENCE_SAMPLE):
+        with open(VENDORED_SAMPLE, "rb") as a, open(REFERENCE_SAMPLE, "rb") as b:
+            assert a.read() == b.read(), \
+                "vendored sample.fasta diverged from the reference corpus"
+    return VENDORED_SAMPLE
