@@ -44,6 +44,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",
                     help="streaming two-pass spill mode (checkpointable)")
+    pc.add_argument("--multihost", action="store_true",
+                    help="SPMD multi-host counting: run this same command "
+                         "on every process with COORDINATOR_ADDRESS / "
+                         "JAX process env set (parallel.multihost); "
+                         "process 0 writes the table")
+    pc.add_argument("--coordinator", default=None,
+                    help="jax.distributed coordinator address "
+                         "(host:port) for --multihost")
+    pc.add_argument("--num-processes", type=int, default=None)
+    pc.add_argument("--process-id", type=int, default=None)
     pc.add_argument("--spill-dir", default=None,
                     help="spill/checkpoint directory for --two-pass; "
                          "rerun with the same dir to resume")
@@ -86,6 +96,23 @@ def _dispatch(args) -> int:
                          partitions=args.partitions, stats=args.stats,
                          skip_invalid=args.skip_invalid)
         from .utils.profiling import trace
+        if args.multihost:
+            if len(args.fasta) != 1:
+                raise ValueError("--multihost takes exactly one input file")
+            import jax
+            from .parallel.multihost import count_fasta_multihost, initialize
+            initialize(coordinator_address=args.coordinator,
+                       num_processes=args.num_processes,
+                       process_id=args.process_id)
+            with trace(args.profile_dir):
+                table = count_fasta_multihost(args.fasta[0], cfg)
+            if args.min_count > 1:
+                table = table.filter_min_count(args.min_count)
+            if jax.process_index() == 0:
+                if args.out_npz:
+                    table.save(args.out_npz)
+                table.write_tsv(sys.stdout)
+            return 0
         if args.two_pass:
             if not args.spill_dir:
                 raise ValueError("--two-pass requires --spill-dir")

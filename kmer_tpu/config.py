@@ -37,6 +37,16 @@ class KmerConfig:
     sort_group_keys: int = 512
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
+    # bounded-memory ingest: parse inputs in record-aligned windows of
+    # at most this many bases (native chunked parser, io.fasta.
+    # iter_parse_chunks) so peak host memory is independent of corpus
+    # size; 0 = whole-file parse.  Chunk boundaries are deterministic —
+    # they are part of the streaming-resume fingerprint.
+    ingest_chunk_bases: int = 1 << 28
+    # host->device transfer: ship batches 2-bit-packed in uint32 words
+    # (4x smaller H2D; device unpacks in 16 shift-ands).  Automatically
+    # disabled in skip_invalid mode (ambiguity code needs 3 bits).
+    packed_transfer: bool = True
     # input tolerance: accept N/IUPAC ambiguity codes in the input and
     # drop every window containing one (the reference panics on any
     # non-ACGT byte, main.rs:23; strict mode keeps that contract as a
@@ -75,11 +85,12 @@ class KmerConfig:
 
     @property
     def effective_mode(self) -> str:
-        """auto: dense only where the MXU one-hot histogram applies
-        (k <= 8) — for k = 9..12 the dense table needs an XLA
-        scatter-add, measured ~100x slower per batch than the sort
-        path, so auto prefers sort there (dense stays available
-        explicitly for users who want the 4^k table layout)."""
+        """auto: dense where the MXU one-hot histogram applies (k <= 8,
+        device-resident table), else sort.  Explicit dense for k = 9..12
+        runs the hybrid path (device grouped sort-count + host np.add.at
+        dense accumulation, pipeline/count.py) at ~sort-mode speed; the
+        two modes produce identical tables, differing only in where the
+        4^k layout materializes."""
         if self.mode != "auto":
             return self.mode
         return "dense" if (self.k <= 8 and not self.gapped) else "sort"

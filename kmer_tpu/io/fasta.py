@@ -41,7 +41,7 @@ def _load_native():
         if stale:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
-                 "-o", _SO_PATH, src],
+                 "-o", _SO_PATH, src, "-lz"],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO_PATH)
         lib.fasta_scan.restype = ctypes.c_int
@@ -66,6 +66,30 @@ def _load_native():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64]
+        lib.fill_batch_packed.restype = None
+        lib.fill_batch_packed.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
+        lib.ingest_open.restype = ctypes.c_void_p
+        lib.ingest_open.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.ingest_close.restype = None
+        lib.ingest_close.argtypes = [ctypes.c_void_p]
+        lib.ingest_tell.restype = ctypes.c_int64
+        lib.ingest_tell.argtypes = [ctypes.c_void_p]
+        chunk_sig = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int64]
+        lib.fasta_chunk.restype = ctypes.c_int
+        lib.fasta_chunk.argtypes = chunk_sig
+        lib.fastq_chunk.restype = ctypes.c_int
+        lib.fastq_chunk.argtypes = chunk_sig
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -215,15 +239,158 @@ def detect_format(path: str) -> str:
 def parse_seqs(path: str, prefer_native: bool = True,
                allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
     """Auto-detecting sequence-file parser (FASTA or FASTQ, plain or
-    gzip-compressed)."""
+    gzip-compressed).  The native parser streams gzip directly through
+    zlib (no temp-file round trip); only the NumPy fallback inflates to
+    a temp file first."""
     fmt = detect_format(path)
+    if prefer_native and _load_native() is not None:
+        if fmt == "fastq":
+            return parse_fastq_native(path, allow_ambiguous)
+        return parse_fasta_native(path, allow_ambiguous)
     real, cleanup = _maybe_decompress(path)
     try:
         if fmt == "fastq":
-            return parse_fastq(real, prefer_native, allow_ambiguous)
-        return parse_fasta(real, prefer_native, allow_ambiguous)
+            return parse_fastq_numpy(real, allow_ambiguous)
+        return parse_fasta_numpy(real, allow_ambiguous)
     finally:
         cleanup()
+
+
+# ---------------------------------------------------------------------------
+# Chunked ingest: bounded-memory windows of whole records (native
+# persistent handle; byte-exact resume cursors).
+# ---------------------------------------------------------------------------
+
+def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
+                      allow_ambiguous: bool = False,
+                      prefer_native: bool = True,
+                      start_cursor: int = 0):
+    """Yield (codes, offsets, next_cursor) windows of whole records.
+
+    Peak host memory is ~max_bases + one-record slack, independent of
+    corpus size; gzip inputs stream through zlib with no temp file and
+    no backward seeks (the native handle keeps read-ahead across
+    chunks).  next_cursor is an uncompressed byte offset at a record
+    boundary: pass it as start_cursor to resume ingest there without
+    re-parsing completed bytes (pipeline/streaming checkpointing).
+
+    The NumPy fallback (no g++) streams records in Python; it reports
+    next_cursor = -1 (resume-by-cursor needs the native parser).
+    """
+    fmt = detect_format(path)
+    lib = _load_native()
+    if prefer_native and lib is not None:
+        yield from _iter_chunks_native(lib, path, fmt, max_bases,
+                                       allow_ambiguous, start_cursor)
+    else:
+        if start_cursor > 0:
+            raise ValueError("resume cursors need the native parser")
+        yield from _iter_chunks_py(path, fmt, max_bases, allow_ambiguous)
+
+
+def _iter_chunks_native(lib, path, fmt, max_bases, allow_ambiguous,
+                        start_cursor):
+    fn = lib.fastq_chunk if fmt == "fastq" else lib.fasta_chunk
+    amb = 1 if allow_ambiguous else 0
+    cap = max_bases + (16 << 20)          # slack for one straddling record
+    rec_cap = max(max_bases // 32, 1 << 16)
+    cursor = start_cursor
+    h = lib.ingest_open(path.encode(), cursor)
+    if not h:
+        raise ValueError(f"{path}: cannot open (offset {cursor})")
+    try:
+        err = ctypes.create_string_buffer(256)
+        eof = ctypes.c_int(0)
+        while not eof.value:
+            codes = np.empty(cap, np.uint8)
+            offsets = np.empty(rec_cap + 1, np.int64)
+            nrec = ctypes.c_int64(0)
+            nbase = ctypes.c_int64(0)
+            rc = fn(h, amb,
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    codes.size,
+                    offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    offsets.size, max_bases,
+                    ctypes.byref(nrec), ctypes.byref(nbase),
+                    ctypes.byref(eof), err, 256)
+            if rc == -4:
+                # a single record (or record count) outgrew the buffers:
+                # reopen at the last good cursor with doubled capacity
+                lib.ingest_close(h)
+                cap *= 2
+                rec_cap *= 2
+                h = lib.ingest_open(path.encode(), cursor)
+                if not h:
+                    raise ValueError(f"{path}: cannot reopen at {cursor}")
+                eof.value = 0
+                continue
+            if rc != 0:
+                msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
+                raise (InvalidBaseError if rc == -3 else ValueError)(
+                    f"{path}: {msg}")
+            cursor = lib.ingest_tell(h)
+            if nrec.value == 0:
+                break
+            yield (codes[:int(nbase.value)], offsets[:int(nrec.value) + 1],
+                   cursor)
+    finally:
+        lib.ingest_close(h)
+
+
+def _iter_chunks_py(path, fmt, max_bases, allow_ambiguous):
+    """Pure-Python streaming fallback (gzip-aware, no temp file)."""
+    from ..ops.encode import encode_seq
+    import gzip
+    with open(path, "rb") as probe:
+        gz = probe.read(2) == b"\x1f\x8b"
+    opener = gzip.open if gz else open
+
+    def flush(seqs):
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        codes = (np.concatenate([encode_seq(s, allow_ambiguous)
+                                 for s in seqs])
+                 if seqs else np.empty(0, np.uint8))
+        return codes, offsets, -1
+
+    seqs: list[str] = []
+    total = 0
+    with opener(path, "rt") as f:
+        if fmt == "fastq":
+            it = _iter_fastq_records_py(f)
+        else:
+            it = _iter_fasta_records_py(f)
+        for seq in it:
+            seqs.append(seq)
+            total += len(seq)
+            if total >= max_bases:
+                yield flush(seqs)
+                seqs, total = [], 0
+    if seqs:
+        yield flush(seqs)
+
+
+def _iter_fasta_records_py(f):
+    seq: list[str] = []
+    started = False
+    for line in f:
+        line = line.strip()
+        if line.startswith(">"):
+            if started:
+                yield "".join(seq)
+            seq, started = [], True
+        elif line:
+            if not started:
+                raise ValueError("sequence data before first FASTA header")
+            seq.append(line)
+    if started:
+        yield "".join(seq)
+
+
+def _iter_fastq_records_py(f):
+    from ..utils.oracle import read_fastq_stream
+    yield from read_fastq_stream(f)
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +399,25 @@ def parse_seqs(path: str, prefer_native: bool = True,
 
 @dataclass
 class Batch:
-    codes: np.ndarray        # (B, L) uint8, zero-padded
+    codes: np.ndarray        # (B, L) uint8 zero-padded, or — packed
+                             # transfer — (B, ceil(L/16)) uint32 with 16
+                             # bases/word MS-pair-first (4x smaller H2D;
+                             # device side unpacks, ops/encode.unpack_codes_u32)
     lengths: np.ndarray      # (B,) int32 — valid prefix length per row
     start_limits: np.ndarray  # (B,) int32 — row owns window starts o < limit
+    packed_width: int = 0    # L when codes is packed, else 0
+
+
+def pack_batch_codes(codes_u8: np.ndarray) -> np.ndarray:
+    """Vectorized host fallback of the native packer: (B, L) uint8 ->
+    (B, ceil(L/16)) uint32, first base in the most-significant pair."""
+    B, L = codes_u8.shape
+    Lw = (L + 15) // 16
+    padded = np.zeros((B, Lw * 16), np.uint8)
+    padded[:, :L] = codes_u8 & 3
+    shifts = (2 * (15 - np.arange(16))).astype(np.uint32)
+    lanes = padded.reshape(B, Lw, 16).astype(np.uint32)
+    return (lanes << shifts[None, None, :]).sum(axis=2, dtype=np.uint32)
 
 
 def segment_records(offsets: np.ndarray, max_len: int, overlap: int) -> np.ndarray:
@@ -273,23 +456,40 @@ def segment_records(offsets: np.ndarray, max_len: int, overlap: int) -> np.ndarr
 
 def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
                  batch_reads: int, max_len: int, overlap: int,
-                 start_batch: int = 0) -> Iterator[Batch]:
+                 start_batch: int = 0, packed: bool = False) -> Iterator[Batch]:
     """Yield fixed-shape batches.  The final batch is padded to full B
     with zero-length rows so every device step sees one static shape
     (one XLA compilation).  `start_batch` skips the first batches
-    without building them (checkpoint resume)."""
+    without building them (checkpoint resume).  `packed` emits 2-bit
+    uint32-packed rows (4x smaller H2D; requires pure-ACGT codes)."""
     spans = segment_records(offsets, max_len, overlap)
     n = len(spans)
     pos = np.arange(max_len)
     top = max(len(codes) - 1, 0)
+    Lw = (max_len + 15) // 16
     for i in range(start_batch * batch_reads, max(n, 1), batch_reads):
         chunk = spans[i:i + batch_reads]
         m = len(chunk)
         B = batch_reads
-        out = np.empty((B, max_len), dtype=np.uint8)
         lens = np.empty((B,), dtype=np.int32)
         lims = np.empty((B,), dtype=np.int32)
         lib = _load_native()
+        if packed and lib is not None:
+            outp = np.empty((B, Lw), dtype=np.uint32)
+            sp = np.ascontiguousarray(chunk, dtype=np.int64)
+            cc = codes if codes.size else np.zeros(1, np.uint8)
+            lib.fill_batch_packed(
+                cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), m,
+                outp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                lims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                B, Lw, max_len)
+            yield Batch(outp, lens, lims, packed_width=max_len)
+            if n == 0:
+                break
+            continue
+        out = np.empty((B, max_len), dtype=np.uint8)
         if lib is not None:
             # native row-memcpy filler (a numpy gather costs ~10x the
             # device step per batch at B=8192)
@@ -313,6 +513,10 @@ def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
                 idx = np.minimum(chunk[:, 0:1] + pos[None, :], top)
                 valid = pos[None, :] < lens[:m, None]
                 out[:m] = np.where(valid, cc[idx], 0)
-        yield Batch(out, lens, lims)
+        if packed:
+            yield Batch(pack_batch_codes(out), lens, lims,
+                        packed_width=max_len)
+        else:
+            yield Batch(out, lens, lims)
         if n == 0:
             break

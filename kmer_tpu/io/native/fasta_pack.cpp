@@ -1,20 +1,37 @@
-// Native FASTA parser + 2-bit packer (host ingest layer).
+// Native FASTA/FASTQ parser + 2-bit packer (host ingest layer).
 //
 // TPU-native replacement for the reference's only native layer — the Rust
 // bio::io::fasta reader + String handling (k-mer-count/src/main.rs:44-62).
-// Parses a FASTA file in one streaming pass and emits bases as 2-bit codes
-// (A=0,C=1,G=2,T=3, lowercase accepted) into a caller-provided buffer, plus
+// Parses sequence files in streaming passes and emits bases as 2-bit codes
+// (A=0,C=1,G=2,T=3, lowercase accepted) into caller-provided buffers, plus
 // per-record offsets, so Python/JAX sees only fixed-dtype integer arrays.
 // Non-ACGT bases are a clean error with file offset (the reference panics
 // instead: main.rs:23).
 //
+// All readers go through zlib's gzFile, which transparently handles BOTH
+// plain and gzip-compressed inputs (passthrough mode for plain files) —
+// no decompress-to-temp-file round trip.  Offsets/cursors are always
+// UNCOMPRESSED byte positions.
+//
+// Chunked ingest (bounded memory for arbitrarily large corpora): an
+// IngestHandle keeps the file open across calls; each *_chunk call
+// emits whole records until >= max_bases bases are out, stopping
+// exactly at the next record boundary.  Unconsumed read-ahead stays in
+// the handle's pending buffer, so gzip inputs never need a backward
+// seek.  The handle's cursor (ingest_tell) is a byte-exact resume
+// point: reopening with ingest_open(path, cursor) continues the run
+// (one forward gzseek for gz inputs).
+//
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 //
-// Build: see Makefile (g++ -O3 -shared -fPIC).
+// Build: see Makefile (g++ -O3 -shared -fPIC ... -lz).
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
+
+#include <zlib.h>
 
 namespace {
 
@@ -42,118 +59,320 @@ void set_err(char* err, int64_t cap, const char* msg, int64_t pos) {
   if (err && cap > 0) snprintf(err, (size_t)cap, "%s (file offset %lld)", msg, (long long)pos);
 }
 
-constexpr size_t kChunk = 1 << 20;  // 1 MiB streaming reads
+constexpr size_t kBlock = 1 << 20;  // 1 MiB streaming reads
+
+struct IngestHandle {
+  gzFile g = nullptr;
+  int64_t fpos = 0;         // uncompressed bytes CONSUMED by the parser
+  uint8_t buf[kBlock];
+  size_t off = 0, len = 0;  // unconsumed window buf[off, len)
+  bool read_err = false;
+
+  // Current unconsumed block (refilling from the file when drained).
+  // Returns number of bytes at *p; 0 = EOF, -1 = read error.
+  int64_t peek(const uint8_t** p) {
+    if (off == len) {
+      int got = gzread(g, buf, (unsigned)kBlock);
+      if (got < 0) { read_err = true; return -1; }
+      off = 0; len = (size_t)got;
+      if (got == 0) return 0;
+    }
+    *p = buf + off;
+    return (int64_t)(len - off);
+  }
+  void consume(int64_t n) { off += (size_t)n; fpos += n; }
+};
+
+struct Buffers {
+  uint8_t* codes = nullptr;  int64_t codes_cap = 0;   // null in scan pass
+  int64_t* offsets = nullptr; int64_t offsets_cap = 0;
+};
+
+// Unified FASTA walker over a persistent handle: scan / full parse /
+// chunked parse.  max_bases <= 0 means no limit.  Stops (leaving the
+// next record's '>' unconsumed) once >= max_bases bases were emitted;
+// *eof = 1 when the file is exhausted instead.
+// Error codes: -1 open, -2 malformed, -3 invalid base, -4 caller buffer
+// too small (reopen at the last good cursor with a bigger buffer),
+// -6 read/decompress error.
+int fasta_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
+               Buffers b, int64_t* n_records, int64_t* total_bases,
+               int* eof, char* err, int64_t errcap) {
+  int64_t nrec = 0, nbase = 0;
+  bool in_header = false, at_line_start = true, seen_record = false;
+  bool stopped = false;
+  int rc = 0;
+  const uint8_t* blk;
+  int64_t blen;
+  while ((blen = h->peek(&blk)) > 0) {
+    int64_t i = 0;
+    while (i < blen) {
+      uint8_t ch = blk[i];
+      if (in_header) {
+        const void* nl = memchr(blk + i, '\n', blen - i);
+        int64_t adv = nl ? (const uint8_t*)nl - (blk + i) + 1 : blen - i;
+        i += adv;
+        if (nl) { in_header = false; at_line_start = true; }
+        continue;
+      }
+      if (at_line_start && ch == '>') {
+        if (max_bases > 0 && seen_record && nbase >= max_bases) {
+          stopped = true;  // chunk boundary: do not consume the header
+          goto done;
+        }
+        if (b.offsets) {
+          if (nrec >= b.offsets_cap - 1) {
+            if (seen_record && max_bases > 0) { stopped = true; goto done; }
+            set_err(err, errcap, "record count exceeds buffer", h->fpos + i);
+            rc = -4; goto done;
+          }
+          b.offsets[nrec] = nbase;
+        }
+        ++nrec;
+        seen_record = true;
+        in_header = true; at_line_start = false;
+        ++i;
+        continue;
+      }
+      at_line_start = (ch == '\n');
+      uint8_t code = kLut.m[ch];
+      ++i;
+      if (code == 0xFE) continue;
+      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i - 1); rc = -3; goto done; }
+      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", h->fpos + i - 1); rc = -2; goto done; }
+      if (b.codes) {
+        if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i - 1); rc = -4; goto done; }
+        b.codes[nbase] = code;
+      }
+      ++nbase;
+    }
+    h->consume(blen);
+    continue;
+  done:
+    h->consume(i);
+    break;
+  }
+  if (blen < 0) { set_err(err, errcap, "read/decompress error", h->fpos); rc = -6; }
+  if (rc == 0) {
+    if (b.offsets) b.offsets[nrec] = nbase;
+    *n_records = nrec;
+    *total_bases = nbase;
+    if (eof) *eof = stopped ? 0 : 1;
+  }
+  return rc;
+}
+
+enum class FqState { kHeader, kSeq, kPlus, kQual };
+
+// FASTQ walker (4-line records: @hdr / seq / + / qual).  Sequence may
+// wrap across lines; quality is consumed by LENGTH (qual bytes == seq
+// bases), never by sentinel — '@' is a legal quality character.
+int fastq_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
+               Buffers b, int64_t* n_records, int64_t* total_bases,
+               int* eof, char* err, int64_t errcap) {
+  FqState st = FqState::kHeader;
+  int64_t nrec = 0, nbase = 0, seq_len = 0, qual_seen = 0;
+  bool at_line_start = true, hdr_started = false, stopped = false;
+  int rc = 0;
+  const uint8_t* blk;
+  int64_t blen;
+  while ((blen = h->peek(&blk)) > 0) {
+    int64_t i = 0;
+    while (i < blen) {
+      uint8_t ch = blk[i];
+      if (st == FqState::kHeader) {
+        if (!hdr_started) {
+          if (ch == '\n' || ch == '\r') { ++i; continue; }
+          if (ch != '@') { set_err(err, errcap, "FASTQ record must start with '@'", h->fpos + i); rc = -2; goto done; }
+          if (max_bases > 0 && nrec > 0 && nbase >= max_bases) {
+            stopped = true;  // chunk boundary before this record
+            goto done;
+          }
+          hdr_started = true;
+        }
+        {
+          const void* nl = memchr(blk + i, '\n', blen - i);
+          int64_t adv = nl ? (const uint8_t*)nl - (blk + i) + 1 : blen - i;
+          i += adv;
+          if (nl) {
+            hdr_started = false;
+            if (b.offsets) {
+              if (nrec >= b.offsets_cap - 1) { set_err(err, errcap, "record count exceeds buffer", h->fpos + i); rc = -4; goto done; }
+              b.offsets[nrec] = nbase;
+            }
+            ++nrec; seq_len = 0; qual_seen = 0;
+            st = FqState::kSeq; at_line_start = true;
+          }
+        }
+        continue;
+      }
+      if (st == FqState::kSeq) {
+        if (at_line_start && ch == '+') { st = FqState::kPlus; continue; }
+        at_line_start = (ch == '\n');
+        uint8_t code = kLut.m[ch];
+        ++i;
+        if (code == 0xFE) continue;
+        if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i - 1); rc = -3; goto done; }
+        if (b.codes) {
+          if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i - 1); rc = -4; goto done; }
+          b.codes[nbase] = code;
+        }
+        ++nbase; ++seq_len;
+        continue;
+      }
+      if (st == FqState::kPlus) {
+        const void* nl = memchr(blk + i, '\n', blen - i);
+        int64_t adv = nl ? (const uint8_t*)nl - (blk + i) + 1 : blen - i;
+        i += adv;
+        if (nl) {
+          st = (seq_len == 0) ? FqState::kHeader : FqState::kQual;
+          at_line_start = true;
+        }
+        continue;
+      }
+      // kQual: consume exactly seq_len non-newline bytes
+      {
+        if (ch == '\n' || ch == '\r') { ++i; continue; }
+        int64_t want = seq_len - qual_seen;
+        int64_t run = blen - i;
+        const void* nl = memchr(blk + i, '\n', run);
+        if (nl) run = (const uint8_t*)nl - (blk + i);
+        // CRLF: the '\r' before the newline is not a quality byte
+        const void* cr = memchr(blk + i, '\r', run);
+        if (cr) run = (const uint8_t*)cr - (blk + i);
+        if (run > want) { set_err(err, errcap, "quality longer than sequence", h->fpos + i); rc = -2; goto done; }
+        qual_seen += run;
+        i += run;
+        if (qual_seen == seq_len) { st = FqState::kHeader; at_line_start = true; }
+        continue;
+      }
+    }
+    h->consume(blen);
+    continue;
+  done:
+    h->consume(i);
+    break;
+  }
+  if (blen < 0) { set_err(err, errcap, "read/decompress error", h->fpos); rc = -6; }
+  if (rc == 0 && !stopped && (st != FqState::kHeader || hdr_started)) {
+    set_err(err, errcap, "truncated FASTQ record", h->fpos);
+    rc = -2;
+  }
+  if (rc == 0) {
+    if (b.offsets) b.offsets[nrec] = nbase;
+    *n_records = nrec;
+    *total_bases = nbase;
+    if (eof) *eof = stopped ? 0 : 1;
+  }
+  return rc;
+}
+
+IngestHandle* open_handle(const char* path, int64_t start_off) {
+  IngestHandle* h = new IngestHandle();
+  h->g = gzopen(path, "rb");
+  if (!h->g) { delete h; return nullptr; }
+  gzbuffer(h->g, 1 << 18);
+  if (start_off > 0 && gzseek(h->g, (z_off_t)start_off, SEEK_SET) < 0) {
+    gzclose(h->g); delete h; return nullptr;
+  }
+  h->fpos = start_off;
+  return h;
+}
 
 }  // namespace
 
 extern "C" {
 
-// Pass 1: sizes only (record and base counts; validates alphabet).
-// Returns 0 on success, negative error code otherwise:
-//   -1 file open failure        -3 invalid base
-//   -2 data before first header -4 buffer overflow (caller bug)
+// ---- persistent chunked-ingest handles -----------------------------------
+
+void* ingest_open(const char* path, int64_t start_off) {
+  return open_handle(path, start_off);
+}
+
+void ingest_close(void* h) {
+  IngestHandle* ih = (IngestHandle*)h;
+  if (ih) { gzclose(ih->g); delete ih; }
+}
+
+// Resume cursor: only meaningful right after a successful *_chunk call
+// (record boundary).
+int64_t ingest_tell(void* h) { return ((IngestHandle*)h)->fpos; }
+
+int fasta_chunk(void* h, int allow_ambiguous,
+                uint8_t* codes, int64_t codes_cap,
+                int64_t* offsets, int64_t offsets_cap,
+                int64_t max_bases,
+                int64_t* n_records, int64_t* total_bases, int* eof,
+                char* err, int64_t errcap) {
+  Buffers b{codes, codes_cap, offsets, offsets_cap};
+  return fasta_walk((IngestHandle*)h, allow_ambiguous, max_bases, b,
+                    n_records, total_bases, eof, err, errcap);
+}
+
+int fastq_chunk(void* h, int allow_ambiguous,
+                uint8_t* codes, int64_t codes_cap,
+                int64_t* offsets, int64_t offsets_cap,
+                int64_t max_bases,
+                int64_t* n_records, int64_t* total_bases, int* eof,
+                char* err, int64_t errcap) {
+  Buffers b{codes, codes_cap, offsets, offsets_cap};
+  return fastq_walk((IngestHandle*)h, allow_ambiguous, max_bases, b,
+                    n_records, total_bases, eof, err, errcap);
+}
+
+// ---- whole-file two-pass API (scan sizes, then parse) --------------------
+
 int fasta_scan(const char* path, int allow_ambiguous,
                int64_t* n_records, int64_t* total_bases,
                char* err, int64_t errcap) {
-  FILE* f = fopen(path, "rb");
-  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
-
-  int64_t nrec = 0, nbase = 0, fpos = 0;
-  bool in_header = false, at_line_start = true, seen_record = false;
-  int rc = 0;
-  static thread_local uint8_t buf[kChunk];
-  size_t got;
-  while ((got = fread(buf, 1, kChunk, f)) > 0) {
-    size_t i = 0;
-    while (i < got) {
-      uint8_t ch = buf[i];
-      if (in_header) {
-        const void* nl = memchr(buf + i, '\n', got - i);
-        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
-        i += adv; fpos += adv;
-        if (nl) { in_header = false; at_line_start = true; }
-        continue;
-      }
-      if (at_line_start && ch == '>') {
-        ++nrec;
-        seen_record = true;
-        in_header = true; at_line_start = false;
-        ++i; ++fpos;
-        continue;
-      }
-      at_line_start = (ch == '\n');
-      uint8_t code = kLut.m[ch];
-      ++i; ++fpos;
-      if (code == 0xFE) continue;
-      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
-      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
-      ++nbase;
-    }
-  }
-done:
-  fclose(f);
-  if (rc == 0) {
-    *n_records = nrec;
-    *total_bases = nbase;
-  }
+  IngestHandle* h = open_handle(path, 0);
+  if (!h) { set_err(err, errcap, "cannot open file", 0); return -1; }
+  int rc = fasta_walk(h, allow_ambiguous, 0, Buffers{},
+                      n_records, total_bases, nullptr, err, errcap);
+  ingest_close(h);
   return rc;
 }
 
-// Pass 2: fill codes (cap = total_bases) and offsets (cap = n_records+1).
-// offsets[r] = start index of record r in codes; offsets[n_records] = total.
 int fasta_parse(const char* path, int allow_ambiguous,
                 uint8_t* codes, int64_t codes_cap,
                 int64_t* offsets, int64_t offsets_cap,
                 int64_t* n_records, int64_t* total_bases,
                 char* err, int64_t errcap) {
-  FILE* f = fopen(path, "rb");
-  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
-
-  int64_t nrec = 0, nbase = 0, fpos = 0;
-  bool in_header = false, at_line_start = true, seen_record = false;
-  int rc = 0;
-  static thread_local uint8_t buf[kChunk];
-  size_t got;
-  while ((got = fread(buf, 1, kChunk, f)) > 0) {
-    size_t i = 0;
-    while (i < got) {
-      uint8_t ch = buf[i];
-      if (in_header) {
-        // skip to end of header line
-        const void* nl = memchr(buf + i, '\n', got - i);
-        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
-        i += adv; fpos += adv;
-        if (nl) { in_header = false; at_line_start = true; }
-        continue;
-      }
-      if (at_line_start && ch == '>') {
-        if (nrec >= offsets_cap - 1) { rc = -4; goto done; }
-        offsets[nrec] = nbase;  // start of this record
-        ++nrec;
-        seen_record = true;
-        in_header = true; at_line_start = false;
-        ++i; ++fpos;
-        continue;
-      }
-      at_line_start = (ch == '\n');
-      uint8_t code = kLut.m[ch];
-      ++i; ++fpos;
-      if (code == 0xFE) continue;
-      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
-      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", fpos - 1); rc = -2; goto done; }
-      if (nbase >= codes_cap) { rc = -4; goto done; }
-      codes[nbase++] = code;
-    }
-  }
-done:
-  fclose(f);
-  if (rc == 0) {
-    offsets[nrec] = nbase;
-    *n_records = nrec;
-    *total_bases = nbase;
-  }
+  IngestHandle* h = open_handle(path, 0);
+  if (!h) { set_err(err, errcap, "cannot open file", 0); return -1; }
+  Buffers b{codes, codes_cap, offsets, offsets_cap};
+  int rc = fasta_walk(h, allow_ambiguous, 0, b,
+                      n_records, total_bases, nullptr, err, errcap);
+  ingest_close(h);
   return rc;
 }
+
+int fastq_scan(const char* path, int allow_ambiguous,
+               int64_t* n_records, int64_t* total_bases,
+               char* err, int64_t errcap) {
+  IngestHandle* h = open_handle(path, 0);
+  if (!h) { set_err(err, errcap, "cannot open file", 0); return -1; }
+  int rc = fastq_walk(h, allow_ambiguous, 0, Buffers{},
+                      n_records, total_bases, nullptr, err, errcap);
+  ingest_close(h);
+  return rc;
+}
+
+int fastq_parse(const char* path, int allow_ambiguous,
+                uint8_t* codes, int64_t codes_cap,
+                int64_t* offsets, int64_t offsets_cap,
+                int64_t* n_records, int64_t* total_bases,
+                char* err, int64_t errcap) {
+  IngestHandle* h = open_handle(path, 0);
+  if (!h) { set_err(err, errcap, "cannot open file", 0); return -1; }
+  Buffers b{codes, codes_cap, offsets, offsets_cap};
+  int rc = fastq_walk(h, allow_ambiguous, 0, b,
+                      n_records, total_bases, nullptr, err, errcap);
+  ingest_close(h);
+  return rc;
+}
+
+// ---- 2-bit packing + batch fill ------------------------------------------
 
 // Pack 2-bit codes into uint32 words, 16 bases per word, first base in the
 // most-significant bit pair (matches ops/encode.py key layout).  n_words
@@ -168,134 +387,6 @@ void pack_codes_u32(const uint8_t* codes, int64_t n, uint32_t* out) {
       acc |= (uint32_t)(codes[base + j] & 3) << (2 * (15 - j));
     out[w] = acc;
   }
-}
-
-// ---------------------------------------------------------------------------
-// FASTQ (4-line records: @hdr / seq / + / qual).  Sequence may wrap
-// across lines; quality is consumed by LENGTH (qual bytes == seq bases),
-// never by sentinel — '@' is a legal quality character.
-// ---------------------------------------------------------------------------
-
-namespace {
-
-enum class FqState { kHeader, kSeq, kPlus, kQual };
-
-struct FqCallbacks {
-  int64_t* nrec;
-  int64_t* nbase;
-  uint8_t* codes;      // may be null (scan pass)
-  int64_t codes_cap;
-  int64_t* offsets;    // may be null (scan pass)
-  int64_t offsets_cap;
-};
-
-int fastq_walk(const char* path, int allow_ambiguous, FqCallbacks cb,
-               char* err, int64_t errcap) {
-  FILE* f = fopen(path, "rb");
-  if (!f) { set_err(err, errcap, "cannot open file", 0); return -1; }
-  FqState st = FqState::kHeader;
-  int64_t nrec = 0, nbase = 0, fpos = 0, seq_len = 0, qual_seen = 0;
-  bool at_line_start = true, hdr_started = false;
-  int rc = 0;
-  static thread_local uint8_t buf[kChunk];
-  size_t got;
-  while ((got = fread(buf, 1, kChunk, f)) > 0) {
-    size_t i = 0;
-    while (i < got) {
-      uint8_t ch = buf[i];
-      if (st == FqState::kHeader) {
-        if (!hdr_started) {
-          if (ch == '\n' || ch == '\r') { ++i; ++fpos; continue; }
-          if (ch != '@') { set_err(err, errcap, "FASTQ record must start with '@'", fpos); rc = -2; goto done; }
-          hdr_started = true;
-        }
-        const void* nl = memchr(buf + i, '\n', got - i);
-        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
-        i += adv; fpos += adv;
-        if (nl) {
-          hdr_started = false;
-          if (cb.offsets) {
-            if (nrec >= cb.offsets_cap - 1) { rc = -4; goto done; }
-            cb.offsets[nrec] = nbase;
-          }
-          ++nrec; seq_len = 0; qual_seen = 0;
-          st = FqState::kSeq; at_line_start = true;
-        }
-        continue;
-      }
-      if (st == FqState::kSeq) {
-        if (at_line_start && ch == '+') { st = FqState::kPlus; continue; }
-        at_line_start = (ch == '\n');
-        uint8_t code = kLut.m[ch];
-        ++i; ++fpos;
-        if (code == 0xFE) continue;
-        if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", fpos - 1); rc = -3; goto done; }
-        if (cb.codes) {
-          if (nbase >= cb.codes_cap) { rc = -4; goto done; }
-          cb.codes[nbase] = code;
-        }
-        ++nbase; ++seq_len;
-        continue;
-      }
-      if (st == FqState::kPlus) {
-        const void* nl = memchr(buf + i, '\n', got - i);
-        size_t adv = nl ? (size_t)((const uint8_t*)nl - (buf + i)) + 1 : got - i;
-        i += adv; fpos += adv;
-        if (nl) {
-          st = (seq_len == 0) ? FqState::kHeader : FqState::kQual;
-          at_line_start = true;
-        }
-        continue;
-      }
-      // kQual: consume exactly seq_len non-newline bytes
-      {
-        if (ch == '\n' || ch == '\r') { ++i; ++fpos; continue; }
-        int64_t want = seq_len - qual_seen;
-        size_t run = got - i;
-        const void* nl = memchr(buf + i, '\n', run);
-        if (nl) run = (size_t)((const uint8_t*)nl - (buf + i));
-        // CRLF: the '\r' before the newline is not a quality byte
-        const void* cr = memchr(buf + i, '\r', run);
-        if (cr) run = (size_t)((const uint8_t*)cr - (buf + i));
-        if ((int64_t)run > want) { set_err(err, errcap, "quality longer than sequence", fpos); rc = -2; goto done; }
-        qual_seen += (int64_t)run;
-        i += run; fpos += (int64_t)run;
-        if (qual_seen == seq_len) { st = FqState::kHeader; at_line_start = true; }
-        continue;
-      }
-    }
-  }
-done:
-  if (rc == 0 && (st != FqState::kHeader || hdr_started)) {
-    set_err(err, errcap, "truncated FASTQ record", fpos);
-    rc = -2;
-  }
-  fclose(f);
-  if (rc == 0) {
-    if (cb.offsets) cb.offsets[nrec] = nbase;
-    *cb.nrec = nrec;
-    *cb.nbase = nbase;
-  }
-  return rc;
-}
-
-}  // namespace
-
-int fastq_scan(const char* path, int allow_ambiguous,
-               int64_t* n_records, int64_t* total_bases,
-               char* err, int64_t errcap) {
-  FqCallbacks cb{n_records, total_bases, nullptr, 0, nullptr, 0};
-  return fastq_walk(path, allow_ambiguous, cb, err, errcap);
-}
-
-int fastq_parse(const char* path, int allow_ambiguous,
-                uint8_t* codes, int64_t codes_cap,
-                int64_t* offsets, int64_t offsets_cap,
-                int64_t* n_records, int64_t* total_bases,
-                char* err, int64_t errcap) {
-  FqCallbacks cb{n_records, total_bases, codes, codes_cap, offsets,
-                 offsets_cap};
-  return fastq_walk(path, allow_ambiguous, cb, err, errcap);
 }
 
 // Fill one fixed-shape device batch from parsed codes: for each span r
@@ -314,6 +405,27 @@ void fill_batch(const uint8_t* codes, const int64_t* spans, int64_t m,
     int64_t n = e - s;
     if (n > L) n = L;
     if (n > 0) memcpy(out + r * L, codes + s, (size_t)n);
+    lens[r] = (int32_t)n;
+    lims[r] = (int32_t)lim;
+  }
+}
+
+// Packed variant of fill_batch: rows are emitted as 2-bit-packed uint32
+// words (16 bases/word, first base in the most-significant pair —
+// pack_codes_u32 layout), cutting host->device transfer 4x.  Only valid
+// for pure-ACGT codes (ambiguity code 0x04 needs 3 bits; callers fall
+// back to fill_batch in skip-invalid mode).
+void fill_batch_packed(const uint8_t* codes, const int64_t* spans, int64_t m,
+                       uint32_t* out, int32_t* lens, int32_t* lims,
+                       int64_t B, int64_t Lw, int64_t L) {
+  memset(out, 0, (size_t)(B * Lw) * sizeof(uint32_t));
+  memset(lens, 0, (size_t)B * sizeof(int32_t));
+  memset(lims, 0, (size_t)B * sizeof(int32_t));
+  for (int64_t r = 0; r < m && r < B; ++r) {
+    int64_t s = spans[3 * r], e = spans[3 * r + 1], lim = spans[3 * r + 2];
+    int64_t n = e - s;
+    if (n > L) n = L;
+    if (n > 0) pack_codes_u32(codes + s, n, out + r * Lw);
     lens[r] = (int32_t)n;
     lims[r] = (int32_t)lim;
   }

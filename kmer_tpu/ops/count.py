@@ -209,10 +209,16 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     the minimum comparator width (repack_words), and run-length
     encoded.  Output keys are converted back to std layout.
 
-    Backends (env KMER_TPU_GROUPED): "pallas" = fused in-VMEM bitonic
-    sort + run-length (ops/pallas/fused_count, the TPU fast path —
-    needs m a power of two >= 128); "xla" = lax.sort + scan;
-    "auto" picks pallas on TPU when eligible.
+    Backends (env KMER_TPU_GROUPED):
+      "hybrid"  XLA variadic sort + Pallas in-VMEM run-length scan —
+                the measured-fastest TPU combination (XLA's sort beats
+                the hand-written bitonic, but its lax.cummin scan makes
+                log(m) passes that the Pallas kernel collapses into one
+                VMEM round trip); needs m % 128 == 0.
+      "pallas"  fully fused in-VMEM bitonic sort + scan (kept for
+                comparison; measured slower than hybrid on v5e).
+      "xla"     pure lax.sort + scan (any m; the CPU/test path).
+      "auto"    hybrid on TPU when eligible, else xla.
 
     Returns (sorted_words_flat_std, is_start, counts) of padded flat
     size; equal keys may span groups/ties — callers aggregate with
@@ -225,9 +231,10 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     m = max(min(group_keys, n), 1)
     from .pallas.fused_count import BLOCK_G
     on_tpu = jax.default_backend() == "tpu"
-    use_pallas = (m >= 128 and (m & (m - 1)) == 0 and
-                  (backend == "pallas" or (backend == "auto" and on_tpu)))
-    pad_unit = m * BLOCK_G if use_pallas else m
+    use_fused = (m >= 128 and (m & (m - 1)) == 0 and backend == "pallas")
+    use_hybrid = (m % 128 == 0 and m > 0 and
+                  (backend == "hybrid" or (backend == "auto" and on_tpu)))
+    pad_unit = m * BLOCK_G if (use_fused or use_hybrid) else m
     pad = (-n) % pad_unit
     if pad:
         flat = [jnp.concatenate([w, jnp.full((pad,), SENTINEL, w.dtype)])
@@ -236,9 +243,10 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     G = (n + pad) // m
     rwords, nk = repack_words(flat, vflat, n_bases)
     shaped = [w.reshape(G, m) for w in rwords]
-    if use_pallas:
+    interp = not on_tpu
+    if use_fused:
         from .pallas.fused_count import fused_grouped_count
-        s2d, counts2d = fused_grouped_count(shaped, interpret=not on_tpu)
+        s2d, counts2d = fused_grouped_count(shaped, interpret=interp)
         counts = counts2d.reshape(-1)
         is_start = counts > 0
         if nk < len(words):
@@ -253,14 +261,18 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
         s2d = [lax.sort((shaped[0], dummy), num_keys=1, dimension=1)[0]]
     else:
         s2d = list(lax.sort(tuple(shaped), num_keys=nk, dimension=1))
-    if nk == len(words):            # no repack happened (W == 1)
+    if use_hybrid:
+        from .pallas.fused_count import run_lengths_grouped_pallas
+        counts = run_lengths_grouped_pallas(s2d, interpret=interp).reshape(-1)
+        is_start = counts > 0
+    elif nk == len(words):          # no repack happened (W == 1)
         is_start, counts = run_lengths_grouped(s2d, valid_word=0)
-        std = s2d
     else:
         is_start, counts = run_lengths_grouped(s2d, valid_word=-1)
-        std = [w.reshape(G, m) for w in
-               unpack_words([w.reshape(-1) for w in s2d], n_bases)]
-    return [w.reshape(-1) for w in std], is_start, counts
+    if nk < len(words):
+        std = unpack_words([w.reshape(-1) for w in s2d], n_bases)
+        return std, is_start, counts
+    return [w.reshape(-1) for w in s2d], is_start, counts
 
 
 def sort_count(words: list[jnp.ndarray]):

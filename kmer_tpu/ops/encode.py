@@ -143,3 +143,16 @@ def revcomp_str(seq: str) -> str:
     """Host-side reverse complement (oracle helper)."""
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     return "".join(comp[b] for b in reversed(seq))
+
+
+def unpack_codes_u32(packed, L: int):
+    """Device-side inverse of the host 2-bit packer (io/native
+    fill_batch_packed / io.fasta.pack_batch_codes): (B, ceil(L/16))
+    uint32 -> (B, L) uint8 codes.  16 shift-ands on the word array —
+    negligible next to the 4x H2D saving the packed transfer buys.
+    """
+    import jax.numpy as jnp
+    B, Lw = packed.shape
+    shifts = jnp.asarray(2 * (15 - np.arange(16)), dtype=jnp.uint32)
+    ex = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(3)
+    return ex.reshape(B, Lw * 16)[:, :L].astype(jnp.uint8)

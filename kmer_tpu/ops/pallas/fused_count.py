@@ -60,8 +60,9 @@ def _kernel(*refs, n_words: int, m: int):
             p0, w0 = partner[0], ws[0]
             # strict compares keep equal-key pairs in place on BOTH
             # sides (a non-strict variant would duplicate one payload
-            # and drop the other)
-            takep = jnp.where(take_min, p0 < w0, p0 > w0)
+            # and drop the other).  Pure i1 logic — a select over bool
+            # vectors hits an unsupported i8->i1 truncation in Mosaic.
+            takep = ((p0 < w0) & take_min) | ((p0 > w0) & ~take_min)
             ws = [jnp.where(takep, pw, w) for pw, w in zip(partner, ws)]
             j //= 2
         k_ *= 2
@@ -83,6 +84,53 @@ def _kernel(*refs, n_words: int, m: int):
     for r, w in zip(out_refs, ws):
         r[:] = w
     cnt_ref[:] = counts
+
+
+def _scan_kernel(*refs, n_words: int, m: int):
+    """Run-length only: inputs already group-sorted (XLA's variadic sort
+    is measured-faster than the in-kernel bitonic; the scan is where
+    XLA loses — lax.cummin makes log(m) full passes while this kernel
+    does the suffix-min entirely in VMEM, one HBM read + one write)."""
+    in_refs = refs[:n_words]
+    cnt_ref = refs[n_words]
+    ws = [r[:] for r in in_refs]
+    idx = lax.broadcasted_iota(jnp.uint32, ws[0].shape, 1)
+    idx_i = idx.astype(jnp.int32)
+    is_start = idx == 0
+    for w in ws:
+        is_start = is_start | (w != pltpu.roll(w, 1, axis=1))
+    sp = jnp.where(is_start, idx_i, m)
+    d = 1
+    while d < m:
+        sh = jnp.where(idx_i >= m - d, m, pltpu.roll(sp, m - d, axis=1))
+        sp = jnp.minimum(sp, sh)
+        d *= 2
+    next_start = jnp.where(idx_i == m - 1, m, pltpu.roll(sp, m - 1, axis=1))
+    valid = ws[-1] != jnp.uint32(SENTINEL)
+    cnt_ref[:] = jnp.where(is_start & valid, next_start - idx_i, 0)
+
+
+def run_lengths_grouped_pallas(sorted_2d: list[jnp.ndarray], *,
+                               block_groups: int = BLOCK_G,
+                               interpret: bool = False) -> jnp.ndarray:
+    """counts (G, m) for group-sorted repacked words; validity from the
+    last word.  Requires G % block_groups == 0 and m a multiple of 128."""
+    G, m = sorted_2d[0].shape
+    assert G % block_groups == 0, (G, block_groups)
+    assert m % 128 == 0, m
+    n_words = len(sorted_2d)
+    spec = pl.BlockSpec((block_groups, m), lambda q: (q, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, n_words=n_words, m=m),
+        grid=(G // block_groups,),
+        in_specs=[spec] * n_words,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, m), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*sorted_2d)
 
 
 def fused_grouped_count(rwords: list[jnp.ndarray], *,

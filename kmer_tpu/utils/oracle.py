@@ -121,3 +121,35 @@ def read_fasta_py(path: str) -> list[str]:
     if cur is not None:
         seqs.append("".join(cur))
     return seqs
+
+
+def read_fastq_stream(f):
+    """Yield sequences from an open FASTQ text stream — same semantics
+    as read_fastq_py (wrapping-safe, '@'-in-quality safe) without
+    materializing the file (chunked-ingest fallback path)."""
+    while True:
+        line = f.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith("@"):
+            raise ValueError("FASTQ record must start with '@'")
+        seq: list[str] = []
+        while True:
+            ln = f.readline()
+            if not ln:
+                raise ValueError("truncated FASTQ record")
+            if ln.startswith("+"):
+                break
+            seq.append(ln.strip())
+        s = "".join(seq)
+        q = 0
+        while q < len(s):
+            ln = f.readline()
+            if not ln:
+                break
+            q += len(ln.strip())
+        if q != len(s):
+            raise ValueError("truncated FASTQ record")
+        yield s

@@ -257,6 +257,48 @@ def main():
     limits = jnp.full((B,), L, jnp.int32)
 
     phase = int(__import__("os").environ.get("PHASE", "1"))
+    if phase == 3:
+        # full production step via grouped_count backends
+        from kmer_tpu.ops.count import grouped_count
+
+        def mk_step_prod(m, backend):
+            @jax.jit
+            def step(codes):
+                words, valid = canonical_kmer_lanes(codes, lengths, K,
+                                                    limits=limits)
+                std, is_start, counts = grouped_count(words, valid, K, m,
+                                                      backend=backend)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("prod_xla_m512", mk_step_prod(512, "xla"), codes, N_STEP)
+        bench("prod_pal_m512", mk_step_prod(512, "pallas"), codes, N_STEP)
+        bench("prod_pal_m256", mk_step_prod(256, "pallas"), codes, N_STEP)
+        bench("prod_pal_m128", mk_step_prod(128, "pallas"), codes, N_STEP)
+        bench("prod_pal_m1024", mk_step_prod(1024, "pallas"), codes, N_STEP)
+        bench("prod_xla_m512#2", mk_step_prod(512, "xla"), codes, N_STEP)
+        return
+    if phase == 4:
+        from kmer_tpu.ops.count import grouped_count
+
+        def mk_step_prod(m, backend):
+            @jax.jit
+            def step(codes):
+                words, valid = canonical_kmer_lanes(codes, lengths, K,
+                                                    limits=limits)
+                std, is_start, counts = grouped_count(words, valid, K, m,
+                                                      backend=backend)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("prod_hyb_m512", mk_step_prod(512, "hybrid"), codes, N_STEP)
+        bench("prod_hyb_m256", mk_step_prod(256, "hybrid"), codes, N_STEP)
+        bench("prod_hyb_m128", mk_step_prod(128, "hybrid"), codes, N_STEP)
+        bench("prod_xla_m512#3", mk_step_prod(512, "xla"), codes, N_STEP)
+        bench("prod_hyb_m256#2", mk_step_prod(256, "hybrid"), codes, N_STEP)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)

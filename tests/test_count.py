@@ -339,3 +339,55 @@ def test_tie_heavy_top_word(tmpdir):
                                              max_read_len=80,
                                              sort_group_keys=16))
         assert table.to_dict() == dict(want), k
+
+
+def test_packed_transfer_roundtrip():
+    """Host packer (native + numpy fallback) and device unpack are
+    inverses."""
+    import jax.numpy as jnp
+    from kmer_tpu.io.fasta import pack_batch_codes, iter_batches
+    from kmer_tpu.ops.encode import unpack_codes_u32
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, (8, 50), dtype=np.uint8)
+    packed = pack_batch_codes(codes)
+    assert packed.shape == (8, 4) and packed.dtype == np.uint32
+    back = np.asarray(unpack_codes_u32(jnp.asarray(packed), 50))
+    assert (back == codes).all()
+    # batcher parity: packed and unpacked batches describe the same rows
+    flat = codes.reshape(-1)
+    offsets = np.arange(0, flat.size + 1, 50, dtype=np.int64)
+    b_u8 = list(iter_batches(flat, offsets, batch_reads=8, max_len=64,
+                             overlap=20))[0]
+    b_pk = list(iter_batches(flat, offsets, batch_reads=8, max_len=64,
+                             overlap=20, packed=True))[0]
+    assert b_pk.packed_width == 64
+    unp = np.asarray(unpack_codes_u32(jnp.asarray(b_pk.codes), 64))
+    assert (unp == b_u8.codes).all()
+    assert (b_pk.lengths == b_u8.lengths).all()
+
+
+def test_packed_vs_unpacked_table(tmpdir):
+    """End-to-end: packed_transfer on/off produce identical tables."""
+    path = _write(tmpdir, reference_style_fasta(n_records=4, seed=21),
+                  "pk.fasta")
+    a = count_fasta(path, KmerConfig(k=21, canonical=True, batch_reads=8,
+                                     max_read_len=100, packed_transfer=True))
+    b = count_fasta(path, KmerConfig(k=21, canonical=True, batch_reads=8,
+                                     max_read_len=100, packed_transfer=False))
+    assert a == b
+    want = oracle.oracle_count(oracle.read_fasta_py(path), 21, canonical=True)
+    assert a.to_dict() == dict(want)
+
+
+@pytest.mark.parametrize("k", [9, 12])
+def test_dense_hybrid_k9_12(tmpdir, k):
+    """Explicit dense mode for k = 9..12 (hybrid: device sort-count +
+    host dense accumulation) must equal sort mode and the oracle."""
+    path = _write(tmpdir, random_reads_fasta(25, 48, seed=k), f"dh{k}.fasta")
+    td = count_fasta(path, KmerConfig(k=k, mode="dense", batch_reads=8,
+                                      max_read_len=48))
+    ts = count_fasta(path, KmerConfig(k=k, mode="sort", batch_reads=8,
+                                      max_read_len=48))
+    want = oracle.oracle_count(oracle.read_fasta_py(path), k)
+    assert td == ts
+    assert td.to_dict() == dict(want)

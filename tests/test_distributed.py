@@ -196,3 +196,45 @@ def test_multi_hop_halo_narrow_shards():
     want = Counter(oracle.oracle_gapped_lines(seqs2, l_len=4, r_len=4,
                                               c_min=10, c_max=20))
     assert t2.to_dict() == dict(want)
+
+
+def test_default_capacity_even_share_not_ndev_inflated():
+    """VERDICT r1 #3: the send buffer must be ~N_loc (even share x
+    slack), not n_dev x N_loc.  The global output length exposes the
+    per-device capacity: n_dev * (n_dev * cap)."""
+    import jax
+    B, L, k, n = 64, 128, 21, 8
+    m = mesh_lib.make_mesh(n, 1)
+    fn = distributed.make_distributed_count(m, k=k)
+    codes = jnp.zeros((B, L), jnp.uint8)
+    lens = jnp.full((B,), L, jnp.int32)
+    shapes = jax.eval_shape(fn, codes, lens, lens)
+    n_local = (B // n) * (L - k + 1)
+    cap = distributed.route_capacity(n_local, n)
+    assert shapes[0][0].shape[0] == n * n * cap
+    # the old default would have been n * n * n_local — n_dev x larger
+    assert n * n * cap < n * n * n_local
+
+
+def test_skewed_corpus_streaming_overflow_retry(tmp_path):
+    """All-identical reads route every key to one destination — the
+    even-share default capacity overflows and the streaming driver must
+    retry with doubled capacity and still produce the exact table."""
+    from kmer_tpu import KmerConfig
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    reads = ["A" * 500] * 16              # every 9-mer routes to dest 0
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads))
+    p = tmp_path / "skew.fasta"
+    p.write_text(text)
+    cfg = KmerConfig(k=9, mode="sort", batch_reads=16, max_read_len=512,
+                     partitions=4)
+    m = mesh_lib.make_mesh(8, 1)
+    # the skew MUST overflow the even-share default so the retry path
+    # is really exercised
+    n_local = (16 // 8) * (512 - 9 + 1)
+    assert distributed.route_capacity(n_local, 8) < n_local
+    sc = StreamingCounter(str(p), cfg, str(tmp_path / "sp"), mesh=m)
+    sc.run()
+    assert sc._dist_capacity is not None   # retry happened
+    want = oracle.oracle_count(reads, 9)
+    assert sc.final_table().to_dict() == dict(want)

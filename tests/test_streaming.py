@@ -189,3 +189,44 @@ def test_streaming_with_mesh_matches_single(tmpdir, shape):
                           mesh=m)
     sc.run()
     assert sc.final_table() == want
+
+
+def test_chunked_ingest_bounded_memory(tmp_path):
+    """Tiny ingest chunks: identical table, and the resume cursor in the
+    manifest advances past completed chunks (no byte re-parse on
+    resume)."""
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.pipeline.count import count_fasta
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    path = tmp_path / "chunky.fasta"
+    path.write_text(random_reads_fasta(60, 90, seed=44))
+    cfg = KmerConfig(k=21, batch_reads=8, max_read_len=96,
+                     ingest_chunk_bases=1000, partitions=4)
+    want = count_fasta(str(path), cfg.replace(ingest_chunk_bases=0))
+    # one-shot count through chunked ingest
+    assert count_fasta(str(path), cfg) == want
+    # streaming, interrupted after every batch
+    sc = StreamingCounter(str(path), cfg, str(tmp_path / "sp"))
+    while not sc.state["pass1_done"]:
+        sc.run_pass1(max_batches=1)
+        # re-open to exercise manifest resume
+        sc = StreamingCounter(str(path), cfg, str(tmp_path / "sp"))
+    assert sc.state["pass1_cursor"] > 0
+    sc.run_pass2()
+    assert sc.final_table() == want
+
+
+def test_chunked_ingest_gzip_streamed(tmp_path):
+    """gzip input through the chunked native parser (no temp file)."""
+    import gzip
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.pipeline.count import count_fasta
+    text = random_reads_fasta(30, 80, seed=45)
+    plain = tmp_path / "g.fasta"
+    plain.write_text(text)
+    gzp = tmp_path / "g.fasta.gz"
+    with gzip.open(gzp, "wt") as f:
+        f.write(text)
+    cfg = KmerConfig(k=15, batch_reads=8, max_read_len=96,
+                     ingest_chunk_bases=700)
+    assert count_fasta(str(gzp), cfg) == count_fasta(str(plain), cfg)
