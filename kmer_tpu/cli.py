@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                          "them (default: error, the reference's contract)")
     pc.add_argument("--min-count", type=int, default=1,
                     help="suppress k-mers with count below this")
+    pc.add_argument("--compact", action="store_true",
+                    help="on-device compaction: device->host transfer "
+                         "scales with distinct k-mers (sort mode, k<=31)")
     pc.add_argument("--out-npz", default=None,
                     help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",
@@ -72,12 +75,17 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--canonical", action="store_true")
 
     pg = sub.add_parser("generate", help="seeded random FASTA/FASTQ to stdout")
-    pg.add_argument("--style", choices=["reference", "reads"], default="reference")
+    pg.add_argument("--style", choices=["reference", "reads", "genome"],
+                    default="reference",
+                    help="genome: reads sampled from one random genome "
+                         "(realistic k-mer multiplicity structure)")
     pg.add_argument("--format", choices=["fasta", "fastq"], default="fasta",
                     help="fastq implies --style reads")
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--n-records", type=int, default=200)
     pg.add_argument("--read-len", type=int, default=150)
+    pg.add_argument("--genome-len", type=int, default=100_000)
+    pg.add_argument("--error-rate", type=float, default=0.0)
 
     args = ap.parse_args(argv)
     try:
@@ -94,7 +102,8 @@ def _dispatch(args) -> int:
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
                          partitions=args.partitions, stats=args.stats,
-                         skip_invalid=args.skip_invalid)
+                         skip_invalid=args.skip_invalid,
+                         compact=args.compact)
         from .utils.profiling import trace
         if args.multihost:
             if len(args.fasta) != 1:
@@ -166,9 +175,14 @@ def _dispatch(args) -> int:
     if args.cmd == "generate":
         from .io.generator import (random_reads_fasta, random_reads_fastq,
                                    reference_style_fasta)
+        from .io.generator import genome_reads_fasta
         if args.format == "fastq":
             sys.stdout.write(random_reads_fastq(args.n_records, args.read_len,
                                                 seed=args.seed))
+        elif args.style == "genome":
+            sys.stdout.write(genome_reads_fasta(
+                args.n_records, args.read_len, genome_len=args.genome_len,
+                seed=args.seed, error_rate=args.error_rate))
         elif args.style == "reference":
             sys.stdout.write(reference_style_fasta(n_records=args.n_records,
                                                    seed=args.seed))

@@ -28,13 +28,14 @@ class KmerConfig:
     c_min: int = 80
     c_max: int = 140
     # sort-mode grouping: keys per independent device sort slice (the
-    # sort is O(n log^2 n), so many small sorts beat one big one; 512
-    # measured optimal on v5e with the repacked 1-key comparator,
-    # scripts/r2_sort_experiments.py).  Equal keys may then span groups,
-    # which the host aggregation absorbs — smaller groups trade device
-    # speed against on-device dedup for repetitive corpora; 0 = one
-    # global sort per batch (globally sorted device output).
-    sort_group_keys: int = 512
+    # sort is O(n log^2 n), so many small sorts beat one big one; 256
+    # measured optimal on v5e with the repacked 1-key comparator + the
+    # Pallas run-length scan, scripts/r2_sort_experiments.py).  Equal
+    # keys may then span groups, which the host aggregation absorbs —
+    # smaller groups trade device speed against on-device dedup for
+    # repetitive corpora; 0 = one global sort per batch (globally
+    # sorted device output).
+    sort_group_keys: int = 256
     # streaming / two-pass
     partitions: int = 16                    # hash-prefix spill partitions
     # bounded-memory ingest: parse inputs in record-aligned windows of
@@ -43,6 +44,12 @@ class KmerConfig:
     # size; 0 = whole-file parse.  Chunk boundaries are deterministic —
     # they are part of the streaming-resume fingerprint.
     ingest_chunk_bases: int = 1 << 28
+    # on-device compaction (sort mode, k <= 31): the device step returns
+    # only distinct (key, count) records, so device->host transfer
+    # scales with DISTINCT k-mers instead of total — a large win on
+    # repetitive corpora / slow host links at the cost of an extra
+    # partition pass on device (ops/count.grouped_count_compact).
+    compact: bool = False
     # host->device transfer: ship batches 2-bit-packed in uint32 words
     # (4x smaller H2D; device unpacks in 16 shift-ands).  Automatically
     # disabled in skip_invalid mode (ambiguity code needs 3 bits).
@@ -72,6 +79,10 @@ class KmerConfig:
         if self.max_read_len < self.window_span:
             raise ValueError(
                 f"max_read_len={self.max_read_len} < window span {self.window_span}")
+        if self.compact and (self.gapped or self.k > 31):
+            raise ValueError("compact mode supports contiguous k <= 31")
+        if self.compact and self.mode == "dense":
+            raise ValueError("compact applies to sort mode")
 
     @property
     def window_span(self) -> int:
@@ -93,6 +104,8 @@ class KmerConfig:
         4^k layout materializes."""
         if self.mode != "auto":
             return self.mode
+        if self.compact:
+            return "sort"
         return "dense" if (self.k <= 8 and not self.gapped) else "sort"
 
     def replace(self, **kw) -> "KmerConfig":

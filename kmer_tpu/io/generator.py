@@ -77,3 +77,35 @@ def random_reads_fastq(n_reads: int, read_len: int, seed: int = 0) -> str:
         buf.write(qual)
         buf.write("\n")
     return buf.getvalue()
+
+
+def genome_reads_fasta(n_reads: int, read_len: int, genome_len: int = 100_000,
+                       seed: int = 0, error_rate: float = 0.0,
+                       revcomp: bool = True) -> str:
+    """Reads sampled from ONE random genome — the realistic workload
+    shape for k-mer counting: at coverage n_reads*read_len/genome_len,
+    most k-mers recur ~coverage times, so device compaction and host
+    aggregation see genuine duplicate structure (uniform-random reads
+    have essentially none).  Optional per-base substitution errors and
+    reverse-complement strands (canonical-counting realism).
+    """
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, genome_len, dtype=np.uint8)
+    starts = rng.integers(0, max(genome_len - read_len, 1), n_reads)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    codes = genome[idx]
+    if error_rate > 0:
+        err = rng.random(codes.shape) < error_rate
+        codes = np.where(err, (codes + rng.integers(1, 4, codes.shape)) % 4,
+                         codes).astype(np.uint8)
+    if revcomp:
+        flip = rng.random(n_reads) < 0.5
+        rc = (3 - codes)[:, ::-1]
+        codes = np.where(flip[:, None], rc, codes).astype(np.uint8)
+    ascii_rows = _BASES[codes]
+    buf = _io.StringIO()
+    for i in range(n_reads):
+        buf.write(f">gread_{i:06d}\n")
+        buf.write(ascii_rows[i].tobytes().decode())
+        buf.write("\n")
+    return buf.getvalue()

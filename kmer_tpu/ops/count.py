@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .encode import words_per_key
 from .extract import SENTINEL
 
 DENSE_K_MAX = 12
@@ -224,11 +225,20 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     size; equal keys may span groups/ties — callers aggregate with
     KmerTable.from_pairs (partial-aggregation contract).
     """
-    backend = backend or os.environ.get("KMER_TPU_GROUPED", "auto")
-    flat = [w.reshape(-1) for w in words]
-    vflat = valid.reshape(-1)
+    rwords, nk = repack_words([w.reshape(-1) for w in words],
+                              valid.reshape(-1), n_bases)
+    return grouped_count_repacked(rwords, n_bases, group_keys,
+                                  backend=backend)
+
+
+def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
+                         backend: str):
+    """Shared core: pad -> grouped sort -> run-length over repacked
+    words.  Returns (flat_sorted_rwords, counts) of padded flat size."""
+    flat = [w.reshape(-1) for w in rwords]
     n = flat[0].shape[0]
     m = max(min(group_keys, n), 1)
+    nk = max(len(flat) - 1, 1)
     from .pallas.fused_count import BLOCK_G
     on_tpu = jax.default_backend() == "tpu"
     use_fused = (m >= 128 and (m & (m - 1)) == 0 and backend == "pallas")
@@ -239,21 +249,13 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     if pad:
         flat = [jnp.concatenate([w, jnp.full((pad,), SENTINEL, w.dtype)])
                 for w in flat]
-        vflat = jnp.concatenate([vflat, jnp.zeros((pad,), bool)])
     G = (n + pad) // m
-    rwords, nk = repack_words(flat, vflat, n_bases)
-    shaped = [w.reshape(G, m) for w in rwords]
+    shaped = [w.reshape(G, m) for w in flat]
     interp = not on_tpu
     if use_fused:
         from .pallas.fused_count import fused_grouped_count
         s2d, counts2d = fused_grouped_count(shaped, interpret=interp)
-        counts = counts2d.reshape(-1)
-        is_start = counts > 0
-        if nk < len(words):
-            std = unpack_words([w.reshape(-1) for w in s2d], n_bases)
-        else:
-            std = [w.reshape(-1) for w in s2d]
-        return std, is_start, counts
+        return [w.reshape(-1) for w in s2d], counts2d.reshape(-1)
     if len(shaped) == 1:
         # XLA:TPU single-operand sort takes a ~10x slower path than the
         # variadic one; a throwaway payload operand selects the fast path
@@ -264,15 +266,71 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
     if use_hybrid:
         from .pallas.fused_count import run_lengths_grouped_pallas
         counts = run_lengths_grouped_pallas(s2d, interpret=interp).reshape(-1)
-        is_start = counts > 0
-    elif nk == len(words):          # no repack happened (W == 1)
-        is_start, counts = run_lengths_grouped(s2d, valid_word=0)
     else:
-        is_start, counts = run_lengths_grouped(s2d, valid_word=-1)
-    if nk < len(words):
-        std = unpack_words([w.reshape(-1) for w in s2d], n_bases)
-        return std, is_start, counts
-    return [w.reshape(-1) for w in s2d], is_start, counts
+        _, counts = run_lengths_grouped(s2d, valid_word=-1)
+    return [w.reshape(-1) for w in s2d], counts
+
+
+def grouped_count_repacked(rwords: list[jnp.ndarray], n_bases: int,
+                           group_keys: int, backend: str | None = None):
+    """grouped_count core over already-repacked words (word 0..nk-1 are
+    the sort keys, the LAST word carries validity: < 2^s real, SENTINEL
+    invalid).  Entry point for the fused Pallas extractor, which emits
+    this layout directly (ops/pallas/extract.py)."""
+    backend = backend or os.environ.get("KMER_TPU_GROUPED", "auto")
+    s_flat, counts = _sorted_grouped_runs(rwords, group_keys, backend)
+    std = unpack_words(s_flat, n_bases)
+    return std, counts > 0, counts
+
+
+def grouped_count_compact(words: list[jnp.ndarray], valid: jnp.ndarray,
+                          n_bases: int, group_keys: int, *,
+                          part_keys: int = 2048,
+                          backend: str | None = None):
+    """Grouped count + ON-DEVICE COMPACTION (VERDICT r1 #2): returns
+    (row_blocks, total_rows) — 128-lane rows of 32 records each
+    (word0, word1, count, 0) in repacked layout, all of this batch's
+    distinct entries in rows [0, total_rows) (plus < 32 dead count==0
+    records per coarse group, dropped by the host filter;
+    pipeline.table.KmerTable.from_compact decodes).  D2H then scales
+    with DISTINCT k-mers: the host fetches only the live rows, not the
+    full static key stream.
+
+    Pipeline: repack -> grouped sort + run-length (the fast count
+    core) -> a part_keys-grouped single-key partition sort that moves
+    each coarse group's live entries to its front -> one sequential-DMA
+    pack (ops/pallas/compact.pack_groups) that concatenates the live
+    prefixes.  Supports W <= 2 keys (k <= 31; the gapped 4-word mode
+    keeps the uncompacted path).
+    """
+    W = words_per_key(n_bases)
+    assert W <= 2, "compaction supports k <= 31 keys"
+    backend = backend or os.environ.get("KMER_TPU_GROUPED", "auto")
+    rwords, _nk = repack_words([w.reshape(-1) for w in words],
+                               valid.reshape(-1), n_bases)
+    s_flat, counts = _sorted_grouped_runs(rwords, group_keys, backend)
+    n = s_flat[0].shape[0]
+    m2 = part_keys
+    pad = (-n) % m2
+    if pad:
+        s_flat = [jnp.concatenate([w, jnp.full((pad,), SENTINEL, w.dtype)])
+                  for w in s_flat]
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+    G2 = (n + pad) // m2
+    live = counts > 0
+    inv = (~live).astype(jnp.uint32)
+    operands = [inv.reshape(G2, m2)]
+    operands += [w.reshape(G2, m2) for w in s_flat]
+    operands.append(counts.astype(jnp.uint32).reshape(G2, m2))
+    part = lax.sort(tuple(operands), num_keys=1, dimension=1)
+    d = jnp.sum(live.reshape(G2, m2), axis=1, dtype=jnp.int32)
+    w0 = part[1]
+    w1 = part[2] if len(s_flat) == 2 else jnp.zeros_like(w0)
+    cnt = part[-1]
+    from .pallas.compact import pack_groups, pack_groups_xla
+    if jax.default_backend() == "tpu":
+        return pack_groups(w0, w1, cnt, d)
+    return pack_groups_xla(w0, w1, cnt, d)
 
 
 def sort_count(words: list[jnp.ndarray]):

@@ -45,6 +45,22 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     if packed_width:
         from ..ops.encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
+    import os
+    # measured on v5e: the Pallas extraction kernel loses to XLA's fused
+    # slice-sum (0.72 ms vs 0.38 ms per 4.26M keys — the 2k lane-shifted
+    # VMEM slices cost more than XLA's re-reads), so it stays opt-in
+    ex_backend = os.environ.get("KMER_TPU_EXTRACT", "xla")
+    use_pallas_extract = (
+        group_keys > 0 and 17 <= k <= 31 and not mask_ambiguous
+        and ex_backend == "pallas")
+    if use_pallas_extract:
+        # fused extraction -> canonical -> repack in one VMEM pass
+        # (ops/pallas/extract.py); feeds the grouped sort directly in
+        # sort layout
+        from ..ops.pallas.extract import extract_repacked
+        top, bot = extract_repacked(codes, lengths, limits, k, canonical,
+                                    interpret=jax.default_backend() != "tpu")
+        return count_ops.grouped_count_repacked([top, bot], k, group_keys)
     if canonical:
         words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                             mask_ambiguous=mask_ambiguous)
@@ -54,6 +70,39 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     if group_keys > 0:
         return count_ops.grouped_count(words, valid, k, group_keys)
     return count_ops.sort_count(words)
+
+
+@partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
+                                   "group_keys", "part_keys",
+                                   "packed_width"))
+def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
+                       mask_ambiguous: bool = False, group_keys: int = 256,
+                       part_keys: int = 2048, packed_width: int = 0):
+    """One device batch with ON-DEVICE COMPACTION: returns
+    (records, total) — the host fetches only rows [0, total), so D2H
+    scales with distinct k-mers (ops/count.grouped_count_compact)."""
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
+    if canonical:
+        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
+                                            mask_ambiguous=mask_ambiguous)
+    else:
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits,
+                                  mask_ambiguous=mask_ambiguous)
+    return count_ops.grouped_count_compact(words, valid, k, group_keys,
+                                           part_keys=part_keys)
+
+
+def fetch_compact_rows(row_blocks, total_rows) -> np.ndarray:
+    """Host fetch of a compacted batch: transfers only ~total_rows
+    128-lane rows (rounded up to a power-of-two bucket so at most ~log2
+    distinct transfer shapes ever compile)."""
+    t = int(total_rows)
+    if t == 0:
+        return np.zeros((0, 128), np.uint32)
+    cap = min(row_blocks.shape[0], 1 << max(7, (t - 1).bit_length()))
+    return np.asarray(row_blocks[:cap])[:t]
 
 
 @partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
@@ -194,6 +243,13 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                         l_len=cfg.l_len, r_len=cfg.r_len,
                         mask_ambiguous=cfg.skip_invalid,
                         group_keys=cfg.sort_group_keys, packed_width=pw)
+                elif cfg.compact:
+                    out = count_step_compact(
+                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.start_limits),
+                        k=cfg.k, canonical=cfg.canonical,
+                        mask_ambiguous=cfg.skip_invalid,
+                        group_keys=cfg.sort_group_keys, packed_width=pw)
                 else:
                     out = count_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
@@ -205,7 +261,12 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     if dense_hybrid:
                         hybrid_accumulate(pending)
                     else:
-                        btab = KmerTable.from_device_runs(n_bases, *pending)
+                        if cfg.compact and not cfg.gapped:
+                            rows = fetch_compact_rows(*pending)
+                            btab = KmerTable.from_compact(n_bases, rows)
+                        else:
+                            btab = KmerTable.from_device_runs(n_bases,
+                                                              *pending)
                         parts.append(btab)
                         buffered += btab.num_distinct
                         if buffered >= FLUSH_PAIRS:
@@ -217,6 +278,9 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     if pending is not None:
         if dense_hybrid:
             hybrid_accumulate(pending)
+        elif cfg.compact and not cfg.gapped:
+            rows = fetch_compact_rows(*pending)
+            parts.append(KmerTable.from_compact(n_bases, rows))
         else:
             parts.append(KmerTable.from_device_runs(n_bases, *pending))
     flush(final=True)

@@ -230,6 +230,7 @@ class StreamingCounter:
     def _batch_table(self, batch) -> KmerTable:
         import jax.numpy as jnp
         cfg = self.cfg
+        pw = getattr(batch, "packed_width", 0)
         if self._dist_fn is not None:
             args = (jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                     jnp.asarray(batch.start_limits))
@@ -262,15 +263,23 @@ class StreamingCounter:
                 jnp.asarray(batch.start_limits),
                 c_min=cfg.c_min, c_max=cfg.c_max,
                 l_len=cfg.l_len, r_len=cfg.r_len,
-                mask_ambiguous=cfg.skip_invalid)
+                mask_ambiguous=cfg.skip_invalid,
+                group_keys=cfg.sort_group_keys, packed_width=pw)
         else:
             from .count import count_step_sort
             s, is_start, counts = count_step_sort(
                 jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                 jnp.asarray(batch.start_limits),
                 k=cfg.k, canonical=cfg.canonical,
-                mask_ambiguous=cfg.skip_invalid)
-        return KmerTable.from_device_runs(self._n_bases, s, is_start, counts)
+                mask_ambiguous=cfg.skip_invalid,
+                group_keys=cfg.sort_group_keys, packed_width=pw)
+        table = KmerTable.from_device_runs(self._n_bases, s, is_start, counts)
+        if cfg.sort_group_keys > 0:
+            # grouped output is only group-locally sorted; _spill_table
+            # needs globally sorted keys (searchsorted partition cuts)
+            table = KmerTable.from_pairs(self._n_bases, table.keys,
+                                         table.counts)
+        return table
 
     def run_pass1(self, max_batches: int | None = None) -> None:
         """Pass 1; `max_batches` limits work this call (for tests and

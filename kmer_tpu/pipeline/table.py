@@ -91,6 +91,31 @@ class KmerTable:
                          counts[starts].astype(np.int64))
 
     @staticmethod
+    def from_compact(n_bases: int, row_blocks: np.ndarray) -> "KmerTable":
+        """Decode one batch's ON-DEVICE-COMPACTED row blocks
+        (ops/count.grouped_count_compact): (R, 128) uint32 = 32 records
+        of (word0, word1, count, _) per row in the repacked sort
+        layout; dead padding records carry count == 0 and are dropped;
+        converts back to std key words and aggregates."""
+        rows = np.asarray(row_blocks).reshape(-1, 4)
+        rows = rows[rows[:, 2] > 0]
+        W = words_per_key(n_bases)
+        counts = rows[:, 2].astype(np.int64)
+        if W == 1:
+            keys = rows[:, :1]
+        else:
+            s = 2 * n_bases - 32
+            if s == 0:
+                # k == 16: repacked = (key word, 0-flag); std w0 is 0
+                keys = np.stack([np.zeros_like(rows[:, 0]), rows[:, 0]], 1)
+            else:
+                top, bot = rows[:, 0], rows[:, 1]
+                hi = top >> np.uint32(32 - s)
+                lo = (top << np.uint32(s)) | (bot & np.uint32((1 << s) - 1))
+                keys = np.stack([hi, lo], 1)
+        return KmerTable.from_pairs(n_bases, keys, counts)
+
+    @staticmethod
     def from_pairs(k: int, keys: np.ndarray, counts: np.ndarray) -> "KmerTable":
         """Aggregate unsorted (key, count) pairs into a sorted unique
         table — one vectorized argsort + run-sum (no Python loop)."""

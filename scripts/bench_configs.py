@@ -27,7 +27,8 @@ from kmer_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
-SAMPLE = "/root/reference/k-mer-count/sample.fasta"
+SAMPLE = os.path.join(os.path.dirname(__file__), "..", "tests", "data",
+                      "sample.fasta")
 
 
 def emit(**kw):
@@ -87,6 +88,25 @@ def main():
             emit(config=3, metric=f"dense k={k} end-to-end",
                  reads=args.reads, secs=round(dt, 3),
                  kmers_per_s=round(table.total / dt))
+
+        # -- genome-coverage corpus: on-device compaction win -------------
+        # (duplicate-heavy reads are THE realistic k-mer workload; D2H
+        # then scales with distinct k-mers instead of total)
+        from kmer_tpu.io.generator import genome_reads_fasta
+        gcorpus = os.path.join(tmp, "genome_reads.fasta")
+        n_g = max(args.reads // 4, 2000)
+        with open(gcorpus, "w") as f:
+            f.write(genome_reads_fasta(n_g, 150, genome_len=200_000, seed=11))
+        for compact in (False, True):
+            cfg = KmerConfig(k=21, canonical=True, batch_reads=8192,
+                             max_read_len=150, compact=compact)
+            t0 = time.perf_counter()
+            tg = count_fasta(gcorpus, cfg)
+            dt = time.perf_counter() - t0
+            emit(config="2g", metric="k=21 canonical genome-coverage "
+                 f"end-to-end compact={compact}", reads=n_g,
+                 secs=round(dt, 3), total=tg.total, distinct=tg.num_distinct,
+                 kmers_per_s=round(tg.total / dt))
 
         # -- config 4: streaming two-pass ---------------------------------
         spill = os.path.join(tmp, "spill")

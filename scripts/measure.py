@@ -66,7 +66,8 @@ def main():
     @jax.jit
     def full_step(codes):
         s, is_start, counts = count_step_sort(codes, lengths, limits,
-                                              k=K, canonical=True)
+                                              k=K, canonical=True,
+                                              group_keys=256)
         return codes.at[0, :].set((counts[:L] % 4).astype(jnp.uint8))
 
     run_chained("full step", full_step, codes0,

@@ -299,6 +299,104 @@ def main():
         bench("prod_xla_m512#3", mk_step_prod(512, "xla"), codes, N_STEP)
         bench("prod_hyb_m256#2", mk_step_prod(256, "hybrid"), codes, N_STEP)
         return
+    if phase == 5:
+        # full production step via count_step_sort (pallas extractor on)
+        from kmer_tpu.pipeline.count import count_step_sort
+
+        def mk_full(m):
+            @jax.jit
+            def step(codes):
+                s, is_start, counts = count_step_sort(
+                    codes, lengths, limits, k=K, canonical=True,
+                    group_keys=m)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        def mk_extract_pallas():
+            from kmer_tpu.ops.pallas.extract import extract_repacked
+
+            @jax.jit
+            def step(codes):
+                top, bot = extract_repacked(codes, lengths, limits, K, True)
+                inj = ((top[0, :P] ^ bot[0, :P]) % 4).astype(jnp.uint8)
+                return codes.at[0, :P].set(inj)
+            return step
+
+        bench("extract_pallas", mk_extract_pallas(), codes, N_STEP)
+        bench("full_m256", mk_full(256), codes, N_STEP)
+        bench("full_m512", mk_full(512), codes, N_STEP)
+        bench("full_m128", mk_full(128), codes, N_STEP)
+        bench("full_m256#2", mk_full(256), codes, N_STEP)
+        return
+    if phase in (6, 7):
+        # compaction-stage probes
+        def mk_part3(m):
+            G = N_SORT // m
+
+            @jax.jit
+            def step(s):
+                a, b = s
+                f = (a.reshape(G, m) >> 31)
+                top = a.reshape(G, m)
+                packed = b.reshape(G, m) >> 13
+                s0, s1, s2 = lax.sort((f, top, packed), num_keys=1,
+                                      dimension=1)
+                return remix(s1, s2)
+            return step
+
+        def mk_pack_dma(m):
+            from kmer_tpu.ops.pallas.compact import pack_groups
+            G = N_SORT // m
+
+            @jax.jit
+            def step(s):
+                a, b = s
+                w0 = a.reshape(G, m)
+                w1 = b.reshape(G, m)
+                cnt = w0 ^ w1
+                d = (w0[:, :8].sum(axis=1) % m).astype(jnp.int32)
+                out, total = pack_groups(w0, w1, cnt, d)
+                flat = out.reshape(-1)[:N_SORT]
+                na = a ^ flat * jnp.uint32(2654435761)
+                nb = b + jnp.roll(flat, 3)
+                return na, nb
+            return step
+
+        def mk_sort1_u16(m):
+            G = N_SORT // m
+
+            @jax.jit
+            def step(s):
+                a, b = s
+                top = a.reshape(G, m)
+                bot = (b.reshape(G, m) & jnp.uint32(0x3FF)).astype(jnp.uint16)
+                s0, s1 = lax.sort((top, bot), num_keys=1, dimension=1)
+                return remix(s0.reshape(a.shape),
+                             (s1.astype(jnp.uint32) |
+                              (s0 << jnp.uint32(10))).reshape(a.shape))
+            return step
+
+        if phase == 6:
+            bench("s1k_u16_m256", mk_sort1_u16(256), sort_state, N_SORT)
+            bench("s1k_m256#2", mk_sort1(256), sort_state, N_SORT)
+            bench("part3_m2048", mk_part3(2048), sort_state, N_SORT)
+            bench("part3_m512", mk_part3(512), sort_state, N_SORT)
+        bench("pack_dma_m2048", mk_pack_dma(2048), sort_state, N_SORT)
+        bench("pack_dma_m8192", mk_pack_dma(8192), sort_state, N_SORT)
+
+        from kmer_tpu.pipeline.count import count_step_compact
+
+        @jax.jit
+        def step_compact(codes):
+            out, total = count_step_compact(codes, lengths, limits, k=K,
+                                            canonical=True, group_keys=256)
+            flat = out.reshape(-1)
+            inj = (flat[:L] % 4).astype(jnp.uint8)
+            return codes.at[0, :].set(inj)
+
+        bench("prod_compact_m256", step_compact, codes, N_STEP)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)

@@ -391,3 +391,26 @@ def test_dense_hybrid_k9_12(tmpdir, k):
     want = oracle.oracle_count(oracle.read_fasta_py(path), k)
     assert td == ts
     assert td.to_dict() == dict(want)
+
+
+@pytest.mark.parametrize("k", [11, 16, 21, 31])
+def test_compact_mode_matches(tmpdir, k):
+    """On-device compaction (device returns only distinct records) must
+    yield the identical table on a duplicate-heavy corpus."""
+    path = _write(tmpdir, reference_style_fasta(n_records=6, seed=k),
+                  f"cp{k}.fasta")
+    base = KmerConfig(k=k, mode="sort", batch_reads=8, max_read_len=512,
+                      canonical=(k == 21))
+    want = count_fasta(path, base)
+    got = count_fasta(path, base.replace(compact=True))
+    assert got == want
+    assert got.counts.max() > 1            # the corpus really has dups
+
+
+def test_compact_config_validation():
+    with pytest.raises(ValueError, match="k <= 31"):
+        KmerConfig(k=33, compact=True)
+    with pytest.raises(ValueError, match="k <= 31"):
+        KmerConfig(gapped=True, compact=True, max_read_len=512)
+    with pytest.raises(ValueError, match="sort"):
+        KmerConfig(k=8, mode="dense", compact=True)

@@ -65,3 +65,21 @@ def test_decode_key_words_to_lines():
 def test_revcomp():
     assert encode.revcomp_str("ACGT") == "ACGT"
     assert encode.revcomp_str("AACG") == "CGTT"
+
+
+def test_revcomp_words_matches_slice_extraction():
+    """revcomp_words (bit-trick RC from the forward key) must equal the
+    slice-sum RC extraction for every key width class."""
+    import jax.numpy as jnp
+    from kmer_tpu.ops.canonical import revcomp_words
+    from kmer_tpu.ops.extract import kmer_lanes, rc_kmer_lanes
+    rng = np.random.default_rng(1)
+    for k in (5, 15, 16, 21, 31, 32, 33, 54, 63):
+        B, L = 6, 70
+        codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+        lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+        fwd, _ = kmer_lanes(codes, lengths, k, sentinel=False)
+        want, _ = rc_kmer_lanes(codes, lengths, k, sentinel=False)
+        got = revcomp_words(fwd, k)
+        for a, b in zip(got, want):
+            assert (np.asarray(a) == np.asarray(b)).all(), k

@@ -42,3 +42,50 @@ def test_fused_kernel_matches_xla(k):
     for backend in ("xla", "pallas", "hybrid"):
         t = _aggregate(k, *C.grouped_count(jw, jv, k, 128, backend=backend))
         assert t == truth, backend
+
+
+@pytest.mark.parametrize("k,canon", [(21, True), (21, False), (17, True),
+                                     (31, False), (25, True)])
+def test_pallas_extractor_matches_xla(k, canon):
+    """extract_repacked == XLA extract + canonical + repack_words,
+    bit-exact, across key widths, strand-canonical modes, short reads
+    and ownership limits."""
+    from kmer_tpu.ops.canonical import canonical_kmer_lanes
+    from kmer_tpu.ops.extract import kmer_lanes
+    from kmer_tpu.ops.pallas.extract import extract_repacked
+    rng = np.random.default_rng(3 * k + canon)
+    B, L = 40, 80
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(1, L + 1, B, dtype=np.int32))
+    top, bot = extract_repacked(codes, lengths, limits, k, canon,
+                                interpret=True)
+    if canon:
+        words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+    else:
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits)
+    rw, nk = C.repack_words([w.reshape(-1) for w in words],
+                            valid.reshape(-1), k)
+    assert nk == 1
+    assert (np.asarray(top).reshape(-1) == np.asarray(rw[0])).all()
+    assert (np.asarray(bot).reshape(-1) == np.asarray(rw[1])).all()
+
+
+def test_count_step_pallas_extract_end_to_end(tmp_path):
+    """count_fasta with the Pallas extractor forced on (interpret mode)
+    must match the oracle exactly."""
+    import os
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.utils import oracle
+    p = tmp_path / "pe.fasta"
+    p.write_text(random_reads_fasta(15, 70, seed=9))
+    os.environ["KMER_TPU_EXTRACT"] = "pallas"
+    try:
+        t = count_fasta(str(p), KmerConfig(k=21, canonical=True,
+                                           batch_reads=8, max_read_len=96))
+    finally:
+        del os.environ["KMER_TPU_EXTRACT"]
+    want = oracle.oracle_count(oracle.read_fasta_py(str(p)), 21,
+                               canonical=True)
+    assert t.to_dict() == dict(want)
