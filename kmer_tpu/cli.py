@@ -74,6 +74,16 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("-k", type=int, default=21)
     ph.add_argument("--canonical", action="store_true")
 
+    pq = sub.add_parser("query", help="look up k-mer counts in a saved "
+                                      "table (.npz from count --out-npz)")
+    pq.add_argument("table", help="KmerTable .npz path")
+    pq.add_argument("kmers", nargs="*",
+                    help="k-mers to look up (default: read one per line "
+                         "from stdin)")
+    pq.add_argument("--canonical", action="store_true",
+                    help="map queries to min(kmer, revcomp) first (use "
+                         "when the table was built with --canonical)")
+
     pg = sub.add_parser("generate", help="seeded random FASTA/FASTQ to stdout")
     pg.add_argument("--style", choices=["reference", "reads", "genome"],
                     default="reference",
@@ -105,6 +115,10 @@ def _dispatch(args) -> int:
                          skip_invalid=args.skip_invalid,
                          compact=args.compact)
         from .utils.profiling import trace
+        if args.compact and (args.two_pass or args.multihost):
+            raise ValueError("--compact applies to the single-host "
+                             "in-memory pipeline (not --two-pass or "
+                             "--multihost)")
         if args.multihost:
             if len(args.fasta) != 1:
                 raise ValueError("--multihost takes exactly one input file")
@@ -170,6 +184,15 @@ def _dispatch(args) -> int:
         cfg = KmerConfig(gapped=True, batch_reads=args.batch_reads,
                          max_read_len=args.max_read_len)
         sys.stdout.buffer.write(parity_dump(args.fasta, cfg))
+        return 0
+
+    if args.cmd == "query":
+        from .pipeline.table import KmerTable
+        table = KmerTable.load(args.table)
+        kmers = args.kmers or [ln.strip() for ln in sys.stdin
+                               if ln.strip()]
+        for km in kmers:
+            sys.stdout.write(f"{km}\t{table.get(km, canonical=args.canonical)}\n")
         return 0
 
     if args.cmd == "generate":

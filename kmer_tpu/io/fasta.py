@@ -375,15 +375,18 @@ def _iter_fasta_records_py(f):
     seq: list[str] = []
     started = False
     for line in f:
-        line = line.strip()
+        # '>' marks a header only at column 0 (Biopython/native
+        # semantics); indented '>' is sequence data and errs downstream
         if line.startswith(">"):
             if started:
                 yield "".join(seq)
             seq, started = [], True
-        elif line:
+            continue
+        s = "".join(line.split())
+        if s:
             if not started:
                 raise ValueError("sequence data before first FASTA header")
-            seq.append(line)
+            seq.append(s)
     if started:
         yield "".join(seq)
 

@@ -89,9 +89,13 @@ def genome_reads_fasta(n_reads: int, read_len: int, genome_len: int = 100_000,
     have essentially none).  Optional per-base substitution errors and
     reverse-complement strands (canonical-counting realism).
     """
+    if read_len > genome_len:
+        raise ValueError(f"read_len={read_len} > genome_len={genome_len}")
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, genome_len, dtype=np.uint8)
-    starts = rng.integers(0, max(genome_len - read_len, 1), n_reads)
+    # inclusive last start genome_len - read_len (the final window is
+    # sampled too)
+    starts = rng.integers(0, genome_len - read_len + 1, n_reads)
     idx = starts[:, None] + np.arange(read_len)[None, :]
     codes = genome[idx]
     if error_rate > 0:

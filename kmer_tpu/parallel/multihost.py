@@ -152,9 +152,14 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     local_offsets = offsets[s:e + 1] - offsets[s]
 
     mesh = make_mesh(n_dev, 1)
-    fn = distributed.make_distributed_count(
-        mesh, k=cfg.k, canonical=cfg.canonical,
-        mask_ambiguous=cfg.skip_invalid)
+    capacity = [None]        # None = route_capacity default
+
+    def build_fn():
+        return distributed.make_distributed_count(
+            mesh, k=cfg.k, canonical=cfg.canonical, capacity=capacity[0],
+            mask_ambiguous=cfg.skip_invalid)
+
+    fn = build_fn()
 
     from jax.experimental import multihost_utils
 
@@ -180,10 +185,21 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
         gcodes, glens, glims = global_batch(
             mesh, {"codes": b.codes, "lengths": b.lengths,
                    "limits": b.start_limits})
-        sw, is_start, counts, overflow = fn(gcodes, glens, glims)
-        if bool(overflow):
-            raise RuntimeError("routing capacity overflow; pass a larger "
-                               "capacity via make_distributed_count")
+        # overflow is psum-replicated, so every process takes the same
+        # retry decision and rebuilds with the same capacity — a
+        # device's keys can never exceed its local lane count, which
+        # bounds the doubling
+        cap_max = (cfg.batch_reads // n_dev + 1) * cfg.max_read_len
+        while True:
+            sw, is_start, counts, overflow = fn(gcodes, glens, glims)
+            if not bool(overflow):
+                break
+            if (capacity[0] or 0) >= cap_max:
+                raise RuntimeError("routing capacity overflow at full "
+                                   "local capacity — please report")
+            prev = capacity[0] or max(cap_max // 8, 128)
+            capacity[0] = min(prev * 2, cap_max)
+            fn = build_fn()
         host = multihost_utils.process_allgather(
             (tuple(sw), is_start, counts), tiled=True)
         part = KmerTable.from_device_runs(cfg.k, *host)

@@ -301,10 +301,19 @@ class StreamingCounter:
         if cursor <= 0:
             cursor, global_i = 0, 0
         n_done = 0
-        chunk_bases = cfg.ingest_chunk_bases or (1 << 62)
-        for codes, offsets, next_cur in iter_parse_chunks(
-                self.fasta, max_bases=chunk_bases,
-                allow_ambiguous=cfg.skip_invalid, start_cursor=cursor):
+        packed = (cfg.packed_transfer and not cfg.skip_invalid
+                  and self._dist_fn is None)
+        if cfg.ingest_chunk_bases > 0:
+            chunks = iter_parse_chunks(
+                self.fasta, max_bases=cfg.ingest_chunk_bases,
+                allow_ambiguous=cfg.skip_invalid, start_cursor=cursor)
+        else:
+            # 0 = whole-file parse (one chunk, no resume cursor)
+            from ..io.fasta import parse_seqs
+            codes0, offsets0 = parse_seqs(self.fasta,
+                                          allow_ambiguous=cfg.skip_invalid)
+            chunks = iter([(codes0, offsets0, -1)])
+        for codes, offsets, next_cur in chunks:
             spans_n = len(segment_records(offsets, cfg.max_read_len,
                                           cfg.overlap))
             n_in_chunk = max(-(-spans_n // cfg.batch_reads), 1)
@@ -317,7 +326,7 @@ class StreamingCounter:
             for i, batch in enumerate(iter_batches(
                     codes, offsets, batch_reads=cfg.batch_reads,
                     max_len=cfg.max_read_len, overlap=cfg.overlap,
-                    start_batch=max(skip, 0)),
+                    start_batch=max(skip, 0), packed=packed),
                     start=global_i + max(skip, 0)):
                 if max_batches is not None and n_done >= max_batches:
                     return

@@ -107,17 +107,19 @@ def read_fasta_py(path: str) -> list[str]:
     cur: list[str] | None = None
     with open(path, "r") as f:
         for line in f:
-            line = line.strip()
-            if not line:
-                continue
+            # '>' is a header marker only at COLUMN 0 (Biopython/native
+            # semantics); '  >x' is sequence data and errs downstream
             if line.startswith(">"):
                 if cur is not None:
                     seqs.append("".join(cur))
                 cur = []
-            else:
-                if cur is None:
-                    raise ValueError("sequence data before first FASTA header")
-                cur.append(line)
+                continue
+            s = "".join(line.split())    # native skips all whitespace
+            if not s:
+                continue
+            if cur is None:
+                raise ValueError("sequence data before first FASTA header")
+            cur.append(s)
     if cur is not None:
         seqs.append("".join(cur))
     return seqs
@@ -133,6 +135,8 @@ def read_fastq_stream(f):
             return
         if not line.strip():
             continue
+        # '@' must be at column 0 (native parser semantics; an indented
+        # '@' raises, matching the native walker)
         if not line.startswith("@"):
             raise ValueError("FASTQ record must start with '@'")
         seq: list[str] = []

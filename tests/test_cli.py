@@ -88,3 +88,18 @@ def test_get_canonical(tmp_path):
     rc = revcomp_str(km)
     assert t.get(km, canonical=True) == t.counts[0]
     assert t.get(rc, canonical=True) == t.counts[0]
+
+
+def test_cli_query(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    fa = tmp_path / "q.fasta"
+    fa.write_text(">a\nAAACAAAC\n")
+    npz = str(tmp_path / "t.npz")
+    rc = main(["count", str(fa), "-k", "4", "--batch-reads", "2",
+               "--max-read-len", "16", "--out-npz", npz])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["query", npz, "AAAC", "GGGG"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out == "AAAC\t2\nGGGG\t0\n"
