@@ -19,7 +19,10 @@ class KmerConfig:
     # counting mode: "auto" picks dense for k <= 8 (MXU one-hot
     # histogram), else sort — see effective_mode.
     mode: str = "auto"                      # auto | dense | sort
-    batch_reads: int = 2048                 # reads (segments) per device batch
+    batch_reads: int = 8192                 # reads (segments) per device batch
+                                            # (bigger batches amortize the
+                                            # per-dispatch cost; tests pass
+                                            # small explicit values)
     max_read_len: int = 256                 # batch width L; longer reads split
     # gapped reference-parity extraction (main.rs:48-49,63)
     gapped: bool = False

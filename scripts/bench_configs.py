@@ -68,8 +68,13 @@ def main():
             f.write(random_reads_fasta(args.reads, 150, seed=7))
 
         # -- config 2: k=31 canonical end-to-end --------------------------
+        # every timed config runs twice and reports the WARM pass —
+        # first-pass numbers are dominated by remote compiles (up to
+        # ~15 min/HLO on this attachment; the cross-process persistent
+        # cache is unreliable, in-process caching works)
         cfg = KmerConfig(k=31, canonical=True, batch_reads=8192,
                          max_read_len=150)
+        count_fasta(corpus, cfg)
         t0 = time.perf_counter()
         table = count_fasta(corpus, cfg)
         dt = time.perf_counter() - t0
@@ -82,6 +87,7 @@ def main():
         for k in (8, 12):
             cfg = KmerConfig(k=k, mode="dense", batch_reads=8192,
                              max_read_len=150)
+            count_fasta(corpus, cfg)
             t0 = time.perf_counter()
             table = count_fasta(corpus, cfg)
             dt = time.perf_counter() - t0
@@ -100,6 +106,7 @@ def main():
         for compact in (False, True):
             cfg = KmerConfig(k=21, canonical=True, batch_reads=8192,
                              max_read_len=150, compact=compact)
+            count_fasta(gcorpus, cfg)
             t0 = time.perf_counter()
             tg = count_fasta(gcorpus, cfg)
             dt = time.perf_counter() - t0
