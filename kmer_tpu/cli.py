@@ -100,7 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
     try:
         return _dispatch(args)
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, EOFError) as e:
+        # EOFError: truncated gzip via the Python-fallback decompressor
         print(f"kmer_tpu: error: {e}", file=sys.stderr)
         return 1
 

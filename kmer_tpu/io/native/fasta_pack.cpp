@@ -74,8 +74,19 @@ struct IngestHandle {
     if (off == len) {
       int got = gzread(g, buf, (unsigned)kBlock);
       if (got < 0) { read_err = true; return -1; }
+      if (got == 0) {
+        // a TRUNCATED gzip member also reads as 0 (and gzeof() even
+        // reports true) — only gzerror distinguishes a clean
+        // end-of-stream; silent partial corpora are data loss
+        int errnum = Z_OK;
+        gzerror(g, &errnum);
+        if (errnum != Z_OK && errnum != Z_STREAM_END) {
+          read_err = true;
+          return -1;
+        }
+        return 0;
+      }
       off = 0; len = (size_t)got;
-      if (got == 0) return 0;
     }
     *p = buf + off;
     return (int64_t)(len - off);

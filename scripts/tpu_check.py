@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""REAL-TPU correctness check (the CPU test suite runs everything in
+interpret mode — this validates the actual Mosaic-compiled kernels and
+the XLA TPU lowerings against the pure-Python oracle).
+
+Covers: parity md5 (CLAUDE.md invariant), hybrid grouped counting
+(Pallas run-length scan), on-device compaction (partition + DMA pack),
+packed H2D transfer, dense k=12 hybrid, gapped grouped counting.
+
+Prints one PASS/FAIL line per check; exits nonzero on any FAIL.
+"""
+
+import hashlib
+import os
+import sys
+import tempfile
+
+from kmer_tpu.utils.jaxcache import enable_compilation_cache
+enable_compilation_cache()
+
+OK = True
+
+
+def check(name, cond):
+    global OK
+    print(f"{'PASS' if cond else 'FAIL'}  {name}", flush=True)
+    OK = OK and bool(cond)
+
+
+def main():
+    import jax
+    print(f"# device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+
+    from collections import Counter
+
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.parity import parity_dump
+    from kmer_tpu.utils import oracle
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sample = os.path.join(here, "..", "tests", "data", "sample.fasta")
+
+    # 1. parity md5 (flat 4-word sort + byte-exact dump)
+    dump = parity_dump(sample, KmerConfig(gapped=True, batch_reads=256,
+                                          max_read_len=512))
+    check("parity md5 1a4ca1e7d4f2e70253aadca10d8351b4",
+          hashlib.md5(dump).hexdigest() == "1a4ca1e7d4f2e70253aadca10d8351b4")
+
+    with tempfile.TemporaryDirectory() as d:
+        corpus = os.path.join(d, "g.fasta")
+        with open(corpus, "w") as f:
+            f.write(genome_reads_fasta(6000, 150, genome_len=50_000, seed=5))
+        seqs = oracle.read_fasta_py(corpus)
+
+        # 2. hybrid grouped counting (Pallas scan) + packed H2D
+        cfg = KmerConfig(k=21, canonical=True, batch_reads=8192,
+                         max_read_len=150)
+        t = count_fasta(corpus, cfg)
+        want = dict(oracle.oracle_count(seqs, 21, canonical=True))
+        check("k=21 canonical hybrid == oracle", t.to_dict() == want)
+
+        # 3. unpacked transfer must agree
+        t_u8 = count_fasta(corpus, cfg.replace(packed_transfer=False))
+        check("packed == unpacked transfer", t == t_u8)
+
+        # 4. on-device compaction (partition sort + DMA pack kernels)
+        t_c = count_fasta(corpus, cfg.replace(compact=True))
+        check("compact == uncompacted", t_c == t)
+
+        # 5. dense k=12 hybrid
+        t_d = count_fasta(corpus, KmerConfig(k=12, mode="dense",
+                                             batch_reads=8192,
+                                             max_read_len=150))
+        want12 = dict(oracle.oracle_count(seqs, 12))
+        check("dense k=12 hybrid == oracle", t_d.to_dict() == want12)
+
+        # 6. gapped grouped counting (4-word keys, repacked nk=3)
+        small = os.path.join(d, "small.fasta")
+        with open(small, "w") as f:
+            f.write(genome_reads_fasta(40, 200, genome_len=5_000, seed=6))
+        tg = count_fasta(small, KmerConfig(gapped=True, mode="sort",
+                                           batch_reads=64, max_read_len=256))
+        wantg = Counter(oracle.oracle_gapped_lines(
+            oracle.read_fasta_py(small)))
+        check("gapped grouped == oracle", tg.to_dict() == dict(wantg))
+
+    sys.exit(0 if OK else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,3 +242,16 @@ def test_parser_property_random_roundtrip(tmp_path):
         assert (nc == fc).all() and (no == fo).all()
         lens = [len(s) for s in seqs]
         assert np.diff(no).tolist() == lens
+
+
+def test_truncated_gzip_is_clean_error(tmp_path):
+    """A gzip stream cut mid-member must surface as a clean error (the
+    native reader returns a read/decompress failure), not silence or
+    garbage."""
+    import gzip
+    from kmer_tpu.io.generator import random_reads_fasta
+    data = gzip.compress(random_reads_fasta(50, 100, seed=3).encode())
+    p = tmp_path / "trunc.fasta.gz"
+    p.write_bytes(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        fasta.parse_seqs(str(p))
