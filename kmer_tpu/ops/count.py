@@ -242,16 +242,31 @@ def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
     from .pallas.fused_count import BLOCK_G
     on_tpu = jax.default_backend() == "tpu"
     use_fused = (m >= 128 and (m & (m - 1)) == 0 and backend == "pallas")
+    use_fused_t = ((m & (m - 1)) == 0 and backend == "pallas_t")
     use_hybrid = (m % 128 == 0 and m > 0 and
                   (backend == "hybrid" or (backend == "auto" and on_tpu)))
-    pad_unit = m * BLOCK_G if (use_fused or use_hybrid) else m
+    if use_fused_t:
+        pad_unit = m * 512
+    elif use_fused or use_hybrid:
+        pad_unit = m * BLOCK_G
+    else:
+        pad_unit = m
     pad = (-n) % pad_unit
     if pad:
         flat = [jnp.concatenate([w, jnp.full((pad,), SENTINEL, w.dtype)])
                 for w in flat]
     G = (n + pad) // m
-    shaped = [w.reshape(G, m) for w in flat]
     interp = not on_tpu
+    if use_fused_t:
+        # m on SUBLANES: a "group" is a strided column of the flat
+        # stream — an equally valid partition for partial aggregation,
+        # so no transpose is ever materialized
+        from .pallas.fused_count import fused_grouped_count_sublane
+        shaped_t = [w.reshape(m, G) for w in flat]
+        s2d, counts2d = fused_grouped_count_sublane(shaped_t,
+                                                    interpret=interp)
+        return [w.reshape(-1) for w in s2d], counts2d.reshape(-1)
+    shaped = [w.reshape(G, m) for w in flat]
     if use_fused:
         from .pallas.fused_count import fused_grouped_count
         s2d, counts2d = fused_grouped_count(shaped, interpret=interp)

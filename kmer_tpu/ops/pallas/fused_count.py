@@ -36,16 +36,19 @@ SENTINEL = 0xFFFFFFFF          # plain int: jnp constants can't be
 BLOCK_G = 64
 
 
-def _kernel(*refs, n_words: int, m: int):
+def _kernel(*refs, n_words: int, m: int, axis: int = 1):
+    """Bitonic sort + run-length along `axis` (1 = m on lanes, 0 = m on
+    sublanes — compare-exchange strides >= 8 are then vreg-index moves
+    instead of lane rotations)."""
     in_refs = refs[:n_words]
     out_refs = refs[n_words:2 * n_words]
     cnt_ref = refs[2 * n_words]
 
     ws = [r[:] for r in in_refs]                     # each (Gc, m) u32
-    idx = lax.broadcasted_iota(jnp.uint32, ws[0].shape, 1)
+    idx = lax.broadcasted_iota(jnp.uint32, ws[0].shape, axis)
     idx_i = idx.astype(jnp.int32)
 
-    # ---- bitonic sort along axis 1 (m a power of two) ----
+    # ---- bitonic sort along `axis` (m a power of two) ----
     k_ = 2
     while k_ <= m:
         asc = (idx & k_) == 0                        # ascending block
@@ -54,8 +57,8 @@ def _kernel(*refs, n_words: int, m: int):
             upper = (idx & j) != 0                   # partner is below
             take_min = asc ^ upper
             partner = [jnp.where(upper,
-                                 pltpu.roll(w, j, axis=1),       # x[i-j]
-                                 pltpu.roll(w, m - j, axis=1))   # x[i+j]
+                                 pltpu.roll(w, j, axis=axis),     # x[i-j]
+                                 pltpu.roll(w, m - j, axis=axis))  # x[i+j]
                        for w in ws]
             p0, w0 = partner[0], ws[0]
             # strict compares keep equal-key pairs in place on BOTH
@@ -70,14 +73,16 @@ def _kernel(*refs, n_words: int, m: int):
     # ---- run-length (suffix-min of start positions), all in VMEM ----
     is_start = idx == 0
     for w in ws:
-        is_start = is_start | (w != pltpu.roll(w, 1, axis=1))
+        is_start = is_start | (w != pltpu.roll(w, 1, axis=axis))
     sp = jnp.where(is_start, idx_i, m)
     d = 1
     while d < m:
-        sh = jnp.where(idx_i >= m - d, m, pltpu.roll(sp, m - d, axis=1))
+        sh = jnp.where(idx_i >= m - d, m,
+                       pltpu.roll(sp, m - d, axis=axis))
         sp = jnp.minimum(sp, sh)                     # min over [i, i+2d)
         d *= 2
-    next_start = jnp.where(idx_i == m - 1, m, pltpu.roll(sp, m - 1, axis=1))
+    next_start = jnp.where(idx_i == m - 1, m,
+                           pltpu.roll(sp, m - 1, axis=axis))
     valid = ws[-1] != jnp.uint32(SENTINEL)
     counts = jnp.where(is_start & valid, next_start - idx_i, 0)
 
@@ -164,4 +169,37 @@ def fused_grouped_count(rwords: list[jnp.ndarray], *,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*rwords)
+    return list(outs[:n_words]), outs[n_words]
+
+
+def fused_grouped_count_sublane(rwords_t: list[jnp.ndarray], *,
+                                block_lanes: int = 512,
+                                interpret: bool = False):
+    """Transposed variant: arrays are (m, G) with the sort axis on
+    SUBLANES — bitonic strides >= 8 become vreg-index moves instead of
+    lane rotations (the axis-1 kernel measured slower than XLA's sort;
+    this probes whether roll cost was the reason).  Requires m a power
+    of two (any >= 2) and G a multiple of block_lanes.
+    Returns (sorted_rwords_t, counts_t), same (m, G) layout.
+    """
+    m, G = rwords_t[0].shape
+    assert (m & (m - 1)) == 0, f"m={m} must be a pow2"
+    assert G % block_lanes == 0, (G, block_lanes)
+    n_words = len(rwords_t)
+
+    spec = pl.BlockSpec((m, block_lanes), lambda q: (0, q),
+                        memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((m, G), jnp.uint32)
+                   for _ in range(n_words)]
+                  + [jax.ShapeDtypeStruct((m, G), jnp.int32)])
+    outs = pl.pallas_call(
+        functools.partial(_kernel, n_words=n_words, m=m, axis=0),
+        grid=(G // block_lanes,),
+        in_specs=[spec] * n_words,
+        out_specs=[spec] * (n_words + 1),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*rwords_t)
     return list(outs[:n_words]), outs[n_words]

@@ -397,6 +397,26 @@ def main():
 
         bench("prod_compact_m256", step_compact, codes, N_STEP)
         return
+    if phase == 8:
+        # sublane-axis fused kernel (strided-column groups)
+        from kmer_tpu.ops.count import grouped_count
+
+        def mk_step_prod(m, backend):
+            @jax.jit
+            def step(codes):
+                words, valid = canonical_kmer_lanes(codes, lengths, K,
+                                                    limits=limits)
+                std, is_start, counts = grouped_count(words, valid, K, m,
+                                                      backend=backend)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("prod_palT_m128", mk_step_prod(128, "pallas_t"), codes, N_STEP)
+        bench("prod_palT_m256", mk_step_prod(256, "pallas_t"), codes, N_STEP)
+        bench("prod_palT_m64", mk_step_prod(64, "pallas_t"), codes, N_STEP)
+        bench("prod_hyb_m256#3", mk_step_prod(256, "hybrid"), codes, N_STEP)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)

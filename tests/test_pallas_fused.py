@@ -42,6 +42,10 @@ def test_fused_kernel_matches_xla(k):
     for backend in ("xla", "pallas", "hybrid"):
         t = _aggregate(k, *C.grouped_count(jw, jv, k, 128, backend=backend))
         assert t == truth, backend
+    # sublane-axis kernel (strided-column groups): small m keeps the
+    # interpreter affordable
+    t = _aggregate(k, *C.grouped_count(jw, jv, k, 8, backend="pallas_t"))
+    assert t == truth, "pallas_t"
 
 
 @pytest.mark.parametrize("k,canon", [(21, True), (21, False), (17, True),
