@@ -1,0 +1,54 @@
+"""Config-matrix fuzz: random corpora x random KmerConfig combinations
+must always match the pure-Python oracle — the cross-product of
+features (canonical, skip_invalid, compact, packed, grouping, chunked
+ingest, segmentation) is where unit tests miss interactions."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kmer_tpu import KmerConfig, count_fasta
+from kmer_tpu.utils import oracle
+
+
+def _random_corpus(rng, with_n=False):
+    n_reads = int(rng.integers(3, 25))
+    reads = []
+    for _ in range(n_reads):
+        ln = int(rng.integers(0, 120))
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, ln))
+        if with_n and ln > 4 and rng.random() < 0.7:
+            pos = int(rng.integers(0, ln))
+            s = s[:pos] + "N" + s[pos + 1:]
+        reads.append(s)
+    return reads
+
+
+@pytest.mark.parametrize("trial", range(14))
+def test_fuzz_config_matrix(tmp_path, trial):
+    rng = np.random.default_rng(1000 + trial)
+    with_n = bool(rng.random() < 0.4)
+    reads = _random_corpus(rng, with_n)
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads))
+    p = tmp_path / f"fz{trial}.fasta"
+    p.write_text(text)
+
+    k = int(rng.choice([4, 7, 11, 15, 16, 21, 27, 31, 33]))
+    canonical = bool(rng.random() < 0.5)
+    compact = bool(rng.random() < 0.4) and k <= 31
+    cfg = KmerConfig(
+        k=k,
+        canonical=canonical,
+        skip_invalid=with_n,
+        compact=compact,
+        packed_transfer=bool(rng.random() < 0.7),
+        sort_group_keys=int(rng.choice([0, 7, 64, 256])),
+        batch_reads=int(rng.choice([2, 8, 32])),
+        max_read_len=int(rng.choice([max(k, 24), max(k, 40), 160])),
+        ingest_chunk_bases=int(rng.choice([0, 97, 1 << 20])),
+    )
+    table = count_fasta(str(p), cfg)
+    want = oracle.oracle_count(reads, k, canonical=canonical,
+                               skip_invalid=with_n)
+    assert table.to_dict() == dict(want), cfg
