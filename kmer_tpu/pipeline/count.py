@@ -46,9 +46,38 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
         from ..ops.encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
     import os
-    # measured on v5e: the Pallas extraction kernel loses to XLA's fused
-    # slice-sum (0.72 ms vs 0.38 ms per 4.26M keys — the 2k lane-shifted
-    # VMEM slices cost more than XLA's re-reads), so it stays opt-in
+    from ..ops.encode import words_per_key
+    # TPU fast path: TRANSPOSED extraction + sublane-axis fused sort
+    # kernel — both the 2k slice-sum shifts and the bitonic
+    # compare-exchange strides run along sublanes, where they are
+    # vreg-index moves instead of lane rotations (measured: the step
+    # drops from 1.13 ms to ~0.6 ms at m=16, scripts/r2_sort_experiments
+    # phases 8-10).  KMER_TPU_STEP=legacy restores the row-layout path.
+    step_backend = os.environ.get("KMER_TPU_STEP", "auto")
+    use_T = (group_keys > 0
+             and words_per_key(k) <= 2 and 2 * k != 32
+             and (step_backend == "t" or
+                  (step_backend == "auto"
+                   and jax.default_backend() == "tpu")))
+    if use_T:
+        from ..ops.extract import kmer_lanes_repacked_T
+        rw, _ = kmer_lanes_repacked_T(codes.T, lengths, k, limits=limits,
+                                      canonical=canonical,
+                                      mask_ambiguous=mask_ambiguous)
+        # the sublane group size is a kernel tile parameter, not a
+        # semantics one (any m yields the same table under the
+        # partial-aggregation contract), so the backend picks its own:
+        # m=16 measured optimal (m=8: 1.24 ms, m=16: 0.58, m=32: 0.67,
+        # m=64: 0.86 per 4.2M-key step, scripts/r2_sort_experiments
+        # phases 9-10)
+        t_m = int(os.environ.get("KMER_TPU_T_M", "16"))
+        assert t_m > 0 and (t_m & (t_m - 1)) == 0, t_m
+        return count_ops.grouped_count_repacked(rw, k, t_m,
+                                                backend="pallas_t")
+    # measured on v5e: the row-layout Pallas extraction kernel loses to
+    # XLA's fused slice-sum (0.72 ms vs 0.38 ms per 4.26M keys — the 2k
+    # lane-shifted VMEM slices cost more than XLA's re-reads), so it
+    # stays opt-in
     ex_backend = os.environ.get("KMER_TPU_EXTRACT", "xla")
     use_pallas_extract = (
         group_keys > 0 and 17 <= k <= 31 and not mask_ambiguous

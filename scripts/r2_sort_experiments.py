@@ -397,7 +397,7 @@ def main():
 
         bench("prod_compact_m256", step_compact, codes, N_STEP)
         return
-    if phase == 8:
+    if phase in (8, 9, 10):
         # sublane-axis fused kernel (strided-column groups)
         from kmer_tpu.ops.count import grouped_count
 
@@ -412,10 +412,77 @@ def main():
                 return codes.at[0, :].set(inj)
             return step
 
-        bench("prod_palT_m128", mk_step_prod(128, "pallas_t"), codes, N_STEP)
-        bench("prod_palT_m256", mk_step_prod(256, "pallas_t"), codes, N_STEP)
-        bench("prod_palT_m64", mk_step_prod(64, "pallas_t"), codes, N_STEP)
-        bench("prod_hyb_m256#3", mk_step_prod(256, "hybrid"), codes, N_STEP)
+        if phase == 8:
+            bench("prod_palT_m128", mk_step_prod(128, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_palT_m256", mk_step_prod(256, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_palT_m64", mk_step_prod(64, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_hyb_m256#3", mk_step_prod(256, "hybrid"),
+                  codes, N_STEP)
+            return
+        if phase == 9:
+            bench("prod_palT_m32", mk_step_prod(32, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_palT_m64#2", mk_step_prod(64, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_palT_m16", mk_step_prod(16, "pallas_t"),
+                  codes, N_STEP)
+            bench("prod_palT_m64#3", mk_step_prod(64, "pallas_t"),
+                  codes, N_STEP)
+            return
+        # phase 10: transposed (sublane-axis) extraction probes
+        from kmer_tpu.ops.canonical import lex_min, revcomp_words
+        from kmer_tpu.ops.count import grouped_count_repacked
+
+        def extract_T(codes_t):
+            """(L, B) codes -> repacked (top, bot) (P, B)."""
+            c32 = codes_t.astype(jnp.uint32)
+            low = 2 * K - 32
+            hi = jnp.zeros((P, B), jnp.uint32)
+            lo = jnp.zeros((P, B), jnp.uint32)
+            for j in range(K):
+                sl = lax.dynamic_slice_in_dim(c32, j, P, axis=0)
+                bitpos = 2 * (K - 1 - j)
+                if bitpos >= 32:
+                    hi = hi | (sl << jnp.uint32(bitpos - 32))
+                else:
+                    lo = lo | (sl << jnp.uint32(bitpos))
+            fwd = [hi, lo]
+            rc = revcomp_words(fwd, K)
+            mn = lex_min(fwd, rc)
+            pos = lax.broadcasted_iota(jnp.int32, (P, B), 0)
+            valid = pos <= (lengths.astype(jnp.int32)[None, :] - K)
+            top = (mn[0] << jnp.uint32(32 - low)) | (mn[1] >> jnp.uint32(low))
+            bot = jnp.where(valid, mn[1] & jnp.uint32((1 << low) - 1), SENT)
+            top = jnp.where(valid, top, SENT)
+            return top, bot
+
+        def mk_ext_T():
+            @jax.jit
+            def step(codes):
+                ct = codes.T
+                top, bot = extract_T(ct)
+                inj = ((top[:P, 0] ^ bot[:P, 0]) % 4).astype(jnp.uint8)
+                return codes.at[0, :P].set(inj)
+            return step
+
+        def mk_step_T(m):
+            @jax.jit
+            def step(codes):
+                ct = codes.T
+                top, bot = extract_T(ct)
+                std, is_start, counts = grouped_count_repacked(
+                    [top, bot], K, m, backend="pallas_t")
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("ext_T_xla", mk_ext_T(), codes, N_STEP)
+        bench("step_T_m16", mk_step_T(16), codes, N_STEP)
+        bench("prod_palT_m8", mk_step_prod(8, "pallas_t"), codes, N_STEP)
+        bench("step_T_m32", mk_step_T(32), codes, N_STEP)
         return
     if phase == 1:
         # ranked by importance — partial output is still useful

@@ -93,3 +93,26 @@ def test_count_step_pallas_extract_end_to_end(tmp_path):
     want = oracle.oracle_count(oracle.read_fasta_py(str(p)), 21,
                                canonical=True)
     assert t.to_dict() == dict(want)
+
+
+def test_count_step_transposed_path_end_to_end(tmp_path):
+    """Full transposed fast path (KMER_TPU_STEP=t): extraction along
+    sublanes + pallas_t kernel, interpret mode, vs the oracle."""
+    import os
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import reference_style_fasta
+    from kmer_tpu.utils import oracle
+    p = tmp_path / "tp.fasta"
+    p.write_text(reference_style_fasta(n_records=3, seed=31))
+    os.environ["KMER_TPU_STEP"] = "t"
+    try:
+        for k, canon in ((21, True), (11, False)):
+            t = count_fasta(str(p), KmerConfig(k=k, canonical=canon,
+                                               batch_reads=8,
+                                               max_read_len=128,
+                                               sort_group_keys=16))
+            want = oracle.oracle_count(oracle.read_fasta_py(str(p)), k,
+                                       canonical=canon)
+            assert t.to_dict() == dict(want), k
+    finally:
+        del os.environ["KMER_TPU_STEP"]
