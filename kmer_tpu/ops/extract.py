@@ -308,6 +308,13 @@ def kmer_lanes_repacked_T_doubling(codes_t: jnp.ndarray,
     the (k-16)-base tail — no repack shifts at all on the forward path.
 
     Same contract as kmer_lanes_repacked_T (W <= 2, 2k != 32).
+
+    MEASURED NEGATIVE on v5e (2026-08-17, B=32768 L=150 k=21 canonical):
+    0.426 ms vs 0.307 ms for the slice-sum kmer_lanes_repacked_T, and
+    the full count step regresses 0.597 -> 0.690 ms.  XLA fuses the
+    O(k) slice-sum chain into one pass over the codes; the doubling
+    levels materialize O(log k) full-size u32 intermediates instead.
+    Kept as an opt-in differential oracle for the slice-sum path.
     """
     L, B = codes_t.shape
     P = L - k + 1

@@ -484,6 +484,43 @@ def main():
         bench("prod_palT_m8", mk_step_prod(8, "pallas_t"), codes, N_STEP)
         bench("step_T_m32", mk_step_T(32), codes, N_STEP)
         return
+    if phase == 11:
+        # log-doubling extraction (O(log k) shift-or, rc from the chain)
+        from kmer_tpu.ops.count import grouped_count_repacked
+        from kmer_tpu.ops.extract import (kmer_lanes_repacked_T,
+                                          kmer_lanes_repacked_T_doubling)
+
+        def mk_ext(fn, kk=K):
+            pp = L - kk + 1
+
+            @jax.jit
+            def step(codes):
+                rw, _ = fn(codes.T, lengths, kk, limits=limits,
+                           canonical=True)
+                inj = ((rw[0][:pp, 0] ^ rw[-1][:pp, 0]) % 4).astype(jnp.uint8)
+                return codes.at[0, :pp].set(inj)
+            return step
+
+        def mk_step(fn, m, kk=K):
+            @jax.jit
+            def step(codes):
+                rw, _ = fn(codes.T, lengths, kk, limits=limits,
+                           canonical=True)
+                std, is_start, counts = grouped_count_repacked(
+                    rw, kk, m, backend="pallas_t")
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("ext_dbl", mk_ext(kmer_lanes_repacked_T_doubling), codes, N_STEP)
+        bench("ext_slice#2", mk_ext(kmer_lanes_repacked_T), codes, N_STEP)
+        bench("step_dbl_m16", mk_step(kmer_lanes_repacked_T_doubling, 16),
+              codes, N_STEP)
+        bench("step_slice_m16#2", mk_step(kmer_lanes_repacked_T, 16),
+              codes, N_STEP)
+        bench("step_dbl_m32", mk_step(kmer_lanes_repacked_T_doubling, 32),
+              codes, N_STEP)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)
