@@ -324,6 +324,17 @@ def grouped_count_compact(words: list[jnp.ndarray], valid: jnp.ndarray,
     rwords, _nk = repack_words([w.reshape(-1) for w in words],
                                valid.reshape(-1), n_bases)
     s_flat, counts = _sorted_grouped_runs(rwords, group_keys, backend)
+    return compact_from_runs(s_flat, counts, part_keys=part_keys)
+
+
+def compact_from_runs(s_flat: list[jnp.ndarray], counts: jnp.ndarray, *,
+                      part_keys: int = 2048):
+    """Compaction back half over an already grouped-counted repacked run
+    stream (flat sorted words + run counts, e.g. from
+    ops/pallas/fused_extract.fused_extract_count_T): part_keys-grouped
+    single-key partition sort moves live entries to each coarse group's
+    front, then one sequential-DMA pack concatenates the prefixes.
+    Returns (row_blocks, total_rows) as grouped_count_compact."""
     n = s_flat[0].shape[0]
     m2 = part_keys
     pad = (-n) % m2

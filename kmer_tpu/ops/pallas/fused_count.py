@@ -36,15 +36,12 @@ SENTINEL = 0xFFFFFFFF          # plain int: jnp constants can't be
 BLOCK_G = 64
 
 
-def _kernel(*refs, n_words: int, m: int, axis: int = 1):
-    """Bitonic sort + run-length along `axis` (1 = m on lanes, 0 = m on
-    sublanes — compare-exchange strides >= 8 are then vreg-index moves
-    instead of lane rotations)."""
-    in_refs = refs[:n_words]
-    out_refs = refs[n_words:2 * n_words]
-    cnt_ref = refs[2 * n_words]
-
-    ws = [r[:] for r in in_refs]                     # each (Gc, m) u32
+def _sort_runlen(ws: list, m: int, axis: int):
+    """Bitonic sort + run-length over VMEM-resident repacked word arrays
+    along `axis` (1 = m on lanes, 0 = m on sublanes — compare-exchange
+    strides >= 8 are then vreg-index moves instead of lane rotations).
+    m must be a power of two.  Validity comes from the LAST word
+    (SENTINEL on invalid lanes).  Returns (sorted_ws, counts)."""
     idx = lax.broadcasted_iota(jnp.uint32, ws[0].shape, axis)
     idx_i = idx.astype(jnp.int32)
 
@@ -85,7 +82,14 @@ def _kernel(*refs, n_words: int, m: int, axis: int = 1):
                            pltpu.roll(sp, m - 1, axis=axis))
     valid = ws[-1] != jnp.uint32(SENTINEL)
     counts = jnp.where(is_start & valid, next_start - idx_i, 0)
+    return ws, counts
 
+
+def _kernel(*refs, n_words: int, m: int, axis: int = 1):
+    in_refs = refs[:n_words]
+    out_refs = refs[n_words:2 * n_words]
+    cnt_ref = refs[2 * n_words]
+    ws, counts = _sort_runlen([r[:] for r in in_refs], m, axis)
     for r, w in zip(out_refs, ws):
         r[:] = w
     cnt_ref[:] = counts

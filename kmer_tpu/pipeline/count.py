@@ -54,11 +54,29 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     # drops from 1.13 ms to ~0.6 ms at m=16, scripts/r2_sort_experiments
     # phases 8-10).  KMER_TPU_STEP=legacy restores the row-layout path.
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
-    use_T = (group_keys > 0
-             and words_per_key(k) <= 2 and 2 * k != 32
-             and (step_backend == "t" or
-                  (step_backend == "auto"
-                   and jax.default_backend() == "tpu")))
+    t_eligible = (group_keys > 0
+                  and words_per_key(k) <= 2 and 2 * k != 32)
+    # Fully fused single-kernel step (extraction + canonical + repack +
+    # segment sort + run-length, ops/pallas/fused_extract): keys never
+    # round-trip HBM between extraction and sort (~68 MB less traffic
+    # per 4.26 M-key batch than the two-stage T path).  Measured on v5e
+    # (r2_sort_experiments phases 12-13): 0.414 ms/step at seg=8,
+    # block_lanes=256 vs 0.586 for the two-stage T path at m=16 — the
+    # production default on TPU.
+    use_fused = (t_eligible
+                 and (step_backend == "fused" or
+                      (step_backend == "auto"
+                       and jax.default_backend() == "tpu")))
+    if use_fused:
+        from ..ops.pallas.fused_extract import fused_extract_count_T
+        seg = int(os.environ.get("KMER_TPU_T_M", "8"))
+        rflat, counts = fused_extract_count_T(
+            codes.T, lengths, limits, k, canonical=canonical,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            interpret=jax.default_backend() != "tpu")
+        std = count_ops.unpack_words(rflat, k)
+        return std, counts > 0, counts
+    use_T = (t_eligible and step_backend == "t")
     if use_T:
         from ..ops.extract import kmer_lanes_repacked_T
         rw, _ = kmer_lanes_repacked_T(codes.T, lengths, k, limits=limits,
@@ -113,6 +131,24 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
     if packed_width:
         from ..ops.encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
+    import os
+    from ..ops.encode import words_per_key
+    step_backend = os.environ.get("KMER_TPU_STEP", "auto")
+    use_fused = (words_per_key(k) <= 2 and 2 * k != 32
+                 and (step_backend == "fused" or
+                      (step_backend == "auto"
+                       and jax.default_backend() == "tpu")))
+    if use_fused:
+        # fused single-kernel count core feeding the compaction back
+        # half directly (same repacked run-stream contract)
+        from ..ops.pallas.fused_extract import fused_extract_count_T
+        seg = int(os.environ.get("KMER_TPU_T_M", "8"))
+        rflat, counts = fused_extract_count_T(
+            codes.T, lengths, limits, k, canonical=canonical,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            interpret=jax.default_backend() != "tpu")
+        return count_ops.compact_from_runs(rflat, counts,
+                                           part_keys=part_keys)
     if canonical:
         words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                             mask_ambiguous=mask_ambiguous)

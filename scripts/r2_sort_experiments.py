@@ -521,6 +521,86 @@ def main():
         bench("step_dbl_m32", mk_step(kmer_lanes_repacked_T_doubling, 32),
               codes, N_STEP)
         return
+    if phase == 12:
+        # fully fused single-kernel step (extract+canonical+repack+sort
+        # +runlength in one pallas kernel): kills the ~68 MB HBM
+        # round-trip of repacked keys between the two stages
+        from kmer_tpu.ops.count import grouped_count_repacked
+        from kmer_tpu.ops.extract import kmer_lanes_repacked_T
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_fused(seg, bl=512):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, K, canonical=True,
+                    seg=seg, block_lanes=bl)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        def mk_two_stage(m):
+            @jax.jit
+            def step(codes):
+                rw, _ = kmer_lanes_repacked_T(codes.T, lengths, K,
+                                              limits=limits, canonical=True)
+                std, is_start, counts = grouped_count_repacked(
+                    rw, K, m, backend="pallas_t")
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("fused_s16", mk_fused(16), codes, N_STEP)
+        bench("two_stage_m16#3", mk_two_stage(16), codes, N_STEP)
+        bench("fused_s8", mk_fused(8), codes, N_STEP)
+        bench("fused_s32", mk_fused(32), codes, N_STEP)
+        bench("fused_s16_bl1024", mk_fused(16, 1024), codes, N_STEP)
+        bench("fused_s16#2", mk_fused(16), codes, N_STEP)
+        return
+    if phase == 13:
+        # seg sweep around the s8 win + k=31 fused variant
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_fused(seg, bl=512, kk=K):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, kk, canonical=True,
+                    seg=seg, block_lanes=bl)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("fused_s4", mk_fused(4), codes, N_STEP)
+        bench("fused_s8#2", mk_fused(8), codes, N_STEP)
+        bench("fused_s8_bl256", mk_fused(8, 256), codes, N_STEP)
+        bench("fused_s2", mk_fused(2), codes, N_STEP)
+        bench("fused_s8_bl1024", mk_fused(8, 1024), codes, N_STEP)
+        bench("fused_s8_k31", mk_fused(8, 512, 31), codes, B * (L - 31 + 1))
+        bench("fused_s4#2", mk_fused(4), codes, N_STEP)
+        return
+    if phase == 14:
+        # k=31 x block_lanes interaction (bench showed 0.96 ms at bl256)
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_fused(seg, bl, kk):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, kk, canonical=True,
+                    seg=seg, block_lanes=bl)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        n31 = B * (L - 31 + 1)
+        bench("k31_s8_bl256", mk_fused(8, 256, 31), codes, n31)
+        bench("k31_s8_bl512#2", mk_fused(8, 512, 31), codes, n31)
+        bench("k21_s8_bl256#2", mk_fused(8, 256, 21), codes, N_STEP)
+        bench("k31_s16_bl256", mk_fused(16, 256, 31), codes, n31)
+        bench("k31_s8_bl128", mk_fused(8, 128, 31), codes, n31)
+        bench("k25_s8_bl256", mk_fused(8, 256, 25), codes, B * (L - 25 + 1))
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)

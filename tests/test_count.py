@@ -407,6 +407,27 @@ def test_compact_mode_matches(tmpdir, k):
     assert got.counts.max() > 1            # the corpus really has dups
 
 
+@pytest.mark.parametrize("k", [11, 21])
+def test_compact_mode_fused_step(tmpdir, k):
+    """Compaction fed by the fused single-kernel count core
+    (KMER_TPU_STEP=fused -> compact_from_runs), interpret mode."""
+    import os
+    path = _write(tmpdir, reference_style_fasta(n_records=6, seed=k + 1),
+                  f"cpf{k}.fasta")
+    base = KmerConfig(k=k, mode="sort", batch_reads=8, max_read_len=512,
+                      canonical=(k == 21))
+    want = count_fasta(path, base)
+    os.environ["KMER_TPU_STEP"] = "fused"
+    os.environ["KMER_TPU_T_M"] = "8"
+    try:
+        got = count_fasta(path, base.replace(compact=True))
+    finally:
+        del os.environ["KMER_TPU_STEP"]
+        del os.environ["KMER_TPU_T_M"]
+    assert got == want
+    assert got.counts.max() > 1
+
+
 def test_compact_config_validation():
     with pytest.raises(ValueError, match="k <= 31"):
         KmerConfig(k=33, compact=True)

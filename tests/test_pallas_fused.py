@@ -95,6 +95,69 @@ def test_count_step_pallas_extract_end_to_end(tmp_path):
     assert t.to_dict() == dict(want)
 
 
+@pytest.mark.parametrize("k,canon,amb", [(21, True, False),
+                                         (21, False, True),
+                                         (17, True, True),
+                                         (31, False, False),
+                                         (11, True, False)])
+def test_fused_extract_count_matches_two_stage(k, canon, amb):
+    """Single-kernel fused step (ops/pallas/fused_extract) == XLA
+    extraction + grouped count, as aggregated tables, across key
+    widths, canonical and skip-invalid modes, short reads and limits."""
+    from kmer_tpu.ops.canonical import canonical_kmer_lanes
+    from kmer_tpu.ops.extract import kmer_lanes
+    from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+    rng = np.random.default_rng(5 * k + 2 * canon + amb)
+    B, L = 24, 60
+    hi = 5 if amb else 4          # code 4 = ambiguous base
+    codes = jnp.asarray(rng.integers(0, hi, (B, L), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(1, L + 1, B, dtype=np.int32))
+
+    rflat, counts = fused_extract_count_T(
+        codes.T, lengths, limits, k, canonical=canon,
+        mask_ambiguous=amb, seg=8, block_lanes=128, interpret=True)
+    std = C.unpack_words(rflat, k)
+    got = _aggregate(k, std, counts > 0, counts)
+
+    if canon:
+        words, valid = canonical_kmer_lanes(codes, lengths, k,
+                                            limits=limits,
+                                            mask_ambiguous=amb)
+    else:
+        words, valid = kmer_lanes(codes, lengths, k, limits=limits,
+                                  mask_ambiguous=amb)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    want = KmerTable.from_pairs(k, ks[v], np.ones(int(v.sum()), np.int64))
+    assert got == want
+
+
+def test_count_step_fused_path_end_to_end(tmp_path):
+    """Full fused single-kernel path (KMER_TPU_STEP=fused), interpret
+    mode, vs the oracle."""
+    import os
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import reference_style_fasta
+    from kmer_tpu.utils import oracle
+    p = tmp_path / "fp.fasta"
+    p.write_text(reference_style_fasta(n_records=3, seed=47))
+    os.environ["KMER_TPU_STEP"] = "fused"
+    os.environ["KMER_TPU_T_M"] = "8"
+    try:
+        for k, canon in ((21, True), (11, False)):
+            t = count_fasta(str(p), KmerConfig(k=k, canonical=canon,
+                                               batch_reads=8,
+                                               max_read_len=128,
+                                               sort_group_keys=16))
+            want = oracle.oracle_count(oracle.read_fasta_py(str(p)), k,
+                                       canonical=canon)
+            assert t.to_dict() == dict(want), k
+    finally:
+        del os.environ["KMER_TPU_STEP"]
+        del os.environ["KMER_TPU_T_M"]
+
+
 def test_count_step_transposed_path_end_to_end(tmp_path):
     """Full transposed fast path (KMER_TPU_STEP=t): extraction along
     sublanes + pallas_t kernel, interpret mode, vs the oracle."""
