@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="suppress k-mers with count below this")
     pc.add_argument("--compact", action="store_true",
                     help="on-device compaction: device->host transfer "
-                         "scales with distinct k-mers (sort mode, k<=31)")
+                         "scales with distinct k-mers (sort mode)")
     pc.add_argument("--out-npz", default=None,
                     help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",

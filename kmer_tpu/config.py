@@ -47,11 +47,11 @@ class KmerConfig:
     # size; 0 = whole-file parse.  Chunk boundaries are deterministic —
     # they are part of the streaming-resume fingerprint.
     ingest_chunk_bases: int = 1 << 28
-    # on-device compaction (sort mode, k <= 31): the device step returns
-    # only distinct (key, count) records, so device->host transfer
-    # scales with DISTINCT k-mers instead of total — a large win on
-    # repetitive corpora / slow host links at the cost of an extra
-    # partition pass on device (ops/count.grouped_count_compact).
+    # on-device compaction (sort mode, contiguous or gapped): the device
+    # step returns only distinct (key, count) records, so device->host
+    # transfer scales with DISTINCT k-mers instead of total — a large
+    # win on repetitive corpora / slow host links at the cost of an
+    # extra partition pass on device (ops/count.grouped_count_compact).
     compact: bool = False
     # host->device transfer: ship batches 2-bit-packed in uint32 words
     # (4x smaller H2D; device unpacks in 16 shift-ands).  Automatically
@@ -82,8 +82,12 @@ class KmerConfig:
         if self.max_read_len < self.window_span:
             raise ValueError(
                 f"max_read_len={self.max_read_len} < window span {self.window_span}")
-        if self.compact and (self.gapped or self.k > 31):
-            raise ValueError("compact mode supports contiguous k <= 31")
+        if self.compact:
+            from .ops.encode import words_per_key
+            n_bases = (self.l_len + self.r_len) if self.gapped else self.k
+            if words_per_key(n_bases) > 7:
+                raise ValueError("compact mode caps at 7 key words "
+                                 f"(<= 111 bases; got {n_bases})")
         if self.compact and self.mode == "dense":
             raise ValueError("compact applies to sort mode")
 

@@ -315,11 +315,12 @@ def grouped_count_compact(words: list[jnp.ndarray], valid: jnp.ndarray,
     core) -> a part_keys-grouped single-key partition sort that moves
     each coarse group's live entries to its front -> one sequential-DMA
     pack (ops/pallas/compact.pack_groups) that concatenates the live
-    prefixes.  Supports W <= 2 keys (k <= 31; the gapped 4-word mode
-    keeps the uncompacted path).
+    prefixes.  Record width adapts to the key size (4 uint32 fields for
+    W <= 3, 8 up to W = 7 — which covers the gapped 54-base chunks,
+    W = 4).
     """
     W = words_per_key(n_bases)
-    assert W <= 2, "compaction supports k <= 31 keys"
+    assert W <= 7, "compaction record width caps at 8 fields (W <= 7)"
     backend = backend or os.environ.get("KMER_TPU_GROUPED", "auto")
     rwords, _nk = repack_words([w.reshape(-1) for w in words],
                                valid.reshape(-1), n_bases)
@@ -343,6 +344,7 @@ def compact_from_runs(s_flat: list[jnp.ndarray], counts: jnp.ndarray, *,
                   for w in s_flat]
         counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
     G2 = (n + pad) // m2
+    nw = len(s_flat)
     live = counts > 0
     inv = (~live).astype(jnp.uint32)
     operands = [inv.reshape(G2, m2)]
@@ -350,13 +352,11 @@ def compact_from_runs(s_flat: list[jnp.ndarray], counts: jnp.ndarray, *,
     operands.append(counts.astype(jnp.uint32).reshape(G2, m2))
     part = lax.sort(tuple(operands), num_keys=1, dimension=1)
     d = jnp.sum(live.reshape(G2, m2), axis=1, dtype=jnp.int32)
-    w0 = part[1]
-    w1 = part[2] if len(s_flat) == 2 else jnp.zeros_like(w0)
-    cnt = part[-1]
+    fields = list(part[1:1 + nw]) + [part[-1]]
     from .pallas.compact import pack_groups, pack_groups_xla
     if jax.default_backend() == "tpu":
-        return pack_groups(w0, w1, cnt, d)
-    return pack_groups_xla(w0, w1, cnt, d)
+        return pack_groups(fields, d)
+    return pack_groups_xla(fields, d)
 
 
 def sort_count(words: list[jnp.ndarray]):

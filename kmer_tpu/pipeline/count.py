@@ -195,6 +195,27 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
     return count_ops.sort_count(words)
 
 
+@partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
+                                   "mask_ambiguous", "group_keys",
+                                   "part_keys", "packed_width"))
+def gapped_step_compact(codes, lengths, limits, *, c_min: int, c_max: int,
+                        l_len: int = 27, r_len: int = 27,
+                        mask_ambiguous: bool = False, group_keys: int = 256,
+                        part_keys: int = 2048, packed_width: int = 0):
+    """Gapped batch with ON-DEVICE COMPACTION: (records, total) as
+    count_step_compact, with 8-field records for the W=4 chunk keys
+    (ops/pallas/compact.record_width)."""
+    from ..ops.extract import gapped_lanes
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
+    words, valid = gapped_lanes(codes, lengths, l_len, r_len,
+                                c_min=c_min, c_max=c_max, limits=limits,
+                                mask_ambiguous=mask_ambiguous)
+    return count_ops.grouped_count_compact(words, valid, l_len + r_len,
+                                           group_keys, part_keys=part_keys)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
                                    "packed_width"),
          donate_argnames=("hist",))
@@ -300,7 +321,16 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     host_hist = part if host_hist is None else host_hist + part
                     hist = jnp.zeros((4 ** cfg.k,), jnp.int32)
             else:
-                if cfg.gapped:
+                if cfg.gapped and cfg.compact:
+                    out = gapped_step_compact(
+                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.start_limits),
+                        c_min=cfg.c_min, c_max=cfg.c_max,
+                        l_len=cfg.l_len, r_len=cfg.r_len,
+                        mask_ambiguous=cfg.skip_invalid,
+                        group_keys=cfg.sort_group_keys or 256,
+                        packed_width=pw)
+                elif cfg.gapped:
                     out = gapped_step_sort(
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
@@ -326,7 +356,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     if dense_hybrid:
                         hybrid_accumulate(pending)
                     else:
-                        if cfg.compact and not cfg.gapped:
+                        if cfg.compact:
                             rows = fetch_compact_rows(*pending)
                             btab = KmerTable.from_compact(n_bases, rows)
                         else:
@@ -343,7 +373,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     if pending is not None:
         if dense_hybrid:
             hybrid_accumulate(pending)
-        elif cfg.compact and not cfg.gapped:
+        elif cfg.compact:
             rows = fetch_compact_rows(*pending)
             parts.append(KmerTable.from_compact(n_bases, rows))
         else:

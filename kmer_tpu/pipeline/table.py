@@ -22,6 +22,26 @@ def _void_view(keys: np.ndarray) -> np.ndarray:
     return be.view(np.dtype((np.void, be.shape[1] * 4))).reshape(-1)
 
 
+def _unpack_repacked_np(rw: list[np.ndarray], n_bases: int) -> list[np.ndarray]:
+    """Host mirror of ops.count.unpack_words for LIVE lanes only:
+    repacked sort-layout words (32 key bits per word 0..W-2, the s
+    residual bits in the last word) back to std MS-first layout."""
+    W = len(rw)
+    if W == 1:
+        return rw
+    s = 2 * n_bases - 32 * (W - 1)
+    if s == 0:
+        # last word is the 0-flag on live lanes; std w0 holds only it
+        return [rw[-1]] + list(rw[:-1])
+    t = np.uint32(32 - s)
+    s = np.uint32(s)
+    out = [rw[0] >> t]
+    for j in range(1, W - 1):
+        out.append((rw[j - 1] << s) | (rw[j] >> t))
+    out.append((rw[W - 2] << s) | rw[W - 1])
+    return out
+
+
 @dataclass
 class KmerTable:
     k: int                 # bases per key
@@ -93,26 +113,19 @@ class KmerTable:
     @staticmethod
     def from_compact(n_bases: int, row_blocks: np.ndarray) -> "KmerTable":
         """Decode one batch's ON-DEVICE-COMPACTED row blocks
-        (ops/count.grouped_count_compact): (R, 128) uint32 = 32 records
-        of (word0, word1, count, _) per row in the repacked sort
-        layout; dead padding records carry count == 0 and are dropped;
-        converts back to std key words and aggregates."""
-        rows = np.asarray(row_blocks).reshape(-1, 4)
-        rows = rows[rows[:, 2] > 0]
+        (ops/count.grouped_count_compact): (R, 128) uint32 rows of
+        fixed-width records (repacked key words, count, zero padding —
+        ops/pallas/compact.record_width fields each); dead padding
+        records carry count == 0 and are dropped; converts back to std
+        key words and aggregates."""
+        from ..ops.pallas.compact import record_width
         W = words_per_key(n_bases)
-        counts = rows[:, 2].astype(np.int64)
-        if W == 1:
-            keys = rows[:, :1]
-        else:
-            s = 2 * n_bases - 32
-            if s == 0:
-                # k == 16: repacked = (key word, 0-flag); std w0 is 0
-                keys = np.stack([np.zeros_like(rows[:, 0]), rows[:, 0]], 1)
-            else:
-                top, bot = rows[:, 0], rows[:, 1]
-                hi = top >> np.uint32(32 - s)
-                lo = (top << np.uint32(s)) | (bot & np.uint32((1 << s) - 1))
-                keys = np.stack([hi, lo], 1)
+        rec_w = record_width(W + 1)
+        rows = np.asarray(row_blocks).reshape(-1, rec_w)
+        rows = rows[rows[:, W] > 0]
+        counts = rows[:, W].astype(np.int64)
+        rw = [rows[:, j] for j in range(W)]
+        keys = np.stack(_unpack_repacked_np(rw, n_bases), axis=1)
         return KmerTable.from_pairs(n_bases, keys, counts)
 
     @staticmethod

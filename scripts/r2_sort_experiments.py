@@ -356,7 +356,7 @@ def main():
                 w1 = b.reshape(G, m)
                 cnt = w0 ^ w1
                 d = (w0[:, :8].sum(axis=1) % m).astype(jnp.int32)
-                out, total = pack_groups(w0, w1, cnt, d)
+                out, total = pack_groups([w0, w1, cnt], d)
                 flat = out.reshape(-1)[:N_SORT]
                 na = a ^ flat * jnp.uint32(2654435761)
                 nb = b + jnp.roll(flat, 3)

@@ -428,10 +428,42 @@ def test_compact_mode_fused_step(tmpdir, k):
     assert got.counts.max() > 1
 
 
+@pytest.mark.parametrize("k", [33, 47])
+def test_compact_mode_large_k(tmpdir, k):
+    """Compaction with W=3 keys (k > 31): same 4-field records, count in
+    the fourth slot."""
+    path = _write(tmpdir, reference_style_fasta(n_records=6, seed=k),
+                  f"cpl{k}.fasta")
+    base = KmerConfig(k=k, mode="sort", batch_reads=8, max_read_len=512)
+    want = count_fasta(path, base)
+    got = count_fasta(path, base.replace(compact=True))
+    assert got == want
+    assert got.counts.max() > 1
+
+
+def test_compact_mode_gapped(tmpdir):
+    """Gapped compaction (W=4 chunk keys -> 8-field records) must equal
+    the uncompacted gapped table and the reference-semantics oracle."""
+    path = _write(tmpdir, reference_style_fasta(n_records=4, seed=7),
+                  "cpg.fasta")
+    base = KmerConfig(gapped=True, c_min=56, c_max=64, batch_reads=8,
+                      max_read_len=512)
+    want = count_fasta(path, base)
+    got = count_fasta(path, base.replace(compact=True))
+    assert got == want
+    assert got.counts.max() > 1
+    from collections import Counter
+    from kmer_tpu.utils import oracle
+    wo = Counter(oracle.oracle_gapped_lines(
+        oracle.read_fasta_py(path), c_min=56, c_max=64))
+    assert got.to_dict() == dict(wo)
+
+
 def test_compact_config_validation():
-    with pytest.raises(ValueError, match="k <= 31"):
-        KmerConfig(k=33, compact=True)
-    with pytest.raises(ValueError, match="k <= 31"):
-        KmerConfig(gapped=True, compact=True, max_read_len=512)
+    # large-k and gapped compact are supported (8-field records)
+    KmerConfig(k=33, compact=True)
+    KmerConfig(gapped=True, compact=True, max_read_len=512)
+    with pytest.raises(ValueError, match="key words"):
+        KmerConfig(k=120, compact=True)
     with pytest.raises(ValueError, match="sort"):
         KmerConfig(k=8, mode="dense", compact=True)

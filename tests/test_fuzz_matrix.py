@@ -36,7 +36,7 @@ def test_fuzz_config_matrix(tmp_path, trial):
 
     k = int(rng.choice([4, 7, 11, 15, 16, 21, 27, 31, 33]))
     canonical = bool(rng.random() < 0.5)
-    compact = bool(rng.random() < 0.4) and k <= 31
+    compact = bool(rng.random() < 0.4)
     cfg = KmerConfig(
         k=k,
         canonical=canonical,
@@ -51,4 +51,32 @@ def test_fuzz_config_matrix(tmp_path, trial):
     table = count_fasta(str(p), cfg)
     want = oracle.oracle_count(reads, k, canonical=canonical,
                                skip_invalid=with_n)
+    assert table.to_dict() == dict(want), cfg
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_gapped_matrix(tmp_path, trial):
+    from collections import Counter
+    rng = np.random.default_rng(7000 + trial)
+    reads = _random_corpus(rng)
+    text = "".join(f">g{i}\n{s}\n" for i, s in enumerate(reads))
+    p = tmp_path / f"fg{trial}.fasta"
+    p.write_text(text)
+
+    l_len = int(rng.integers(3, 12))
+    r_len = int(rng.integers(3, 12))
+    c_min = l_len + r_len + int(rng.integers(0, 6))
+    c_max = c_min + int(rng.integers(0, 10))
+    cfg = KmerConfig(
+        gapped=True, l_len=l_len, r_len=r_len, c_min=c_min, c_max=c_max,
+        compact=bool(rng.random() < 0.5),
+        packed_transfer=bool(rng.random() < 0.7),
+        sort_group_keys=int(rng.choice([0, 64, 256])),
+        batch_reads=int(rng.choice([2, 8, 32])),
+        max_read_len=int(rng.choice([max(c_max, 48), 160])),
+        ingest_chunk_bases=int(rng.choice([0, 97, 1 << 20])),
+    )
+    table = count_fasta(str(p), cfg)
+    want = Counter(oracle.oracle_gapped_lines(
+        reads, l_len=l_len, r_len=r_len, c_min=c_min, c_max=c_max))
     assert table.to_dict() == dict(want), cfg
