@@ -43,6 +43,18 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--compact", action="store_true",
                     help="on-device compaction: device->host transfer "
                          "scales with distinct k-mers (sort mode)")
+    pc.add_argument("--gapped", action="store_true",
+                    help="count gapped L+R chunks (the reference's "
+                         "window semantics, main.rs:63-79) instead of "
+                         "contiguous k-mers; -k is then ignored")
+    pc.add_argument("--l-len", type=int, default=27,
+                    help="gapped left window length")
+    pc.add_argument("--r-len", type=int, default=27,
+                    help="gapped right window length")
+    pc.add_argument("--c-min", type=int, default=80,
+                    help="gapped minimum chunk span")
+    pc.add_argument("--c-max", type=int, default=140,
+                    help="gapped maximum chunk span")
     pc.add_argument("--out-npz", default=None,
                     help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",
@@ -109,12 +121,25 @@ def main(argv: list[str] | None = None) -> int:
 def _dispatch(args) -> int:
     if args.cmd == "count":
         from .config import KmerConfig
-        cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
-                         batch_reads=args.batch_reads,
-                         max_read_len=max(args.max_read_len, args.k),
-                         partitions=args.partitions, stats=args.stats,
-                         skip_invalid=args.skip_invalid,
-                         compact=args.compact)
+        if args.gapped:
+            if args.canonical:
+                raise ValueError("--canonical applies to contiguous "
+                                 "k-mers (gapped chunks have no "
+                                 "reverse-complement contract)")
+            cfg = KmerConfig(gapped=True, l_len=args.l_len, r_len=args.r_len,
+                             c_min=args.c_min, c_max=args.c_max,
+                             batch_reads=args.batch_reads,
+                             max_read_len=max(args.max_read_len, args.c_max),
+                             partitions=args.partitions, stats=args.stats,
+                             skip_invalid=args.skip_invalid,
+                             compact=args.compact)
+        else:
+            cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
+                             batch_reads=args.batch_reads,
+                             max_read_len=max(args.max_read_len, args.k),
+                             partitions=args.partitions, stats=args.stats,
+                             skip_invalid=args.skip_invalid,
+                             compact=args.compact)
         from .utils.profiling import trace
         if args.compact and (args.two_pass or args.multihost):
             raise ValueError("--compact applies to the single-host "

@@ -103,3 +103,25 @@ def test_cli_query(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert out == "AAAC\t2\nGGGG\t0\n"
+
+
+def test_cli_gapped_count(tmp_path, capsys):
+    from collections import Counter
+
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import reference_style_fasta
+    from kmer_tpu.utils.oracle import oracle_gapped_lines, read_fasta_py
+    fa = tmp_path / "gp.fasta"
+    fa.write_text(reference_style_fasta(n_records=3, seed=11))
+    rc = main(["count", str(fa), "--gapped", "--c-min", "60", "--c-max",
+               "66", "--batch-reads", "8", "--max-read-len", "512"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    got = {l.split("\t")[0]: int(l.split("\t")[1])
+           for l in out.strip().split("\n")}
+    want = Counter(oracle_gapped_lines(read_fasta_py(str(fa)),
+                                       c_min=60, c_max=66))
+    assert got == dict(want)
+    # --canonical contradicts gapped chunks: clean error
+    rc = main(["count", str(fa), "--gapped", "--canonical"])
+    assert rc == 1
