@@ -122,9 +122,6 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     from .mesh import make_mesh
 
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    if cfg.gapped:
-        raise NotImplementedError("multi-host gapped counting: use "
-                                  "StreamingCounter with a mesh")
     pc = jax.process_count()
     if cfg.batch_reads % pc:
         raise ValueError(f"batch_reads={cfg.batch_reads} must be divisible "
@@ -155,6 +152,11 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     capacity = [None]        # None = route_capacity default
 
     def build_fn():
+        if cfg.gapped:
+            return distributed.make_distributed_gapped(
+                mesh, l_len=cfg.l_len, r_len=cfg.r_len,
+                c_min=cfg.c_min, c_max=cfg.c_max, capacity=capacity[0],
+                mask_ambiguous=cfg.skip_invalid)
         return distributed.make_distributed_count(
             mesh, k=cfg.k, canonical=cfg.canonical, capacity=capacity[0],
             mask_ambiguous=cfg.skip_invalid)
@@ -189,7 +191,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
         # retry decision and rebuilds with the same capacity — a
         # device's keys can never exceed its local lane count, which
         # bounds the doubling
-        cap_max = (cfg.batch_reads // n_dev + 1) * cfg.max_read_len
+        n_windows = (cfg.c_max - cfg.c_min + 1) if cfg.gapped else 1
+        cap_max = (cfg.batch_reads // n_dev + 1) * cfg.max_read_len * n_windows
         while True:
             sw, is_start, counts, overflow = fn(gcodes, glens, glims)
             if not bool(overflow):
@@ -202,6 +205,7 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
             fn = build_fn()
         host = multihost_utils.process_allgather(
             (tuple(sw), is_start, counts), tiled=True)
-        part = KmerTable.from_device_runs(cfg.k, *host)
+        n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
+        part = KmerTable.from_device_runs(n_bases, *host)
         table = part if table is None else table.merge(part)
     return table if table is not None else KmerTable.empty(cfg.k)

@@ -29,6 +29,10 @@ from kmer_tpu.parallel.multihost import count_fasta_multihost
 table = count_fasta_multihost(fasta, KmerConfig(
     k=21, batch_reads=8, max_read_len=96))
 table.save(f"{outdir}/t{pid}.npz")
+gt = count_fasta_multihost(fasta, KmerConfig(
+    gapped=True, l_len=5, r_len=5, c_min=12, c_max=16,
+    batch_reads=8, max_read_len=96))
+gt.save(f"{outdir}/g{pid}.npz")
 """
 
 
@@ -68,3 +72,11 @@ def test_two_process_table_bit_identical():
         assert t0 == ref                             # == single-process
         assert (t0.keys == ref.keys).all()
         assert (t0.counts == ref.counts).all()
+        # gapped multi-host (same processes): identical + == single-proc
+        g0 = KmerTable.load(os.path.join(d, "g0.npz"))
+        g1 = KmerTable.load(os.path.join(d, "g1.npz"))
+        gref = count_fasta(fasta, KmerConfig(
+            gapped=True, l_len=5, r_len=5, c_min=12, c_max=16,
+            batch_reads=8, max_read_len=96))
+        assert g0 == g1
+        assert g0 == gref
