@@ -261,6 +261,26 @@ def parse_seqs(path: str, prefer_native: bool = True,
 # persistent handle; byte-exact resume cursors).
 # ---------------------------------------------------------------------------
 
+def scan_record_offsets(path: str, *, max_bases: int = 256 << 20,
+                        allow_ambiguous: bool = False) -> np.ndarray:
+    """Global (n_records + 1,) int64 record offsets WITHOUT keeping any
+    codes: one chunked pass whose peak memory is one chunk of codes plus
+    8 bytes/record.  Identical to parse_seqs(path)[1] — multi-host
+    drivers use it to derive deterministic record partitions from
+    lengths alone (parallel.multihost)."""
+    lens = []
+    for codes, offsets, _cur in iter_parse_chunks(
+            path, max_bases=max_bases, allow_ambiguous=allow_ambiguous):
+        if len(offsets) > 1:
+            lens.append(np.diff(offsets))
+    if not lens:
+        return np.zeros(1, np.int64)
+    out = np.empty(sum(len(x) for x in lens) + 1, np.int64)
+    out[0] = 0
+    np.cumsum(np.concatenate(lens), out=out[1:])
+    return out
+
+
 def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
                       allow_ambiguous: bool = False,
                       prefer_native: bool = True,
@@ -457,6 +477,65 @@ def segment_records(offsets: np.ndarray, max_len: int, overlap: int) -> np.ndarr
     return np.asarray(spans, dtype=np.int64).reshape(-1, 3)
 
 
+def batch_from_spans(codes: np.ndarray, spans_chunk: np.ndarray, *,
+                     batch_reads: int, max_len: int,
+                     packed: bool = False) -> Batch:
+    """Build ONE fixed-shape Batch from <= batch_reads [start, end,
+    start_limit) spans into `codes` (rows past the spans are zero-length
+    padding).  Shared by iter_batches and the incremental multi-host
+    batcher (parallel.multihost)."""
+    chunk = spans_chunk
+    m = len(chunk)
+    B = batch_reads
+    assert m <= B, (m, B)
+    lens = np.empty((B,), dtype=np.int32)
+    lims = np.empty((B,), dtype=np.int32)
+    lib = _load_native()
+    if packed and lib is not None:
+        Lw = (max_len + 15) // 16
+        outp = np.empty((B, Lw), dtype=np.uint32)
+        sp = np.ascontiguousarray(chunk, dtype=np.int64)
+        cc = codes if codes.size else np.zeros(1, np.uint8)
+        lib.fill_batch_packed(
+            cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), m,
+            outp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, Lw, max_len)
+        return Batch(outp, lens, lims, packed_width=max_len)
+    out = np.empty((B, max_len), dtype=np.uint8)
+    if lib is not None:
+        # native row-memcpy filler (a numpy gather costs ~10x the
+        # device step per batch at B=8192)
+        sp = np.ascontiguousarray(chunk, dtype=np.int64)
+        cc = codes if codes.size else np.zeros(1, np.uint8)
+        lib.fill_batch(
+            cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), m,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, max_len)
+    else:
+        pos = np.arange(max_len)
+        top = max(len(codes) - 1, 0)
+        out[:] = 0
+        lens[:] = 0
+        lims[:] = 0
+        if m:
+            lens[:m] = (chunk[:, 1] - chunk[:, 0]).astype(np.int32)
+            lims[:m] = chunk[:, 2].astype(np.int32)
+            cc = codes if codes.size else np.zeros(1, np.uint8)
+            idx = np.minimum(chunk[:, 0:1] + pos[None, :], top)
+            valid = pos[None, :] < lens[:m, None]
+            out[:m] = np.where(valid, cc[idx], 0)
+    if packed:
+        return Batch(pack_batch_codes(out), lens, lims,
+                     packed_width=max_len)
+    return Batch(out, lens, lims)
+
+
 def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
                  batch_reads: int, max_len: int, overlap: int,
                  start_batch: int = 0, packed: bool = False) -> Iterator[Batch]:
@@ -467,59 +546,9 @@ def iter_batches(codes: np.ndarray, offsets: np.ndarray, *,
     uint32-packed rows (4x smaller H2D; requires pure-ACGT codes)."""
     spans = segment_records(offsets, max_len, overlap)
     n = len(spans)
-    pos = np.arange(max_len)
-    top = max(len(codes) - 1, 0)
-    Lw = (max_len + 15) // 16
     for i in range(start_batch * batch_reads, max(n, 1), batch_reads):
-        chunk = spans[i:i + batch_reads]
-        m = len(chunk)
-        B = batch_reads
-        lens = np.empty((B,), dtype=np.int32)
-        lims = np.empty((B,), dtype=np.int32)
-        lib = _load_native()
-        if packed and lib is not None:
-            outp = np.empty((B, Lw), dtype=np.uint32)
-            sp = np.ascontiguousarray(chunk, dtype=np.int64)
-            cc = codes if codes.size else np.zeros(1, np.uint8)
-            lib.fill_batch_packed(
-                cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), m,
-                outp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                lims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                B, Lw, max_len)
-            yield Batch(outp, lens, lims, packed_width=max_len)
-            if n == 0:
-                break
-            continue
-        out = np.empty((B, max_len), dtype=np.uint8)
-        if lib is not None:
-            # native row-memcpy filler (a numpy gather costs ~10x the
-            # device step per batch at B=8192)
-            sp = np.ascontiguousarray(chunk, dtype=np.int64)
-            cc = codes if codes.size else np.zeros(1, np.uint8)
-            lib.fill_batch(
-                cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), m,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                lims.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                B, max_len)
-        else:
-            out[:] = 0
-            lens[:] = 0
-            lims[:] = 0
-            if m:
-                lens[:m] = (chunk[:, 1] - chunk[:, 0]).astype(np.int32)
-                lims[:m] = chunk[:, 2].astype(np.int32)
-                cc = codes if codes.size else np.zeros(1, np.uint8)
-                idx = np.minimum(chunk[:, 0:1] + pos[None, :], top)
-                valid = pos[None, :] < lens[:m, None]
-                out[:m] = np.where(valid, cc[idx], 0)
-        if packed:
-            yield Batch(pack_batch_codes(out), lens, lims,
-                        packed_width=max_len)
-        else:
-            yield Batch(out, lens, lims)
+        yield batch_from_spans(codes, spans[i:i + batch_reads],
+                               batch_reads=batch_reads, max_len=max_len,
+                               packed=packed)
         if n == 0:
             break

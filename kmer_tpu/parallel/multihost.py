@@ -96,6 +96,51 @@ def global_batch(mesh, local_rows: dict[str, np.ndarray]):
     return codes, lengths, limits
 
 
+def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
+    """Yield this host's fixed-shape batches for records [s, e) with one
+    chunked re-parse: rolling (codes, spans) buffer, peak memory ~ one
+    ingest chunk + one batch."""
+    from ..io.fasta import batch_from_spans, iter_parse_chunks, segment_records
+
+    buf = np.zeros(0, np.uint8)
+    spans = np.zeros((0, 3), np.int64)
+    rec_i = 0
+    for codes, offsets, _cur in iter_parse_chunks(
+            path, max_bases=cfg.ingest_chunk_bases,
+            allow_ambiguous=cfg.skip_invalid):
+        n_in = len(offsets) - 1
+        lo = max(s - rec_i, 0)
+        hi = min(e - rec_i, n_in)
+        rec_i += n_in
+        if hi <= lo:
+            if rec_i >= e:
+                break                    # past this host's range
+            continue
+        sub_off = offsets[lo:hi + 1]
+        sub_codes = codes[sub_off[0]:sub_off[-1]]
+        sp = segment_records(sub_off - sub_off[0], cfg.max_read_len,
+                             cfg.overlap)
+        if buf.size:
+            sp = sp + np.array([[buf.size, buf.size, 0]], np.int64)
+            buf = np.concatenate([buf, sub_codes])
+        else:
+            buf = np.ascontiguousarray(sub_codes)
+        spans = np.concatenate([spans, sp]) if spans.size else sp
+        while len(spans) >= B_loc:
+            yield batch_from_spans(buf, spans[:B_loc], batch_reads=B_loc,
+                                   max_len=cfg.max_read_len)
+            spans = spans[B_loc:]
+            if len(spans):
+                base = int(spans[0, 0])
+                buf = buf[base:]
+                spans = spans - np.array([[base, base, 0]], np.int64)
+            else:
+                buf = np.zeros(0, np.uint8)
+    if len(spans):
+        yield batch_from_spans(buf, spans, batch_reads=B_loc,
+                               max_len=cfg.max_read_len)
+
+
 def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     """SPMD multi-host counting driver (VERDICT r1 #4: the composition
     of initialize + host_record_range + global_batch + the distributed
@@ -106,17 +151,21 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     single-process table is pinned by tests/test_multihost_2proc.py
     (a genuine 2-process jax.distributed CPU run).
 
-    Current scope: every host parses the whole file's offsets and feeds
-    only its own record slice (deterministic host_record_range); batches
-    are globally aligned so every process dispatches the same number of
-    collective steps.
+    Ingest is memory-bounded (cfg.ingest_chunk_bases > 0, the default):
+    every host derives the deterministic record partition from a
+    lengths-only chunked scan (8 bytes/record, no codes), then parses
+    chunks a second time feeding only its own record slice — peak
+    memory is one ingest chunk + one batch, independent of corpus size
+    and host count.  Batches are globally aligned so every process
+    dispatches the same number of collective steps.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..config import KmerConfig
-    from ..io.fasta import Batch, iter_batches, parse_seqs, segment_records
+    from ..io.fasta import (Batch, iter_batches, parse_seqs,
+                            scan_record_offsets, segment_records)
     from ..pipeline.table import KmerTable
     from . import distributed
     from .mesh import make_mesh
@@ -132,7 +181,13 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
         raise ValueError(f"batch_reads={cfg.batch_reads} must be divisible "
                          f"by device count={n_dev}")
 
-    codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
+    if cfg.ingest_chunk_bases > 0:
+        codes = None
+        offsets = scan_record_offsets(path,
+                                      max_bases=cfg.ingest_chunk_bases,
+                                      allow_ambiguous=cfg.skip_invalid)
+    else:
+        codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
     n_records = len(offsets) - 1
 
     # every process derives every host's batch count locally — all
@@ -145,8 +200,6 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     n_batches = max(host_batches(h) for h in range(pc))
 
     s, e = host_record_range(n_records)
-    local_codes = codes[offsets[s]:offsets[e]]
-    local_offsets = offsets[s:e + 1] - offsets[s]
 
     mesh = make_mesh(n_dev, 1)
     capacity = [None]        # None = route_capacity default
@@ -170,9 +223,14 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
                      np.zeros((B_loc,), np.int32),
                      np.zeros((B_loc,), np.int32))
 
-    batches = iter_batches(local_codes, local_offsets,
-                           batch_reads=B_loc, max_len=cfg.max_read_len,
-                           overlap=cfg.overlap)
+    if codes is None:
+        batches = _iter_host_batches_chunked(path, cfg, s, e, B_loc)
+    else:
+        local_codes = codes[offsets[s]:offsets[e]]
+        local_offsets = offsets[s:e + 1] - offsets[s]
+        batches = iter_batches(local_codes, local_offsets,
+                               batch_reads=B_loc, max_len=cfg.max_read_len,
+                               overlap=cfg.overlap)
     table = None
     done = False
     for _ in range(n_batches):

@@ -37,3 +37,42 @@ def test_global_batch_single_process():
     assert codes.shape == (B, L) and lengths.shape == (B,)
     np.testing.assert_array_equal(np.asarray(codes), rows["codes"])
     np.testing.assert_array_equal(np.asarray(lengths), rows["lengths"])
+
+
+def test_iter_host_batches_chunked_equals_slice():
+    """The rolling chunked batcher must produce the same record slice
+    and batch composition as the in-memory iter_batches path, across
+    host slices and tiny chunk sizes (records straddling chunks)."""
+    import tempfile, os
+    from kmer_tpu import KmerConfig
+    from kmer_tpu.io.fasta import (iter_batches, parse_seqs,
+                                   scan_record_offsets)
+    from kmer_tpu.io.generator import random_reads_fasta
+
+    with tempfile.TemporaryDirectory() as d:
+        fa = os.path.join(d, "c.fasta")
+        with open(fa, "w") as f:
+            # variable-length reads incl. ones longer than max_read_len
+            f.write(random_reads_fasta(23, 70, seed=5))
+        cfg = KmerConfig(k=11, batch_reads=4, max_read_len=48,
+                         ingest_chunk_bases=257)
+        codes, offsets = parse_seqs(fa)
+        off2 = scan_record_offsets(fa, max_bases=257)
+        np.testing.assert_array_equal(offsets, off2)
+        n = len(offsets) - 1
+        for (s, e) in [(0, n), (0, (n + 1) // 2), ((n + 1) // 2, n),
+                       (3, 5), (n, n)]:
+            want = list(iter_batches(codes[offsets[s]:offsets[e]],
+                                     offsets[s:e + 1] - offsets[s],
+                                     batch_reads=4, max_len=48,
+                                     overlap=cfg.overlap)) if e > s else []
+            got = list(multihost._iter_host_batches_chunked(fa, cfg, s, e, 4))
+            if e == s:
+                assert got == []
+                continue
+            assert len(got) == len(want)
+            for gb, wb in zip(got, want):
+                np.testing.assert_array_equal(gb.codes, wb.codes)
+                np.testing.assert_array_equal(gb.lengths, wb.lengths)
+                np.testing.assert_array_equal(gb.start_limits,
+                                              wb.start_limits)

@@ -31,7 +31,8 @@ table = count_fasta_multihost(fasta, KmerConfig(
 table.save(f"{outdir}/t{pid}.npz")
 gt = count_fasta_multihost(fasta, KmerConfig(
     gapped=True, l_len=5, r_len=5, c_min=12, c_max=16,
-    batch_reads=8, max_read_len=96))
+    batch_reads=8, max_read_len=96,
+    ingest_chunk_bases=512))   # force multi-chunk bounded ingest
 gt.save(f"{outdir}/g{pid}.npz")
 """
 
