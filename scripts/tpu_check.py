@@ -85,6 +85,20 @@ def main():
             oracle.read_fasta_py(small)))
         check("gapped grouped == oracle", tg.to_dict() == dict(wantg))
 
+        # 7. gapped compaction (8-field records, W=4 DMA pack kernel)
+        tgc = count_fasta(small, KmerConfig(gapped=True, mode="sort",
+                                            batch_reads=64,
+                                            max_read_len=256, compact=True))
+        check("gapped compact == gapped", tgc == tg)
+
+        # 8. large-k compaction (W=3 keys, count in the 4th field)
+        t33 = count_fasta(corpus, KmerConfig(k=33, batch_reads=8192,
+                                             max_read_len=150))
+        t33c = count_fasta(corpus, KmerConfig(k=33, batch_reads=8192,
+                                              max_read_len=150,
+                                              compact=True))
+        check("k=33 compact == uncompacted", t33c == t33)
+
     sys.exit(0 if OK else 1)
 
 
