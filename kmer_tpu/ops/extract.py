@@ -168,10 +168,14 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
     """All gapped L+R chunk keys of a batch, reference semantics.
 
     Returns:
-      words: list of W uint32 arrays (B, C, O) — 2(l_len+r_len)-bit
-             keys, MSW first, C = number of chunk sizes, O = offsets for
-             the smallest c; invalid (o + c > len) lanes = sentinel.
-      valid: (B, C, O) bool.
+      words: list of W uint32 arrays (B, T) — 2(l_len+r_len)-bit keys,
+             MSW first.  T = sum over chunk sizes c of the EXACT offset
+             count L−c+1 (c-major), so no lane is wasted on the
+             chunk-size triangle (a rectangular (C, O) layout would pad
+             ~58 % dead lanes at the reference geometry on 150 bp
+             reads, all of which the sort would still have to carry).
+             Invalid (o + c > len) lanes = sentinel.
+      valid: (B, T) bool.
     """
     assert l_len >= 1 and r_len >= 1
     assert c_min >= l_len + r_len, "L and R windows must not overlap"
@@ -180,9 +184,9 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
     O = max(L - c_min + 1, 0)
     W = words_per_key(l_len + r_len)
     if O == 0 or L < max(l_len, r_len):
-        words = [jnp.full((B, n_c, max(O, 0)), SENTINEL, jnp.uint32)
+        words = [jnp.full((B, n_c * max(O, 0)), SENTINEL, jnp.uint32)
                  for _ in range(W)]
-        return words, jnp.zeros((B, n_c, max(O, 0)), bool)
+        return words, jnp.zeros((B, n_c * max(O, 0)), bool)
 
     # Sub-key tables: the l_len-mer key at every position (and the
     # r_len-mer table, shared when l == r).  sentinel=False — validity
@@ -196,33 +200,40 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
         rw, rval = kmer_lanes(codes, lengths, r_len, sentinel=False,
                               mask_ambiguous=mask_ambiguous)
 
-    c_vals = jnp.arange(c_min, c_max + 1, dtype=jnp.int32)          # (C,)
-    o_vals = jnp.arange(O, dtype=jnp.int32)                          # (O,)
-    c_grid = c_vals[None, :, None]                                   # (1,C,1)
-    o_grid = o_vals[None, None, :]                                   # (1,1,O)
-    r0 = o_grid + c_grid - r_len                                     # (1,C,O)
-    valid = (o_grid + c_grid) <= lengths.astype(jnp.int32)[:, None, None]
-    if limits is not None:
-        valid = valid & (o_grid < limits.astype(jnp.int32)[:, None, None])
-
+    lens32 = lengths.astype(jnp.int32)[:, None]
+    lims32 = limits.astype(jnp.int32)[:, None] if limits is not None else None
     Pl = L - l_len + 1
-    Pr = L - r_len + 1
-    l_idx = jnp.clip(jnp.broadcast_to(o_grid, (1, n_c, O)), 0, Pl - 1)
-    r_idx = jnp.clip(r0, 0, Pr - 1)
-    l_idx = jnp.broadcast_to(l_idx, (B, n_c, O)).reshape(B, 1, -1)
-    r_idx = jnp.broadcast_to(r_idx, (B, n_c, O)).reshape(B, 1, -1)
-
-    def gather(tbl, idx):
-        return jnp.take_along_axis(tbl[:, None, :], idx,
-                                   axis=2).reshape(B, n_c, O)
-
-    l_g = [gather(w, l_idx) for w in lw]
-    r_g = [gather(w, r_idx) for w in rw]
+    # No gather anywhere (a per-lane gather serializes on TPU — measured
+    # 370 ms/step at 12 M lanes vs ~4 ms for the slice formulation):
+    #   L window at (c, o) is index o — independent of c: a slice;
+    #   R window at (c, o) is index o + (c - r_len) — for each of the C
+    #   static chunk sizes, a contiguous static slice of the r-table of
+    #   EXACT width O_c = L - c + 1 (its end lands precisely at the
+    #   r-table's last entry).
+    val_parts, l_parts, r_parts = [], [], []
+    for c in range(c_min, c_max + 1):
+        O_c = L - c + 1
+        if O_c <= 0:
+            continue
+        o_vals = jnp.arange(O_c, dtype=jnp.int32)[None, :]
+        v = (o_vals + c) <= lens32
+        if lims32 is not None:
+            v = v & (o_vals < lims32)
+        if mask_ambiguous:
+            v = (v & lval[:, :O_c]
+                 & lax.slice_in_dim(rval, c - r_len, c - r_len + O_c,
+                                    axis=1))
+        val_parts.append(v)
+        l_parts.append([lax.slice_in_dim(w, 0, O_c, axis=1) for w in lw])
+        r_parts.append([lax.slice_in_dim(w, c - r_len, c - r_len + O_c,
+                                         axis=1) for w in rw])
+    assert O <= Pl
+    valid = jnp.concatenate(val_parts, axis=1)
+    l_g = [jnp.concatenate([p[j] for p in l_parts], axis=1)
+           for j in range(len(lw))]
+    r_g = [jnp.concatenate([p[j] for p in r_parts], axis=1)
+           for j in range(len(rw))]
     words = _combine_lr(l_g, r_g, l_len, r_len)
-    if mask_ambiguous:
-        amb_ok = (gather(lval.astype(jnp.uint32), l_idx) != 0) & \
-                 (gather(rval.astype(jnp.uint32), r_idx) != 0)
-        valid = valid & amb_ok
     words = _apply_sentinel(words, valid)
     return words, valid
 
