@@ -130,6 +130,37 @@ def main():
     k31_rate = kmers2 * ITERS / dt2
     log(f"k=31: {dt2 / ITERS * 1e3:.2f} ms/step, {k31_rate / 1e9:.2f} B kmers/s")
 
+    # tertiary metric: the reference's own workload — gapped L27+R27
+    # chunks, c in [80, 140] (main.rs:63-79) — as chunks/s
+    from kmer_tpu.pipeline.count import gapped_step_sort
+    Bg = 2048
+    codes_g = jnp.asarray(rng.integers(0, 4, (Bg, L), dtype=np.uint8))
+    lengths_g = jnp.full((Bg,), L, jnp.int32)
+    limits_g = jnp.full((Bg,), L, jnp.int32)
+    chunks_per_step = Bg * sum(L - c + 1 for c in range(80, 141))
+
+    @jax.jit
+    def stepg(codes):
+        s, is_start, counts = gapped_step_sort(
+            codes, lengths_g, limits_g, c_min=80, c_max=140,
+            l_len=27, r_len=27, group_keys=cfg.sort_group_keys)
+        inj = (counts[:L] % 4).astype(jnp.uint8)
+        return codes.at[0, :].set(inj)
+
+    cg = stepg(codes_g)
+    _ = np.asarray(cg[0, :8])
+    for _ in range(WARMUP):
+        cg = stepg(cg)
+    _ = np.asarray(cg[0, :8])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        cg = stepg(cg)
+    _ = np.asarray(cg[0, :8])
+    dtg = time.perf_counter() - t0
+    gap_rate = chunks_per_step * ITERS / dtg
+    log(f"gapped 27+27 c80..140: {dtg / ITERS * 1e3:.2f} ms/step, "
+        f"{gap_rate / 1e9:.2f} B chunks/s")
+
     print(json.dumps({
         "metric": f"canonical k={K} count throughput (1 chip, sort mode)",
         "value": round(kmers_per_sec),
@@ -139,6 +170,8 @@ def main():
         # of the minimum-HBM-traffic roofline, and the k=31 secondary
         "roofline_fraction": round(frac, 4),
         "kmers_per_sec_k31": round(k31_rate),
+        # the reference's own gapped workload (sorted 54-mer chunks)
+        "gapped_chunks_per_sec": round(gap_rate),
     }))
 
 
