@@ -202,7 +202,6 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
 
     lens32 = lengths.astype(jnp.int32)[:, None]
     lims32 = limits.astype(jnp.int32)[:, None] if limits is not None else None
-    Pl = L - l_len + 1
     # No gather anywhere (a per-lane gather serializes on TPU — measured
     # 370 ms/step at 12 M lanes vs ~4 ms for the slice formulation):
     #   L window at (c, o) is index o — independent of c: a slice;
@@ -227,7 +226,6 @@ def gapped_lanes(codes: jnp.ndarray, lengths: jnp.ndarray,
         l_parts.append([lax.slice_in_dim(w, 0, O_c, axis=1) for w in lw])
         r_parts.append([lax.slice_in_dim(w, c - r_len, c - r_len + O_c,
                                          axis=1) for w in rw])
-    assert O <= Pl
     valid = jnp.concatenate(val_parts, axis=1)
     l_g = [jnp.concatenate([p[j] for p in l_parts], axis=1)
            for j in range(len(lw))]

@@ -7,6 +7,7 @@ Reports ms/step and chunk throughput (valid chunks/s), plus the padded
 lane count the sort actually processes (validity fraction).
 """
 
+import os
 import sys
 import time
 
@@ -16,6 +17,7 @@ from kmer_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+M = int(os.environ.get("GAPPED_M", "256"))     # sort group size
 L = 150
 L_LEN = R_LEN = 27
 C_MIN, C_MAX = 80, 140
@@ -33,7 +35,7 @@ def main():
 
     from kmer_tpu.pipeline.count import gapped_step_sort
 
-    log(f"device: {jax.devices()[0]} B={B}")
+    log(f"device: {jax.devices()[0]} B={B} m={M}")
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
     lengths = jnp.full((B,), L, jnp.int32)
@@ -47,7 +49,7 @@ def main():
     def step(codes):
         s, is_start, counts = gapped_step_sort(
             codes, lengths, limits, c_min=C_MIN, c_max=C_MAX,
-            l_len=L_LEN, r_len=R_LEN, group_keys=256)
+            l_len=L_LEN, r_len=R_LEN, group_keys=M)
         inj = (counts[:L] % 4).astype(jnp.uint8)
         return codes.at[0, :].set(inj)
 
