@@ -231,6 +231,24 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
                                   backend=backend)
 
 
+def _mix_words(words: list[jnp.ndarray]) -> jnp.ndarray:
+    """32-bit multiply-xor mix of all key words (Fibonacci hashing).
+
+    Used by the hash-grouping sort path: the counting contract only
+    needs EQUAL keys adjacent within a group (partial aggregation, host
+    from_pairs) — not any particular order — so multi-word keys can be
+    grouped by a 1-word hash instead of a W-1-wide lexicographic
+    comparator.  Collisions cost nothing but a few extra output pairs:
+    distinct keys sharing a hash interleave, the full-word run-length
+    comparison still breaks their runs correctly.
+    """
+    h = jnp.zeros_like(words[0])
+    for w in words:
+        h = (h ^ w) * jnp.uint32(0x9E3779B1)
+        h = h ^ (h >> jnp.uint32(16))
+    return h
+
+
 def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
                          backend: str):
     """Shared core: pad -> grouped sort -> run-length over repacked
@@ -276,6 +294,17 @@ def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
         # variadic one; a throwaway payload operand selects the fast path
         dummy = jnp.zeros_like(shaped[0])
         s2d = [lax.sort((shaped[0], dummy), num_keys=1, dimension=1)[0]]
+    elif nk > 1 and os.environ.get("KMER_TPU_MULTIKEY", "lex") == "hash1":
+        # OPT-IN (measured negative): group multi-word keys by a 1-word
+        # hash — 1-wide comparator, key words ride as payload; the
+        # run-length below still compares ALL words, so collisions stay
+        # exact (see _mix_words).  On v5e the extra sort operand costs
+        # more than the narrower comparator saves: gapped W=4 step
+        # 3.65 ms/step vs 3.17 lexicographic (B=2048, m=256) — the XLA
+        # variadic sort's cost scales with operand count, not
+        # comparator width.
+        h = _mix_words(shaped)
+        s2d = list(lax.sort((h, *shaped), num_keys=1, dimension=1))[1:]
     else:
         s2d = list(lax.sort(tuple(shaped), num_keys=nk, dimension=1))
     if use_hybrid:

@@ -85,6 +85,48 @@ def _sort_runlen(ws: list, m: int, axis: int):
     return ws, counts
 
 
+def _dedup_runlen(ws: list, seg: int, axis: int):
+    """All-pairs duplicate counting within seg-sized segments — NO
+    sort.  For each lane: the number of equal keys at larger in-segment
+    positions plus itself, emitted at the FIRST occurrence; later
+    duplicates emit 0.  Keys stream through in their original order.
+
+    Equivalent to sort+run-length under the partial-aggregation
+    contract (callers only need equal keys collapsed within a segment,
+    never sorted order): seg-1 shifted full-word comparisons replace
+    the bitonic's log^2(seg) compare-exchange stages of key compares
+    PLUS per-word payload selects — and unlike the 1-word-comparator
+    sort it compares ALL words, so there are no tie leaks.  The win
+    grows with key width (gapped W=4 keys need no wide comparator).
+
+    Runs SEGMENTED OVER THE WHOLE ARRAY: one roll per distance d over
+    the full axis with an (idx & (seg-1)) guard confining pairs to
+    their segment — seg-1 full-array passes total, instead of an
+    unrolled per-segment loop (which at gapped stream depths would be
+    hundreds of segments' worth of Mosaic instructions).  The axis
+    length must be a multiple of seg; seg a power of two."""
+    n = ws[0].shape[axis]
+    assert n % seg == 0 and (seg & (seg - 1)) == 0, (n, seg)
+    idx = lax.broadcasted_iota(jnp.int32, ws[0].shape, axis)
+    s_idx = idx & (seg - 1)                  # position within segment
+    total = jnp.ones(ws[0].shape, jnp.int32)          # self
+    dupc = jnp.zeros(ws[0].shape, jnp.int32)
+    for d in range(1, seg):
+        eq = s_idx < (seg - d)           # row i pairs with row i+d
+        for w in ws:
+            eq = eq & (w == pltpu.roll(w, n - d, axis=axis))  # x[i+d]
+        # roll as i32, not i1 (Mosaic: "Rotate with non-32-bit data" is
+        # unimplemented); the source-side s_idx guard already zeroes
+        # every lane that would wrap across a segment (or the array
+        # end), so the rolled value needs no destination mask
+        eqi = eq.astype(jnp.int32)
+        total = total + eqi
+        dupc = dupc + pltpu.roll(eqi, d, axis=axis)  # i+d: earlier equal
+    valid = ws[-1] != jnp.uint32(SENTINEL)
+    counts = jnp.where(valid & (dupc == 0), total, 0)
+    return ws, counts
+
+
 def _kernel(*refs, n_words: int, m: int, axis: int = 1):
     in_refs = refs[:n_words]
     out_refs = refs[n_words:2 * n_words]

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..encode import words_per_key
-from .fused_count import _sort_runlen
+from .fused_count import _dedup_runlen, _sort_runlen
 
 SENTINEL = 0xFFFFFFFF
 BLOCK_LANES = 512
@@ -37,7 +37,7 @@ BLOCK_LANES = 512
 
 def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
             P_pad: int, seg: int, n_words: int, canonical: bool,
-            mask_ambiguous: bool):
+            mask_ambiguous: bool, algo: str = "sort"):
     c = codes_ref[:].astype(jnp.uint32)              # (L_pad, bw)
     bw = c.shape[1]
     shape = (P_pad, bw)
@@ -81,6 +81,14 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
         ws = [jnp.where(valid, ftop, sent), jnp.where(valid, fbot, sent)]
     else:
         ws = [jnp.where(valid, ftop, sent)]
+    if algo == "dedup":
+        # all-pairs in-segment dedup, segmented over the full array:
+        # seg-1 full-height passes, no per-segment unroll
+        sw, cnt = _dedup_runlen(ws, seg, axis=0)
+        for r, w in zip(out_refs[:n_words], sw):
+            r[:] = w
+        out_refs[n_words][:] = cnt
+        return
     for s in range(P_pad // seg):
         seg_ws = [lax.slice_in_dim(w, s * seg, (s + 1) * seg, axis=0)
                   for w in ws]
@@ -96,6 +104,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                           mask_ambiguous: bool = False,
                           seg: int = 16,
                           block_lanes: int = BLOCK_LANES,
+                          algo: str | None = None,
                           interpret: bool = False):
     """(L, B) uint8 transposed codes -> (repacked_words_flat, counts_flat).
 
@@ -141,10 +150,13 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     out_shapes = ([jax.ShapeDtypeStruct((P_pad, Bp), jnp.uint32)
                    for _ in range(W)]
                   + [jax.ShapeDtypeStruct((P_pad, Bp), jnp.int32)])
+    import os
+    if algo is None:
+        algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
     outs = pl.pallas_call(
         functools.partial(_kernel, k=k, P=P, P_pad=P_pad, seg=seg,
                           n_words=W, canonical=canonical,
-                          mask_ambiguous=mask_ambiguous),
+                          mask_ambiguous=mask_ambiguous, algo=algo),
         grid=(Bp // block_lanes,),
         in_specs=[cspec, rspec, rspec],
         out_specs=[ospec] * (W + 1),

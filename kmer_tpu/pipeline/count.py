@@ -186,6 +186,28 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
     if packed_width:
         from ..ops.encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
+    import os
+    n_bases = l_len + r_len
+    # TPU fast path: the fully fused gapped kernel (tables + combine +
+    # in-segment dedup in one VMEM pass, ops/pallas/fused_gapped) —
+    # needs the grouped partial-aggregation contract (group_keys > 0;
+    # group_keys == 0 callers want one exact flat sort) and a stream to
+    # build (L >= c_min).  KMER_TPU_GAPPED_STEP=legacy restores the
+    # XLA extraction + grouped-sort path.
+    step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
+    fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
+                and (2 * n_bases) % 32 != 0
+                and codes.shape[1] >= c_min)
+    if fused_ok and (step_backend == "fused" or
+                     (step_backend == "auto"
+                      and jax.default_backend() == "tpu")):
+        from ..ops.pallas.fused_gapped import fused_gapped_count_T
+        rflat, counts = fused_gapped_count_T(
+            codes.T, lengths, limits, l_len=l_len, r_len=r_len,
+            c_min=c_min, c_max=c_max, mask_ambiguous=mask_ambiguous,
+            interpret=jax.default_backend() != "tpu")
+        std = count_ops.unpack_words(rflat, n_bases)
+        return std, counts > 0, counts
     words, valid = gapped_lanes(codes, lengths, l_len, r_len,
                                 c_min=c_min, c_max=c_max, limits=limits,
                                 mask_ambiguous=mask_ambiguous)
@@ -209,6 +231,24 @@ def gapped_step_compact(codes, lengths, limits, *, c_min: int, c_max: int,
     if packed_width:
         from ..ops.encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
+    import os
+    n_bases = l_len + r_len
+    # compaction over the fused gapped kernel's repacked run stream
+    # (same eligibility/backend knob as gapped_step_sort)
+    step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
+    fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
+                and (2 * n_bases) % 32 != 0
+                and codes.shape[1] >= c_min)
+    if fused_ok and (step_backend == "fused" or
+                     (step_backend == "auto"
+                      and jax.default_backend() == "tpu")):
+        from ..ops.pallas.fused_gapped import fused_gapped_count_T
+        rflat, counts = fused_gapped_count_T(
+            codes.T, lengths, limits, l_len=l_len, r_len=r_len,
+            c_min=c_min, c_max=c_max, mask_ambiguous=mask_ambiguous,
+            interpret=jax.default_backend() != "tpu")
+        return count_ops.compact_from_runs(rflat, counts,
+                                           part_keys=part_keys)
     words, valid = gapped_lanes(codes, lengths, l_len, r_len,
                                 c_min=c_min, c_max=c_max, limits=limits,
                                 mask_ambiguous=mask_ambiguous)

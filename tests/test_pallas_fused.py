@@ -95,15 +95,18 @@ def test_count_step_pallas_extract_end_to_end(tmp_path):
     assert t.to_dict() == dict(want)
 
 
+@pytest.mark.parametrize("algo", ["sort", "dedup"])
 @pytest.mark.parametrize("k,canon,amb", [(21, True, False),
                                          (21, False, True),
                                          (17, True, True),
                                          (31, False, False),
                                          (11, True, False)])
-def test_fused_extract_count_matches_two_stage(k, canon, amb):
+def test_fused_extract_count_matches_two_stage(k, canon, amb, algo):
     """Single-kernel fused step (ops/pallas/fused_extract) == XLA
     extraction + grouped count, as aggregated tables, across key
-    widths, canonical and skip-invalid modes, short reads and limits."""
+    widths, canonical and skip-invalid modes, short reads and limits —
+    for both in-segment collapse algorithms (bitonic sort+run-length
+    and the all-pairs dedup)."""
     from kmer_tpu.ops.canonical import canonical_kmer_lanes
     from kmer_tpu.ops.extract import kmer_lanes
     from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
@@ -116,7 +119,8 @@ def test_fused_extract_count_matches_two_stage(k, canon, amb):
 
     rflat, counts = fused_extract_count_T(
         codes.T, lengths, limits, k, canonical=canon,
-        mask_ambiguous=amb, seg=8, block_lanes=128, interpret=True)
+        mask_ambiguous=amb, seg=8, block_lanes=128, algo=algo,
+        interpret=True)
     std = C.unpack_words(rflat, k)
     got = _aggregate(k, std, counts > 0, counts)
 
@@ -179,3 +183,83 @@ def test_count_step_transposed_path_end_to_end(tmp_path):
             assert t.to_dict() == dict(want), k
     finally:
         del os.environ["KMER_TPU_STEP"]
+
+
+@pytest.mark.parametrize("algo", ["dedup", "sort"])
+@pytest.mark.parametrize("llen,rlen,cmin,cmax,L,amb", [
+    (5, 5, 12, 20, 40, False),      # W=2 keys, c range partly > L
+    (5, 3, 10, 14, 32, True),       # asymmetric windows + ambiguity
+    (27, 27, 54, 60, 80, False),    # reference window shape, W=4 keys
+])
+def test_fused_gapped_matches_xla(llen, rlen, cmin, cmax, L, amb, algo):
+    """Fused gapped kernel (ops/pallas/fused_gapped) == XLA gapped
+    extraction + grouped count, as aggregated tables: short reads,
+    limits, ambiguity masks, both collapse algorithms."""
+    from kmer_tpu.ops.extract import gapped_lanes
+    from kmer_tpu.ops.pallas.fused_gapped import fused_gapped_count_T
+    rng = np.random.default_rng(llen * 100 + cmin + amb)
+    B = 10
+    hi = 5 if amb else 4
+    codes = jnp.asarray(rng.integers(0, hi, (B, L), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(1, L + 1, B, dtype=np.int32))
+    nb = llen + rlen
+
+    rflat, counts = fused_gapped_count_T(
+        codes.T, lengths, limits, l_len=llen, r_len=rlen, c_min=cmin,
+        c_max=cmax, mask_ambiguous=amb, seg=8, block_lanes=128,
+        algo=algo, interpret=True)
+    std = C.unpack_words(rflat, nb)
+    got = _aggregate(nb, std, counts > 0, counts)
+
+    words, valid = gapped_lanes(codes, lengths, llen, rlen, c_min=cmin,
+                                c_max=cmax, limits=limits,
+                                mask_ambiguous=amb)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    want = KmerTable.from_pairs(nb, ks[v], np.ones(int(v.sum()), np.int64))
+    assert got == want
+
+
+def test_gapped_fused_path_end_to_end(tmp_path):
+    """Full fused gapped path (KMER_TPU_GAPPED_STEP=fused), interpret
+    mode, vs the gapped oracle."""
+    import os
+    from collections import Counter
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import reference_style_fasta
+    from kmer_tpu.utils import oracle
+    p = tmp_path / "gf.fasta"
+    p.write_text(reference_style_fasta(n_records=3, seed=77))
+    os.environ["KMER_TPU_GAPPED_STEP"] = "fused"
+    try:
+        t = count_fasta(str(p), KmerConfig(gapped=True, mode="sort",
+                                           batch_reads=8,
+                                           max_read_len=512,
+                                           sort_group_keys=64))
+    finally:
+        del os.environ["KMER_TPU_GAPPED_STEP"]
+    want = Counter(oracle.oracle_gapped_lines(oracle.read_fasta_py(str(p))))
+    assert t.to_dict() == dict(want)
+
+
+def test_gapped_fused_compact_end_to_end(tmp_path):
+    """Fused gapped kernel feeding on-device compaction
+    (KMER_TPU_GAPPED_STEP=fused + compact=True), interpret mode, vs the
+    uncompacted table."""
+    import os
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import reference_style_fasta
+    p = tmp_path / "gfc.fasta"
+    p.write_text(reference_style_fasta(n_records=3, seed=78))
+    base = KmerConfig(gapped=True, c_min=56, c_max=64, batch_reads=8,
+                      max_read_len=512)
+    want = count_fasta(str(p), base)
+    os.environ["KMER_TPU_GAPPED_STEP"] = "fused"
+    try:
+        got = count_fasta(str(p), base.replace(compact=True))
+        got_sort = count_fasta(str(p), base)
+    finally:
+        del os.environ["KMER_TPU_GAPPED_STEP"]
+    assert got == want
+    assert got_sort == want
