@@ -133,7 +133,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, l_len: int, r_len: int,
 def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          limits: jnp.ndarray | None, *, l_len: int,
                          r_len: int, c_min: int, c_max: int,
-                         mask_ambiguous: bool = False, seg: int = 8,
+                         mask_ambiguous: bool = False, seg: int = 4,
                          block_lanes: int = 256, algo: str | None = None,
                          interpret: bool = False):
     """(L, B) uint8 transposed codes -> (repacked_words_flat, counts_flat)
@@ -153,6 +153,8 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     residual word for the validity channel).
     """
     L, B = codes_t.shape
+    seg = int(os.environ.get("KMER_TPU_GAPPED_SEG", str(seg)))
+    block_lanes = int(os.environ.get("KMER_TPU_GAPPED_BL", str(block_lanes)))
     assert l_len >= 1 and r_len >= 1 and max(l_len, r_len) <= 31
     assert c_min >= l_len + r_len, "L and R windows must not overlap"
     assert seg >= 2 and (seg & (seg - 1)) == 0, seg

@@ -57,23 +57,27 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     t_eligible = (group_keys > 0
                   and words_per_key(k) <= 2 and 2 * k != 32)
     # Fully fused single-kernel step (extraction + canonical + repack +
-    # segment sort + run-length, ops/pallas/fused_extract): keys never
-    # round-trip HBM between extraction and sort (~68 MB less traffic
-    # per 4.26 M-key batch than the two-stage T path).  Measured on v5e
-    # (r2_sort_experiments phases 12-13): 0.414 ms/step at seg=8,
-    # block_lanes=256 vs 0.586 for the two-stage T path at m=16 — the
-    # production default on TPU.
+    # segment collapse, ops/pallas/fused_extract): keys never
+    # round-trip HBM between extraction and counting (~68 MB less
+    # traffic per 4.26 M-key batch than the two-stage T path).
+    # Measured on v5e: all-pairs dedup at seg=4 (no sort at all,
+    # r2_sort_experiments phases 15-16: 0.36-0.44 ms/step) beats the
+    # seg=8 bitonic sort+run-length (0.41-0.53 ms same-session) —
+    # the production default on TPU.  KMER_TPU_FUSED_ALGO=sort +
+    # KMER_TPU_T_M=8 restore the bitonic variant.
     use_fused = (t_eligible
                  and (step_backend == "fused" or
                       (step_backend == "auto"
                        and jax.default_backend() == "tpu")))
     if use_fused:
         from ..ops.pallas.fused_extract import fused_extract_count_T
-        seg = int(os.environ.get("KMER_TPU_T_M", "8"))
+        algo = os.environ.get("KMER_TPU_FUSED_ALGO", "dedup")
+        seg = int(os.environ.get("KMER_TPU_T_M",
+                                 "4" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
-            interpret=jax.default_backend() != "tpu")
+            algo=algo, interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
         return std, counts > 0, counts
     use_T = (t_eligible and step_backend == "t")
@@ -142,11 +146,13 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
         # fused single-kernel count core feeding the compaction back
         # half directly (same repacked run-stream contract)
         from ..ops.pallas.fused_extract import fused_extract_count_T
-        seg = int(os.environ.get("KMER_TPU_T_M", "8"))
+        algo = os.environ.get("KMER_TPU_FUSED_ALGO", "dedup")
+        seg = int(os.environ.get("KMER_TPU_T_M",
+                                 "4" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
-            interpret=jax.default_backend() != "tpu")
+            algo=algo, interpret=jax.default_backend() != "tpu")
         return count_ops.compact_from_runs(rflat, counts,
                                            part_keys=part_keys)
     if canonical:

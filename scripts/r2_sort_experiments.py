@@ -622,6 +622,27 @@ def main():
         bench("k31_s8_dedup", mk_fused(8, 256, 31, "dedup"), codes, n31)
         bench("k21_s8_dedup#2", mk_fused(8, 256, 21, "dedup"), codes, N_STEP)
         return
+    if phase == 16:
+        # small-seg dedup sweep (gapped s4 measured ~2x its s8)
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_fused(seg, bl, kk, algo):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, kk, canonical=True,
+                    seg=seg, block_lanes=bl, algo=algo)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        n31 = B * (L - 31 + 1)
+        bench("k21_s2_dedup", mk_fused(2, 256, 21, "dedup"), codes, N_STEP)
+        bench("k21_s4_dedup#2", mk_fused(4, 256, 21, "dedup"), codes, N_STEP)
+        bench("k31_s4_dedup", mk_fused(4, 256, 31, "dedup"), codes, n31)
+        bench("k21_s4_sort", mk_fused(4, 256, 21, "sort"), codes, N_STEP)
+        bench("k31_s2_dedup", mk_fused(2, 256, 31, "dedup"), codes, n31)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)
