@@ -219,7 +219,12 @@ def grouped_count(words: list[jnp.ndarray], valid: jnp.ndarray,
       "pallas"  fully fused in-VMEM bitonic sort + scan (kept for
                 comparison; measured slower than hybrid on v5e).
       "xla"     pure lax.sort + scan (any m; the CPU/test path).
-      "auto"    hybrid on TPU when eligible, else xla.
+      "dedup"   all-pairs in-segment dedup, NO sort: counts land on
+                first occurrences in extraction order (the jnp.roll
+                twin of the fused kernels' collapse; seg window via
+                KMER_TPU_DEDUP_SEG, default 8).
+      "auto"    on TPU: dedup for multi-word keys (measured 1.4x the
+                hybrid sort at k=33), hybrid for 1-word; else xla.
 
     Returns (sorted_words_flat_std, is_start, counts) of padded flat
     size; equal keys may span groups/ties — callers aggregate with
@@ -261,6 +266,11 @@ def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
     on_tpu = jax.default_backend() == "tpu"
     use_fused = (m >= 128 and (m & (m - 1)) == 0 and backend == "pallas")
     use_fused_t = ((m & (m - 1)) == 0 and backend == "pallas_t")
+    # multi-word keys: all-pairs dedup beats the lex-comparator sorts
+    # (k=33 full step 0.73 vs 1.01 ms hybrid on v5e, 1.93 M keys); for
+    # 1-word keys the hybrid sort stays the measured winner
+    if backend == "auto" and on_tpu and nk > 1 and m % 8 == 0:
+        backend = "dedup"
     use_hybrid = (m % 128 == 0 and m > 0 and
                   (backend == "hybrid" or (backend == "auto" and on_tpu)))
     if use_fused_t:
@@ -285,6 +295,29 @@ def _sorted_grouped_runs(rwords: list[jnp.ndarray], group_keys: int,
                                                     interpret=interp)
         return [w.reshape(-1) for w in s2d], counts2d.reshape(-1)
     shaped = [w.reshape(G, m) for w in flat]
+    if backend == "dedup":
+        # all-pairs in-segment dedup, no sort (the jnp.roll twin of
+        # ops/pallas/fused_count._dedup_runlen): counts land on first
+        # occurrences, keys stay in extraction order.  Collapse scope
+        # is the seg window (not m), which the partial-aggregation
+        # contract absorbs; the win over the multi-key sort grows with
+        # key width (every word rides the lex comparator there, here
+        # each word costs one compare per distance).
+        seg = int(os.environ.get("KMER_TPU_DEDUP_SEG", "8"))
+        assert m % seg == 0 and (seg & (seg - 1)) == 0, (m, seg)
+        s_idx = jnp.arange(m, dtype=jnp.int32)[None, :] & (seg - 1)
+        total = jnp.ones((G, m), jnp.int32)
+        dupc = jnp.zeros((G, m), jnp.int32)
+        for d in range(1, seg):
+            eq = s_idx < (seg - d)
+            for w in shaped:
+                eq = eq & (w == jnp.roll(w, -d, axis=1))     # x[i+d]
+            eqi = eq.astype(jnp.int32)
+            total = total + eqi
+            dupc = dupc + jnp.roll(eqi, d, axis=1)  # guard kills wraps
+        valid = shaped[-1] != SENTINEL
+        counts = jnp.where(valid & (dupc == 0), total, 0)
+        return [w.reshape(-1) for w in shaped], counts.reshape(-1)
     if use_fused:
         from .pallas.fused_count import fused_grouped_count
         s2d, counts2d = fused_grouped_count(shaped, interpret=interp)

@@ -39,7 +39,7 @@ def test_fused_kernel_matches_xla(k):
 
     truth = KmerTable.from_pairs(k, np.stack(words, 1)[valid],
                                  np.ones(int(valid.sum()), np.int64))
-    for backend in ("xla", "pallas", "hybrid"):
+    for backend in ("xla", "pallas", "hybrid", "dedup"):
         t = _aggregate(k, *C.grouped_count(jw, jv, k, 128, backend=backend))
         assert t == truth, backend
     # sublane-axis kernel (strided-column groups): small m keeps the
