@@ -35,41 +35,122 @@ SENTINEL = 0xFFFFFFFF
 BLOCK_LANES = 512
 
 
+def _rev_fields32(x):
+    """Reverse the 16 two-bit fields of each uint32 lane (butterfly;
+    in-kernel twin of ops/canonical._reverse_fields32)."""
+    x = (x >> jnp.uint32(16)) | (x << jnp.uint32(16))
+    x = ((x & jnp.uint32(0xFF00FF00)) >> jnp.uint32(8)) | \
+        ((x & jnp.uint32(0x00FF00FF)) << jnp.uint32(8))
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> jnp.uint32(4)) | \
+        ((x & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4))
+    x = ((x & jnp.uint32(0xCCCCCCCC)) >> jnp.uint32(2)) | \
+        ((x & jnp.uint32(0x33333333)) << jnp.uint32(2))
+    return x
+
+
+def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
+                       mask_ambiguous: bool):
+    """Width-k window values at rows 0..P_pad-1 of transposed codes
+    `c`, by O(log k) shift-or DOUBLING instead of the O(k) slice-sum:
+    level tables D_w hold the w-base value at every row (D_2w[o] =
+    D_w[o] << 2w | D_w[o+w]), and k's binary decomposition stitches
+    them (V_k[o] = V_m[o] << 2p | D_p[o+m]).  The XLA-level version of
+    this measured SLOWER than slice-sum (docs/DESIGN.md — full-size
+    intermediates round-tripping HBM); in-kernel every level lives in
+    VMEM, so it trades ~k offset slices for ~log2(k).
+
+    Returns (ftop, fbot, amb) in the repacked layout (fbot None for
+    n_words == 1).  Supports k <= 31 (64-bit accumulator pair)."""
+    assert k <= 31, k
+    amb1 = None
+    if mask_ambiguous:
+        amb1 = (c >= 4).astype(jnp.uint32)
+        c = c & jnp.uint32(3)
+    levels, ambl = {1: c}, {1: amb1}
+    w = 1
+    while 2 * w <= min(k, 16):
+        a = levels[w]
+        h = a.shape[0] - w
+        levels[2 * w] = ((lax.slice_in_dim(a, 0, h, axis=0)
+                          << jnp.uint32(2 * w))
+                         | lax.slice_in_dim(a, w, w + h, axis=0))
+        if mask_ambiguous:
+            am = ambl[w]
+            ambl[2 * w] = (lax.slice_in_dim(am, 0, h, axis=0)
+                           | lax.slice_in_dim(am, w, w + h, axis=0))
+        w *= 2
+    parts = [p for p in (16, 8, 4, 2, 1) if k & p]   # binary, each once
+    p0 = parts[0]
+    acc_lo = lax.slice_in_dim(levels[p0], 0, P_pad, axis=0)
+    acc_hi = jnp.zeros_like(acc_lo)
+    amb_acc = (lax.slice_in_dim(ambl[p0], 0, P_pad, axis=0)
+               if mask_ambiguous else None)
+    off, width = p0, p0
+    for p in parts[1:]:
+        s = jnp.uint32(2 * p)
+        if 2 * (width + p) > 32:                     # lo overflows to hi
+            acc_hi = (acc_hi << s) | (acc_lo >> jnp.uint32(32 - 2 * p))
+        acc_lo = ((acc_lo << s)
+                  | lax.slice_in_dim(levels[p], off, off + P_pad, axis=0))
+        if mask_ambiguous:
+            amb_acc = amb_acc | lax.slice_in_dim(ambl[p], off,
+                                                 off + P_pad, axis=0)
+        off += p
+        width += p
+    amb = (amb_acc != 0) if mask_ambiguous else None
+    if n_words == 1:
+        return acc_lo, None, amb
+    s_res = 2 * k - 32
+    ftop = (acc_hi << jnp.uint32(32 - s_res)) | (acc_lo >> jnp.uint32(s_res))
+    fbot = acc_lo & jnp.uint32((1 << s_res) - 1)
+    return ftop, fbot, amb
+
+
 def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
             P_pad: int, seg: int, n_words: int, canonical: bool,
-            mask_ambiguous: bool, algo: str = "sort"):
+            mask_ambiguous: bool, algo: str = "sort",
+            extract_algo: str = "slicesum"):
     c = codes_ref[:].astype(jnp.uint32)              # (L_pad, bw)
     bw = c.shape[1]
     shape = (P_pad, bw)
     low = 2 * k - 32 if n_words == 2 else 0          # bits in the bot word
-    ftop = jnp.zeros(shape, jnp.uint32)
-    fbot = jnp.zeros(shape, jnp.uint32)
-    if canonical:
-        rtop = jnp.zeros(shape, jnp.uint32)
-        rbot = jnp.zeros(shape, jnp.uint32)
-    amb = jnp.zeros(shape, bool) if mask_ambiguous else None
-    for j in range(k):
-        sl = lax.slice_in_dim(c, j, j + P_pad, axis=0)
-        if mask_ambiguous:
-            amb = amb | (sl >= 4)
-            sl = sl & jnp.uint32(3)
-        fpos = 2 * (k - 1 - j)
-        if fpos >= low:
-            ftop = ftop | (sl << jnp.uint32(fpos - low))
-        else:
-            fbot = fbot | (sl << jnp.uint32(fpos))
-        if canonical:
-            rsl = jnp.uint32(3) - sl
-            rpos = 2 * j
-            if rpos >= low:
-                rtop = rtop | (rsl << jnp.uint32(rpos - low))
+    if extract_algo == "doubling":
+        ftop, fbot, amb = _doubling_repacked(c, k, P_pad, n_words,
+                                             mask_ambiguous)
+        if fbot is None:
+            fbot = jnp.zeros(shape, jnp.uint32)
+    else:
+        ftop = jnp.zeros(shape, jnp.uint32)
+        fbot = jnp.zeros(shape, jnp.uint32)
+        amb = jnp.zeros(shape, bool) if mask_ambiguous else None
+        for j in range(k):
+            sl = lax.slice_in_dim(c, j, j + P_pad, axis=0)
+            if mask_ambiguous:
+                amb = amb | (sl >= 4)
+                sl = sl & jnp.uint32(3)
+            fpos = 2 * (k - 1 - j)
+            if fpos >= low:
+                ftop = ftop | (sl << jnp.uint32(fpos - low))
             else:
-                rbot = rbot | (rsl << jnp.uint32(rpos))
+                fbot = fbot | (sl << jnp.uint32(fpos))
     if canonical:
+        # RC from the FORWARD words by pure bit tricks instead of a
+        # second k-iteration accumulation (ops/canonical.revcomp_words
+        # adapted to the repacked layout): align V to the top of the
+        # 64-bit pair, complement + butterfly-reverse each word, swap
+        # words, realign to repacked (top-32 | s-residual)
         if n_words == 2:
+            s = low                                  # residual bits
+            y_hi = _rev_fields32(~(fbot << jnp.uint32(32 - s)))
+            y_lo = _rev_fields32(~ftop)
+            rtop = ((y_hi & jnp.uint32((1 << s) - 1)) << jnp.uint32(32 - s)
+                    ) | (y_lo >> jnp.uint32(s))
+            rbot = y_lo & jnp.uint32((1 << s) - 1)
             take_rc = (rtop < ftop) | ((rtop == ftop) & (rbot < fbot))
             fbot = jnp.where(take_rc, rbot, fbot)
         else:
+            rtop = _rev_fields32(~(ftop << jnp.uint32(32 - 2 * k))
+                                 ) & jnp.uint32((1 << (2 * k)) - 1)
             take_rc = rtop < ftop
         ftop = jnp.where(take_rc, rtop, ftop)
     pos = lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -153,10 +234,12 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     import os
     if algo is None:
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
+    extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "slicesum")
     outs = pl.pallas_call(
         functools.partial(_kernel, k=k, P=P, P_pad=P_pad, seg=seg,
                           n_words=W, canonical=canonical,
-                          mask_ambiguous=mask_ambiguous, algo=algo),
+                          mask_ambiguous=mask_ambiguous, algo=algo,
+                          extract_algo=extract_algo),
         grid=(Bp // block_lanes,),
         in_specs=[cspec, rspec, rspec],
         out_specs=[ospec] * (W + 1),
