@@ -48,27 +48,28 @@ def _rev_fields32(x):
     return x
 
 
-def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
-                       mask_ambiguous: bool):
-    """Width-k window values at rows 0..P_pad-1 of transposed codes
-    `c`, by O(log k) shift-or DOUBLING instead of the O(k) slice-sum:
-    level tables D_w hold the w-base value at every row (D_2w[o] =
-    D_w[o] << 2w | D_w[o+w]), and k's binary decomposition stitches
-    them (V_k[o] = V_m[o] << 2p | D_p[o+m]).  The XLA-level version of
+def _doubling_pair(c, n: int, P: int, mask_ambiguous: bool):
+    """The n-base window value at rows 0..P-1 of transposed codes `c`
+    as a 64-bit pair (hi = value bits [32, 2n), lo = bits [0, 32)), by
+    O(log n) shift-or DOUBLING instead of the O(n) slice-sum: level
+    tables D_w hold the w-base value at every row (D_2w[o] =
+    D_w[o] << 2w | D_w[o+w]) and n's binary decomposition stitches
+    them (V_n[o] = V_m[o] << 2p | D_p[o+m]).  The XLA-level version of
     this measured SLOWER than slice-sum (docs/DESIGN.md — full-size
     intermediates round-tripping HBM); in-kernel every level lives in
-    VMEM, so it trades ~k offset slices for ~log2(k).
+    VMEM, so it trades ~n offset slices for ~log2(n) (measured on v5e:
+    k=21 step 0.27 ms vs 0.31, k=31 0.25 vs 0.33).
 
-    Returns (ftop, fbot, amb) in the repacked layout (fbot None for
-    n_words == 1).  Supports k <= 31 (64-bit accumulator pair)."""
-    assert k <= 31, k
+    Returns (hi, lo, amb_u32); amb_u32 is nonzero where the window has
+    an ambiguous base (None unless mask_ambiguous).  n <= 31."""
+    assert n <= 31, n
     amb1 = None
     if mask_ambiguous:
         amb1 = (c >= 4).astype(jnp.uint32)
         c = c & jnp.uint32(3)
     levels, ambl = {1: c}, {1: amb1}
     w = 1
-    while 2 * w <= min(k, 16):
+    while 2 * w <= min(n, 16):
         a = levels[w]
         h = a.shape[0] - w
         levels[2 * w] = ((lax.slice_in_dim(a, 0, h, axis=0)
@@ -79,11 +80,11 @@ def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
             ambl[2 * w] = (lax.slice_in_dim(am, 0, h, axis=0)
                            | lax.slice_in_dim(am, w, w + h, axis=0))
         w *= 2
-    parts = [p for p in (16, 8, 4, 2, 1) if k & p]   # binary, each once
+    parts = [p for p in (16, 8, 4, 2, 1) if n & p]   # binary, each once
     p0 = parts[0]
-    acc_lo = lax.slice_in_dim(levels[p0], 0, P_pad, axis=0)
+    acc_lo = lax.slice_in_dim(levels[p0], 0, P, axis=0)
     acc_hi = jnp.zeros_like(acc_lo)
-    amb_acc = (lax.slice_in_dim(ambl[p0], 0, P_pad, axis=0)
+    amb_acc = (lax.slice_in_dim(ambl[p0], 0, P, axis=0)
                if mask_ambiguous else None)
     off, width = p0, p0
     for p in parts[1:]:
@@ -91,12 +92,20 @@ def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
         if 2 * (width + p) > 32:                     # lo overflows to hi
             acc_hi = (acc_hi << s) | (acc_lo >> jnp.uint32(32 - 2 * p))
         acc_lo = ((acc_lo << s)
-                  | lax.slice_in_dim(levels[p], off, off + P_pad, axis=0))
+                  | lax.slice_in_dim(levels[p], off, off + P, axis=0))
         if mask_ambiguous:
             amb_acc = amb_acc | lax.slice_in_dim(ambl[p], off,
-                                                 off + P_pad, axis=0)
+                                                 off + P, axis=0)
         off += p
         width += p
+    return acc_hi, acc_lo, amb_acc
+
+
+def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
+                       mask_ambiguous: bool):
+    """_doubling_pair realigned to the repacked layout: (ftop, fbot,
+    amb_bool); fbot is None for n_words == 1."""
+    acc_hi, acc_lo, amb_acc = _doubling_pair(c, k, P_pad, mask_ambiguous)
     amb = (amb_acc != 0) if mask_ambiguous else None
     if n_words == 1:
         return acc_lo, None, amb
@@ -186,6 +195,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                           seg: int = 16,
                           block_lanes: int = BLOCK_LANES,
                           algo: str | None = None,
+                          extract: str | None = None,
                           interpret: bool = False):
     """(L, B) uint8 transposed codes -> (repacked_words_flat, counts_flat).
 
@@ -234,7 +244,10 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     import os
     if algo is None:
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
-    extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "slicesum")
+    # doubling measured the clear winner on v5e (bench.py: k=21
+    # 0.27 ms/step vs 0.31 slice-sum, k=31 0.25 vs 0.33)
+    extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
+                                             "doubling")
     outs = pl.pallas_call(
         functools.partial(_kernel, k=k, P=P, P_pad=P_pad, seg=seg,
                           n_words=W, canonical=canonical,

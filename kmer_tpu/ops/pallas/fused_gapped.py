@@ -44,12 +44,20 @@ from .fused_count import _dedup_runlen, _sort_runlen
 SENTINEL = 0xFFFFFFFF
 
 
-def _build_table(c, n_len: int, P: int, mask_ambiguous: bool):
+def _build_table(c, n_len: int, P: int, mask_ambiguous: bool,
+                 extract_algo: str = "doubling"):
     """Sub-key table: the n_len-mer value at rows 0..P-1 of transposed
-    codes `c`, as 32-bit-packed words (MS first, _extract32's layout),
-    via sublane slice-sum.  Returns (words, amb)."""
+    codes `c`, as 32-bit-packed words (MS first, _extract32's layout).
+    Default O(log n) doubling (fused_extract._doubling_pair — its
+    64-bit pair IS this layout); KMER_TPU_FUSED_EXTRACT=slicesum
+    restores the O(n) slice-sum.  Returns (words, amb)."""
     W = words_per_key(n_len)
     assert W <= 2, n_len
+    if extract_algo == "doubling":
+        from .fused_extract import _doubling_pair
+        hi, lo, amb_acc = _doubling_pair(c, n_len, P, mask_ambiguous)
+        amb = (amb_acc != 0) if mask_ambiguous else None
+        return ([hi, lo] if W == 2 else [lo]), amb
     shape = (P, c.shape[1])
     hi = jnp.zeros(shape, jnp.uint32) if W == 2 else None
     lo = jnp.zeros(shape, jnp.uint32)
@@ -69,16 +77,17 @@ def _build_table(c, n_len: int, P: int, mask_ambiguous: bool):
 
 def _kernel(codes_ref, len_ref, lim_ref, *out_refs, l_len: int, r_len: int,
             c_min: int, c_max: int, L: int, T_pad: int, seg: int,
-            n_words: int, s_bits: int, mask_ambiguous: bool, algo: str):
+            n_words: int, s_bits: int, mask_ambiguous: bool, algo: str,
+            extract_algo: str = "doubling"):
     c = codes_ref[:].astype(jnp.uint32)              # (L_pad, bl)
     bl = c.shape[1]
     P_l = L - l_len + 1
     P_r = L - r_len + 1
-    lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous)
+    lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
     if r_len == l_len:
         rw, ramb = lw, lamb
     else:
-        rw, ramb = _build_table(c, r_len, P_r, mask_ambiguous)
+        rw, ramb = _build_table(c, r_len, P_r, mask_ambiguous, extract_algo)
 
     lens = len_ref[:].astype(jnp.int32)              # (1, bl)
     lims = lim_ref[:].astype(jnp.int32)
@@ -181,6 +190,7 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
 
     if algo is None:
         algo = os.environ.get("KMER_TPU_GAPPED_ALGO", "dedup")
+    extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
     cspec = pl.BlockSpec((L, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, block_lanes), lambda q: (0, q),
@@ -194,7 +204,8 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
         functools.partial(_kernel, l_len=l_len, r_len=r_len, c_min=c_min,
                           c_max=c_max, L=L, T_pad=T_pad, seg=seg,
                           n_words=n_words, s_bits=s_bits,
-                          mask_ambiguous=mask_ambiguous, algo=algo),
+                          mask_ambiguous=mask_ambiguous, algo=algo,
+                          extract_algo=extract_algo),
         grid=(Bp // block_lanes,),
         in_specs=[cspec, rspec, rspec],
         out_specs=[ospec] * (n_words + 1),
