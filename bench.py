@@ -100,7 +100,10 @@ def main():
 
     from kmer_tpu.ops.encode import words_per_key
     from kmer_tpu.utils.profiling import Roofline
-    rl = Roofline.for_sort_step(B, L, K, words_per_key(K))
+    # honest denominator: the fused single-kernel step has NO key
+    # round trip, so its speed of light is codes-in + keys/counts-out
+    # (the two-stage for_sort_step model would flatter it ~2.3x)
+    rl = Roofline.for_fused_step(B, L, K, words_per_key(K))
     frac = rl.fraction(dt / ITERS)
     log(f"HBM roofline fraction: {frac:.3f} "
         f"(speed-of-light step {rl.seconds_at_roofline() * 1e6:.0f} us)")

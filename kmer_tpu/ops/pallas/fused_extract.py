@@ -177,7 +177,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
         sw, cnt = _dedup_runlen(ws, seg, axis=0)
         for r, w in zip(out_refs[:n_words], sw):
             r[:] = w
-        out_refs[n_words][:] = cnt
+        out_refs[n_words][:] = cnt.astype(out_refs[n_words].dtype)
         return
     for s in range(P_pad // seg):
         seg_ws = [lax.slice_in_dim(w, s * seg, (s + 1) * seg, axis=0)
@@ -185,7 +185,8 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
         sw, cnt = _sort_runlen(seg_ws, seg, axis=0)
         for r, w in zip(out_refs[:n_words], sw):
             r[s * seg:(s + 1) * seg, :] = w
-        out_refs[n_words][s * seg:(s + 1) * seg, :] = cnt
+        out_refs[n_words][s * seg:(s + 1) * seg, :] = \
+            cnt.astype(out_refs[n_words].dtype)
 
 
 def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
@@ -238,10 +239,15 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((P_pad, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
+    import os
+    # i8 counts (in-segment runs never exceed seg): 1/4 the count
+    # write traffic in-kernel AND 1/4 the count D2H downstream
+    cnt_dtype = (jnp.int8 if os.environ.get("KMER_TPU_COUNTS_DTYPE",
+                                            "i32") == "i8" and seg <= 127
+                 else jnp.int32)
     out_shapes = ([jax.ShapeDtypeStruct((P_pad, Bp), jnp.uint32)
                    for _ in range(W)]
-                  + [jax.ShapeDtypeStruct((P_pad, Bp), jnp.int32)])
-    import os
+                  + [jax.ShapeDtypeStruct((P_pad, Bp), cnt_dtype)])
     if algo is None:
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
     # doubling measured the clear winner on v5e (bench.py: k=21

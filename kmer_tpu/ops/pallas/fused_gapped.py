@@ -128,7 +128,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, l_len: int, r_len: int,
         sw, cnt = _dedup_runlen(ws, seg, axis=0)
         for r, w in zip(out_refs[:n_words], sw):
             r[:] = w
-        out_refs[n_words][:] = cnt
+        out_refs[n_words][:] = cnt.astype(out_refs[n_words].dtype)
         return
     for s in range(T_pad // seg):
         seg_ws = [lax.slice_in_dim(w, s * seg, (s + 1) * seg, axis=0)
@@ -136,7 +136,8 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, l_len: int, r_len: int,
         sw, cnt = _sort_runlen(seg_ws, seg, axis=0)
         for r, w in zip(out_refs[:n_words], sw):
             r[s * seg:(s + 1) * seg, :] = w
-        out_refs[n_words][s * seg:(s + 1) * seg, :] = cnt
+        out_refs[n_words][s * seg:(s + 1) * seg, :] = \
+            cnt.astype(out_refs[n_words].dtype)
 
 
 def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
@@ -197,9 +198,12 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((T_pad, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
+    cnt_dtype = (jnp.int8 if os.environ.get("KMER_TPU_COUNTS_DTYPE",
+                                            "i32") == "i8" and seg <= 127
+                 else jnp.int32)
     out_shapes = ([jax.ShapeDtypeStruct((T_pad, Bp), jnp.uint32)
                    for _ in range(n_words)]
-                  + [jax.ShapeDtypeStruct((T_pad, Bp), jnp.int32)])
+                  + [jax.ShapeDtypeStruct((T_pad, Bp), cnt_dtype)])
     outs = pl.pallas_call(
         functools.partial(_kernel, l_len=l_len, r_len=r_len, c_min=c_min,
                           c_max=c_max, L=L, T_pad=T_pad, seg=seg,

@@ -84,6 +84,18 @@ class Roofline:
                         out_bytes=N * (W * 4 + 4 + 1))
 
     @staticmethod
+    def for_fused_step(B: int, L: int, k: int, W: int,
+                       cnt_bytes: int = 4) -> "Roofline":
+        """Minimum traffic for the FUSED single-kernel step: codes in
+        once, keys + counts out once — no sort round trip (key_bytes=0;
+        the two-stage model above budgets one read + one write between
+        extraction and sort, which the fused kernel eliminated).  The
+        honest denominator for the production default."""
+        N = B * (L - k + 1)
+        return Roofline(batch_bytes=B * L, key_bytes=0,
+                        out_bytes=N * (W * 4 + cnt_bytes))
+
+    @staticmethod
     def for_dense_step(B: int, L: int, k: int) -> "Roofline":
         N = B * (L - k + 1)
         hist = 4 ** k * 4
