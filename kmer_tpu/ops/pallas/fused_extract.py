@@ -171,6 +171,14 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
         ws = [jnp.where(valid, ftop, sent), jnp.where(valid, fbot, sent)]
     else:
         ws = [jnp.where(valid, ftop, sent)]
+    if algo == "raw":
+        # DEBUG/measurement only: no collapse at all — every valid lane
+        # emits count 1 (still contract-correct; the host aggregates
+        # everything).  Isolates the collapse stage's cost.
+        for r, w in zip(out_refs[:n_words], ws):
+            r[:] = w
+        out_refs[n_words][:] = valid.astype(out_refs[n_words].dtype)
+        return
     if algo == "dedup":
         # all-pairs in-segment dedup, segmented over the full array:
         # seg-1 full-height passes, no per-segment unroll

@@ -643,6 +643,49 @@ def main():
         bench("k21_s4_sort", mk_fused(4, 256, 21, "sort"), codes, N_STEP)
         bench("k31_s2_dedup", mk_fused(2, 256, 31, "dedup"), codes, n31)
         return
+    if phase == 17:
+        # post-doubling tile re-sweep (doubling extraction is the
+        # default now; the bl/seg optimum may have moved)
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_fused(seg, bl, kk, algo="dedup"):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, kk, canonical=True,
+                    seg=seg, block_lanes=bl, algo=algo)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        n31 = B * (L - 31 + 1)
+        bench("k21_s4_bl512", mk_fused(4, 512, 21), codes, N_STEP)
+        bench("k21_s4_bl128", mk_fused(4, 128, 21), codes, N_STEP)
+        bench("k21_s2_bl256", mk_fused(2, 256, 21), codes, N_STEP)
+        bench("k21_s4_bl256#r", mk_fused(4, 256, 21), codes, N_STEP)
+        bench("k31_s4_bl512", mk_fused(4, 512, 31), codes, n31)
+        return
+    if phase == 18:
+        # stage decomposition: raw (no collapse) and non-canonical
+        # variants isolate dedup / RC / extraction+write costs
+        from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+
+        def mk_var(algo, canon):
+            @jax.jit
+            def step(codes):
+                rflat, counts = fused_extract_count_T(
+                    codes.T, lengths, limits, 21, canonical=canon,
+                    seg=4, block_lanes=256, algo=algo)
+                inj = (counts[:L] % 4).astype(jnp.uint8)
+                return codes.at[0, :].set(inj)
+            return step
+
+        bench("full_canon_dedup", mk_var("dedup", True), codes, N_STEP)
+        bench("canon_raw", mk_var("raw", True), codes, N_STEP)
+        bench("nocanon_dedup", mk_var("dedup", False), codes, N_STEP)
+        bench("nocanon_raw", mk_var("raw", False), codes, N_STEP)
+        bench("full_canon_dedup#2", mk_var("dedup", True), codes, N_STEP)
+        return
     if phase == 1:
         # ranked by importance — partial output is still useful
         bench("step_cur_m2080", mk_step_cur(2080), codes, N_STEP)
