@@ -329,19 +329,26 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # re-sorting the growing table per batch is O(total^2 log) overall.
     parts: list[KmerTable] = []
     buffered = 0
-    FLUSH_PAIRS = 8 << 20
+    flush_pairs = 8 << 20
 
     # grouped sorting leaves per-batch tables group-locally sorted with
     # possible duplicate keys, so even a single part must be aggregated
     grouped = mode == "sort" and cfg.sort_group_keys > 0
 
     def flush(final: bool = False) -> None:
-        nonlocal parts, buffered
+        nonlocal parts, buffered, flush_pairs
         if len(parts) > 1 or (final and grouped and parts):
+            n_in = sum(len(p.counts) for p in parts)
             merged = KmerTable.from_pairs(
                 n_bases,
                 np.concatenate([p.keys for p in parts], axis=0),
                 np.concatenate([p.counts for p in parts]))
+            if not final and merged.num_distinct > 0.75 * n_in:
+                # unique-heavy stream: merging barely compacted, and the
+                # merged table would be RE-sorted by every later flush
+                # (O(total^2) across the run) — back off the threshold
+                # so intermediate merges stay rare
+                flush_pairs *= 2
             parts = [merged]
         buffered = parts[0].num_distinct if parts else 0
 
@@ -410,7 +417,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                                                               *pending)
                         parts.append(btab)
                         buffered += btab.num_distinct
-                        if buffered >= FLUSH_PAIRS:
+                        if buffered >= flush_pairs:
                             flush()
                 pending = out
         n_batches += 1

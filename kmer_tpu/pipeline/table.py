@@ -131,24 +131,52 @@ class KmerTable:
     @staticmethod
     def from_pairs(k: int, keys: np.ndarray, counts: np.ndarray) -> "KmerTable":
         """Aggregate unsorted (key, count) pairs into a sorted unique
-        table — one vectorized argsort + run-sum (no Python loop)."""
-        keys = np.asarray(keys, dtype=np.uint32).reshape(-1, words_per_key(k))
+        table — one vectorized sort + run-sum (no Python loop).
+
+        Word columns are FUSED into uint64 halves first: np.argsort on
+        one u64 column is ~10x np.lexsort over two u32 columns at 12 M
+        rows (lexsort makes one stable mergesort pass per column;
+        aggregation doesn't need stability — equal keys are identical
+        rows), and W > 2 keys lexsort ceil(W/2) fused columns instead
+        of W."""
+        W = words_per_key(k)
+        keys = np.asarray(keys, dtype=np.uint32).reshape(-1, W)
         counts = np.asarray(counts, dtype=np.int64)
         if len(counts) == 0:
             return KmerTable.empty(k)
-        # lexsort, least-significant column first (measured ~15% faster
-        # than a big-endian void-view mergesort, identical stable order)
-        order = np.lexsort(tuple(keys[:, i]
-                                 for i in range(keys.shape[1] - 1, -1, -1)))
+        fused = []
+        for j in range(W - 2, -1, -2):           # pairs, LS first
+            fused.append((keys[:, j].astype(np.uint64) << np.uint64(32))
+                         | keys[:, j + 1])
+        if W % 2:
+            fused.append(keys[:, 0].astype(np.uint64))
+        if len(fused) == 1:
+            order = np.argsort(fused[0])         # unstable is fine
+            fs = fused[0][order]
+            counts = counts[order]
+            # run boundaries and unique keys straight from the sorted
+            # fused column: one u64 != pass + a starts-only gather
+            # instead of gathering all W columns and comparing rows
+            new_run = np.empty(len(fs), bool)
+            new_run[0] = True
+            np.not_equal(fs[1:], fs[:-1], out=new_run[1:])
+            starts = np.flatnonzero(new_run)
+            fu = fs[starts]
+            if W == 2:
+                kb = np.empty((len(fu), 2), np.uint32)
+                kb[:, 0] = fu >> np.uint64(32)
+                kb[:, 1] = fu.astype(np.uint32)
+            else:
+                kb = fu.astype(np.uint32).reshape(-1, 1)
+            return KmerTable(k, kb, np.add.reduceat(counts, starts))
+        order = np.lexsort(tuple(fused))
         counts = counts[order]
         kb = keys[order]  # (M, W) uint32 in sorted order
         new_run = np.empty(len(kb), bool)
         new_run[0] = True
         np.any(kb[1:] != kb[:-1], axis=1, out=new_run[1:])
-        run_id = np.cumsum(new_run) - 1
-        merged_counts = np.zeros(run_id[-1] + 1, np.int64)
-        np.add.at(merged_counts, run_id, counts)
         starts = np.flatnonzero(new_run)
+        merged_counts = np.add.reduceat(counts, starts)
         return KmerTable(k, kb[starts], merged_counts)
 
     def merge(self, other: "KmerTable") -> "KmerTable":
