@@ -61,6 +61,50 @@ void set_err(char* err, int64_t cap, const char* msg, int64_t pos) {
 
 constexpr size_t kBlock = 1 << 20;  // 1 MiB streaming reads
 
+// Vectorizable whole-line fast path: translate `run` pure-ACGT bytes to
+// 2-bit codes (A=0,C=1,G=2,T=3, case-insensitive) and report whether any
+// byte was NOT plain ACGT.  The translate is branch-free arithmetic —
+// g = (ch>>1)&3 yields A0 C1 G3 T2, and g^(g>>1) swaps 2<->3 — so gcc
+// auto-vectorizes both it and the 4-compare validity OR (~32 bytes per
+// vector op).  Lines with anything unusual (N/IUPAC, CR, spaces, true
+// errors) are re-processed by the caller's exact per-byte loop.
+inline bool translate_run(const uint8_t* src, int64_t run, uint8_t* dst) {
+  if (dst) {
+    // pure map — gcc auto-vectorizes this one (no loop-carried state)
+    for (int64_t j = 0; j < run; ++j) {
+      uint8_t g = (src[j] >> 1) & 3;
+      dst[j] = (uint8_t)(g ^ (g >> 1));
+    }
+  }
+  // SWAR validity: 8 bytes per step (a scalar `bad |=` reduction defeats
+  // the vectorizer — measured 1.2 GB/s vs 4.4 GB/s for this form).
+  // After upcasing, a byte is valid iff it equals one of A/C/G/T; the
+  // classic zero-byte detector flags each match, and any byte matching
+  // none raises its 0x80 probe bit in `badw`.
+  uint64_t badw = 0;
+  int64_t j = 0;
+  for (; j + 8 <= run; j += 8) {
+    uint64_t x;
+    memcpy(&x, src + j, 8);
+    x &= 0xDFDFDFDFDFDFDFDFull;  // upcase (clears bit 5; digits/ctrl stay invalid)
+    uint64_t a = x ^ 0x4141414141414141ull;
+    uint64_t c = x ^ 0x4343434343434343ull;
+    uint64_t g = x ^ 0x4747474747474747ull;
+    uint64_t t = x ^ 0x5454545454545454ull;
+    auto zero_probe = [](uint64_t v) {
+      return (v - 0x0101010101010101ull) & ~v & 0x8080808080808080ull;
+    };
+    badw |= ~(zero_probe(a) | zero_probe(c) | zero_probe(g) | zero_probe(t))
+            & 0x8080808080808080ull;
+  }
+  uint8_t bad = badw != 0;
+  for (; j < run; ++j) {
+    uint8_t u = src[j] & 0xDF;
+    bad |= (uint8_t)((u != 'A') & (u != 'C') & (u != 'G') & (u != 'T'));
+  }
+  return bad != 0;
+}
+
 struct IngestHandle {
   gzFile g = nullptr;
   int64_t fpos = 0;         // uncompressed bytes CONSUMED by the parser
@@ -126,6 +170,11 @@ int fasta_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
         if (nl) { in_header = false; at_line_start = true; }
         continue;
       }
+      if (ch == '\n' || ch == '\r' || ch == ' ' || ch == '\t') {
+        at_line_start = (ch == '\n');
+        ++i;
+        continue;
+      }
       if (at_line_start && ch == '>') {
         if (max_bases > 0 && seen_record && nbase >= max_bases) {
           stopped = true;  // chunk boundary: do not consume the header
@@ -145,17 +194,33 @@ int fasta_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
         ++i;
         continue;
       }
-      at_line_start = (ch == '\n');
-      uint8_t code = kLut.m[ch];
-      ++i;
-      if (code == 0xFE) continue;
-      if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i - 1); rc = -3; goto done; }
-      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", h->fpos + i - 1); rc = -2; goto done; }
-      if (b.codes) {
-        if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i - 1); rc = -4; goto done; }
-        b.codes[nbase] = code;
+      at_line_start = false;
+      if (!seen_record) { set_err(err, errcap, "sequence data before first FASTA header", h->fpos + i); rc = -2; goto done; }
+      {
+        // whole-line fast path: translate up to the newline in one
+        // vectorized pass; anything unusual falls back to the exact
+        // per-byte loop for just this run
+        const void* nl = memchr(blk + i, '\n', blen - i);
+        int64_t run = nl ? (const uint8_t*)nl - (blk + i) : blen - i;
+        if ((!b.codes || nbase + run <= b.codes_cap)
+            && !translate_run(blk + i, run,
+                              b.codes ? b.codes + nbase : nullptr)) {
+          nbase += run;
+          i += run;
+          continue;
+        }
+        for (int64_t j = 0; j < run; ++j) {
+          uint8_t code = kLut.m[blk[i + j]];
+          if (code == 0xFE) continue;
+          if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i + j); rc = -3; i += j + 1; goto done; }
+          if (b.codes) {
+            if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i + j); rc = -4; i += j; goto done; }
+            b.codes[nbase] = code;
+          }
+          ++nbase;
+        }
+        i += run;
       }
-      ++nbase;
     }
     h->consume(blen);
     continue;
@@ -219,16 +284,32 @@ int fastq_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
       }
       if (st == FqState::kSeq) {
         if (at_line_start && ch == '+') { st = FqState::kPlus; continue; }
-        at_line_start = (ch == '\n');
-        uint8_t code = kLut.m[ch];
-        ++i;
-        if (code == 0xFE) continue;
-        if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i - 1); rc = -3; goto done; }
-        if (b.codes) {
-          if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i - 1); rc = -4; goto done; }
-          b.codes[nbase] = code;
+        if (ch == '\n' || ch == '\r' || ch == ' ' || ch == '\t') {
+          at_line_start = (ch == '\n');
+          ++i;
+          continue;
         }
-        ++nbase; ++seq_len;
+        at_line_start = false;
+        // whole-line fast path (see fasta_walk)
+        const void* nl = memchr(blk + i, '\n', blen - i);
+        int64_t run = nl ? (const uint8_t*)nl - (blk + i) : blen - i;
+        if ((!b.codes || nbase + run <= b.codes_cap)
+            && !translate_run(blk + i, run,
+                              b.codes ? b.codes + nbase : nullptr)) {
+          nbase += run; seq_len += run; i += run;
+          continue;
+        }
+        for (int64_t j = 0; j < run; ++j) {
+          uint8_t code = kLut.m[blk[i + j]];
+          if (code == 0xFE) continue;
+          if (code == 0xFF || (code == 0x04 && !allow_ambiguous)) { set_err(err, errcap, "invalid base", h->fpos + i + j); rc = -3; i += j + 1; goto done; }
+          if (b.codes) {
+            if (nbase >= b.codes_cap) { set_err(err, errcap, "record exceeds chunk buffer", h->fpos + i + j); rc = -4; i += j; goto done; }
+            b.codes[nbase] = code;
+          }
+          ++nbase; ++seq_len;
+        }
+        i += run;
         continue;
       }
       if (st == FqState::kPlus) {
