@@ -40,8 +40,8 @@ def _load_native():
                  or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
         if stale:
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
-                 "-o", _SO_PATH, src, "-lz"],
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+                 "-shared", "-o", _SO_PATH, src, "-lz"],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO_PATH)
         lib.fasta_scan.restype = ctypes.c_int
@@ -52,6 +52,18 @@ def _load_native():
         lib.fasta_parse.restype = ctypes.c_int
         lib.fasta_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64]
+        lib.fasta_scan_mt.restype = ctypes.c_int
+        lib.fasta_scan_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_char_p, ctypes.c_int64]
+        lib.fasta_parse_mt.restype = ctypes.c_int
+        lib.fasta_parse_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -129,13 +141,26 @@ def _parse_native_two_pass(path: str, allow_ambiguous: bool, scan, parse
     return codes[: int(nbase.value)], offsets
 
 
+def _parse_threads() -> int:
+    """Threads for the multithreaded whole-file FASTA parse
+    (KMER_TPU_PARSE_THREADS overrides; gzip/tiny files stay serial
+    inside the native library regardless)."""
+    env = os.environ.get("KMER_TPU_PARSE_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(os.cpu_count() or 1, 8)
+
+
 def parse_fasta_native(path: str, allow_ambiguous: bool = False
                        ) -> tuple[np.ndarray, np.ndarray]:
     lib = _load_native()
     if lib is None:
         raise RuntimeError("native parser unavailable")
-    return _parse_native_two_pass(path, allow_ambiguous,
-                                  lib.fasta_scan, lib.fasta_parse)
+    t = _parse_threads()
+    return _parse_native_two_pass(
+        path, allow_ambiguous,
+        lambda p, amb, *rest: lib.fasta_scan_mt(p, amb, t, *rest),
+        lambda p, amb, *rest: lib.fasta_parse_mt(p, amb, t, *rest))
 
 
 def parse_fastq_native(path: str, allow_ambiguous: bool = False

@@ -31,6 +31,14 @@
 #include <cstdlib>
 #include <cstring>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#include <thread>
+#include <vector>
+
 #include <zlib.h>
 
 namespace {
@@ -141,6 +149,9 @@ struct IngestHandle {
 struct Buffers {
   uint8_t* codes = nullptr;  int64_t codes_cap = 0;   // null in scan pass
   int64_t* offsets = nullptr; int64_t offsets_cap = 0;
+  // multithreaded slices suppress the trailing offsets[nrec]=nbase write:
+  // that slot is the NEXT slice's first record offset (write-write race)
+  bool write_sentinel = true;
 };
 
 // Unified FASTA walker over a persistent handle: scan / full parse /
@@ -150,7 +161,8 @@ struct Buffers {
 // Error codes: -1 open, -2 malformed, -3 invalid base, -4 caller buffer
 // too small (reopen at the last good cursor with a bigger buffer),
 // -6 read/decompress error.
-int fasta_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
+template <class H>
+int fasta_walk(H* h, int allow_ambiguous, int64_t max_bases,
                Buffers b, int64_t* n_records, int64_t* total_bases,
                int* eof, char* err, int64_t errcap) {
   int64_t nrec = 0, nbase = 0;
@@ -230,7 +242,7 @@ int fasta_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
   }
   if (blen < 0) { set_err(err, errcap, "read/decompress error", h->fpos); rc = -6; }
   if (rc == 0) {
-    if (b.offsets) b.offsets[nrec] = nbase;
+    if (b.offsets && b.write_sentinel) b.offsets[nrec] = nbase;
     *n_records = nrec;
     *total_bases = nbase;
     if (eof) *eof = stopped ? 0 : 1;
@@ -371,6 +383,109 @@ IngestHandle* open_handle(const char* path, int64_t start_off) {
   return h;
 }
 
+// ---- multithreaded whole-file FASTA parse ---------------------------------
+//
+// Plain (uncompressed) files are mmapped and split at record boundaries
+// ('>' at line start); each slice is walked by the same fasta_walk via a
+// memory-backed handle, so per-byte semantics (errors, whitespace,
+// ambiguity codes, offsets in error messages) are IDENTICAL to the
+// serial path by construction.  gzip inputs are inherently serial
+// (single inflate stream) and fall back to the one-thread walkers.
+
+struct MemHandle {
+  const uint8_t* base;
+  int64_t n;
+  int64_t fpos;   // absolute file offset of the next unconsumed byte
+  int64_t off = 0;
+  int64_t peek(const uint8_t** p) {
+    if (off >= n) return 0;
+    *p = base + off;
+    return n - off;
+  }
+  void consume(int64_t m) { off += m; fpos += m; }
+};
+
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  int64_t n = 0;
+  bool ok = false;
+  MappedFile(const char* path) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) { close(fd); return; }
+    n = (int64_t)st.st_size;
+    ok = true;
+    if (n > 0) {
+      void* p = mmap(nullptr, (size_t)n, PROT_READ, MAP_PRIVATE, fd, 0);
+      if (p == MAP_FAILED) { ok = false; }
+      else data = (const uint8_t*)p;
+    }
+    close(fd);
+  }
+  ~MappedFile() {
+    if (data) munmap((void*)data, (size_t)n);
+  }
+  MappedFile(const MappedFile&) = delete;
+  MappedFile& operator=(const MappedFile&) = delete;
+};
+
+// Slice boundaries: starts[t] is a record start ('>' at line start) or 0;
+// starts.back() == n.  Strictly increasing, <= want+1 entries.
+std::vector<int64_t> split_fasta_slices(const uint8_t* d, int64_t n,
+                                        int want) {
+  std::vector<int64_t> starts{0};
+  for (int t = 1; t < want; ++t) {
+    int64_t target = n * t / want;
+    if (target <= starts.back()) continue;
+    const uint8_t* p = d + target;
+    const uint8_t* end = d + n;
+    while (p < end) {
+      const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+      if (!nl || nl + 1 >= end) { p = end; break; }
+      p = nl + 1;
+      if (*p == '>') break;
+    }
+    if (p < end && (int64_t)(p - d) > starts.back())
+      starts.push_back(p - d);
+  }
+  starts.push_back(n);
+  return starts;
+}
+
+struct SliceResult {
+  int rc = 0;
+  int64_t nrec = 0, nbase = 0;
+  char err[256] = {0};
+};
+
+// Phase A over every slice in parallel: record/base counts per slice
+// (codes/offsets null).  Returns first-in-file-order error rc, if any.
+int mt_scan_slices(const uint8_t* d, const std::vector<int64_t>& starts,
+                   int allow_ambiguous, std::vector<SliceResult>& res,
+                   char* err, int64_t errcap) {
+  int T = (int)starts.size() - 1;
+  res.assign(T, SliceResult());
+  std::vector<std::thread> ths;
+  ths.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    ths.emplace_back([&, t] {
+      MemHandle mh{d + starts[t], starts[t + 1] - starts[t], starts[t]};
+      res[t].rc = fasta_walk(&mh, allow_ambiguous, 0, Buffers{},
+                             &res[t].nrec, &res[t].nbase, nullptr,
+                             res[t].err, sizeof(res[t].err));
+    });
+  }
+  for (auto& th : ths) th.join();
+  for (int t = 0; t < T; ++t) {  // first error in file order wins
+    if (res[t].rc != 0) {
+      if (err && errcap > 0) snprintf(err, (size_t)errcap, "%s", res[t].err);
+      return res[t].rc;
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -437,6 +552,88 @@ int fasta_parse(const char* path, int allow_ambiguous,
                       n_records, total_bases, nullptr, err, errcap);
   ingest_close(h);
   return rc;
+}
+
+// Multithreaded whole-file FASTA scan/parse over an mmapped plain file.
+// Falls back to the serial (gzFile) walkers for gzip inputs, tiny files,
+// or nthreads <= 1 — so callers may use these unconditionally.
+
+int fasta_scan_mt(const char* path, int allow_ambiguous, int nthreads,
+                  int64_t* n_records, int64_t* total_bases,
+                  char* err, int64_t errcap) {
+  MappedFile mf(path);
+  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
+  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+    return fasta_scan(path, allow_ambiguous, n_records, total_bases,
+                      err, errcap);
+  if (nthreads > 16) nthreads = 16;
+  auto starts = split_fasta_slices(mf.data, mf.n, nthreads);
+  std::vector<SliceResult> res;
+  int rc = mt_scan_slices(mf.data, starts, allow_ambiguous, res, err, errcap);
+  if (rc != 0) return rc;
+  int64_t nrec = 0, nbase = 0;
+  for (const auto& r : res) { nrec += r.nrec; nbase += r.nbase; }
+  *n_records = nrec;
+  *total_bases = nbase;
+  return 0;
+}
+
+int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
+                   uint8_t* codes, int64_t codes_cap,
+                   int64_t* offsets, int64_t offsets_cap,
+                   int64_t* n_records, int64_t* total_bases,
+                   char* err, int64_t errcap) {
+  MappedFile mf(path);
+  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
+  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+    return fasta_parse(path, allow_ambiguous, codes, codes_cap,
+                       offsets, offsets_cap, n_records, total_bases,
+                       err, errcap);
+  if (nthreads > 16) nthreads = 16;
+  auto starts = split_fasta_slices(mf.data, mf.n, nthreads);
+  int T = (int)starts.size() - 1;
+  // phase A: per-slice sizes (parallel scan), then exclusive prefix sums
+  std::vector<SliceResult> res;
+  int rc = mt_scan_slices(mf.data, starts, allow_ambiguous, res, err, errcap);
+  if (rc != 0) return rc;
+  std::vector<int64_t> rec_off(T + 1, 0), base_off(T + 1, 0);
+  for (int t = 0; t < T; ++t) {
+    rec_off[t + 1] = rec_off[t] + res[t].nrec;
+    base_off[t + 1] = base_off[t] + res[t].nbase;
+  }
+  if (base_off[T] > codes_cap || rec_off[T] >= offsets_cap) {
+    set_err(err, errcap, "caller buffers too small", 0);
+    return -4;
+  }
+  // phase B: translate each slice into its disjoint output ranges; each
+  // thread rebases its own record offsets in place (no sentinel writes,
+  // so no shared slots)
+  std::vector<std::thread> ths;
+  ths.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    ths.emplace_back([&, t] {
+      MemHandle mh{mf.data + starts[t], starts[t + 1] - starts[t], starts[t]};
+      Buffers b{codes + base_off[t], res[t].nbase,
+                offsets + rec_off[t], res[t].nrec + 1,
+                /*write_sentinel=*/false};
+      int64_t nr = 0, nb = 0;
+      res[t].rc = fasta_walk(&mh, allow_ambiguous, 0, b, &nr, &nb,
+                             nullptr, res[t].err, sizeof(res[t].err));
+      if (res[t].rc == 0 && base_off[t] != 0)
+        for (int64_t j = 0; j < nr; ++j) offsets[rec_off[t] + j] += base_off[t];
+    });
+  }
+  for (auto& th : ths) th.join();
+  for (int t = 0; t < T; ++t) {
+    if (res[t].rc != 0) {
+      if (err && errcap > 0) snprintf(err, (size_t)errcap, "%s", res[t].err);
+      return res[t].rc;
+    }
+  }
+  offsets[rec_off[T]] = base_off[T];
+  *n_records = rec_off[T];
+  *total_bases = base_off[T];
+  return 0;
 }
 
 int fastq_scan(const char* path, int allow_ambiguous,

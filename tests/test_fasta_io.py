@@ -255,3 +255,75 @@ def test_truncated_gzip_is_clean_error(tmp_path):
     p.write_bytes(data[: len(data) // 2])
     with pytest.raises(ValueError):
         fasta.parse_seqs(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Multithreaded whole-file parse (files >= 4 MB route through the
+# mmap + record-boundary-sliced path; smaller ones stay serial).
+# ---------------------------------------------------------------------------
+
+def _big_fasta(tmp_path, name, rng, n_records=12000, with_n=False):
+    """~5 MB FASTA with varied lengths, wrapping and CRLF so slice
+    boundaries land in every structural position."""
+    from kmer_tpu.ops.encode import BASE_ORDER
+    alphabet = BASE_ORDER + ("N" if with_n else "")
+    buf = []
+    seqs = []
+    for i in range(n_records):
+        ln = int(rng.integers(50, 800))
+        s = "".join(alphabet[c] for c in
+                    rng.integers(0, len(alphabet), ln))
+        seqs.append(s)
+        buf.append(f">rec{i} d\r\n" if i % 7 == 0 else f">rec{i}\n")
+        wrap = int(rng.integers(40, 120))
+        for pos in range(0, ln, wrap):
+            buf.append(s[pos:pos + wrap] + ("\r\n" if i % 5 == 0 else "\n"))
+        if i % 11 == 0:
+            buf.append("\n")
+    p = tmp_path / name
+    p.write_bytes("".join(buf).encode())
+    assert p.stat().st_size >= (4 << 20), "must exercise the MT path"
+    return str(p), seqs
+
+
+def test_parse_mt_matches_serial_and_fallback(tmp_path, monkeypatch):
+    rng = np.random.default_rng(7)
+    p, seqs = _big_fasta(tmp_path, "mt.fasta", rng)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    mc, mo = parse_fasta_native(p)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+    sc, so = parse_fasta_native(p)
+    assert np.array_equal(mc, sc) and np.array_equal(mo, so)
+    assert np.diff(mo).tolist() == [len(s) for s in seqs]
+
+
+def test_parse_mt_ambiguous_bases(tmp_path, monkeypatch):
+    rng = np.random.default_rng(8)
+    p, seqs = _big_fasta(tmp_path, "mtn.fasta", rng, with_n=True)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    mc, mo = parse_fasta_native(p, allow_ambiguous=True)
+    assert np.diff(mo).tolist() == [len(s) for s in seqs]
+    assert (mc == 4).any()  # N -> ambiguity code
+    with pytest.raises(InvalidBaseError):
+        parse_fasta_native(p)  # strict mode still rejects N
+
+
+def test_parse_mt_error_is_first_in_file(tmp_path, monkeypatch):
+    """The MT path must report the FIRST bad byte in file order (serial
+    semantics), even when a later slice also contains errors."""
+    rng = np.random.default_rng(9)
+    p, _ = _big_fasta(tmp_path, "mterr.fasta", rng)
+    data = bytearray(open(p, "rb").read())
+    # plant one bad byte early (inside slice 0) and one late
+    early = data.index(b"\nA") + 1
+    late = len(data) - 100
+    while data[late] in b"\r\n>" or data[late - 1] == ord(">"):
+        late -= 1
+    data[early] = ord("X")
+    data[late] = ord("X")
+    bad = tmp_path / "mterr2.fasta"
+    bad.write_bytes(bytes(data))
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    with pytest.raises(InvalidBaseError) as ei:
+        parse_fasta_native(str(bad))
+    assert f"file offset {early}" in str(ei.value)
