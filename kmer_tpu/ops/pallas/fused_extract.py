@@ -101,6 +101,128 @@ def _doubling_pair(c, n: int, P: int, mask_ambiguous: bool):
     return acc_hi, acc_lo, amb_acc
 
 
+_MXU_SUB = 12          # bases per MXU subword: 4^12 - 1 = 2^24 - 1 is the
+                       # largest window value exactly representable in the
+                       # f32 accumulator (and every 4^j weight is a power
+                       # of two, exact in bfloat16)
+
+
+def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
+                 mask_ambiguous: bool):
+    """Host-built banded weight matrix for the MXU extraction path.
+
+    Row block m (height R = P_pad rounded up to 8 so in-kernel slices
+    stay sublane-aligned) holds W[p, p+j] = 4^(q-12m) for significance
+    q = k-1-j in [12m, 12m+12): the matmul W @ codes yields, per output
+    row p, the m-th 24-bit little-endian chunk of the forward window
+    value sum_j codes[p+j] * 4^(k-1-j).  Canonical adds the
+    REVERSE-weighted blocks (S = sum_j c[p+j] * 4^j; the reverse
+    complement is then ~S in 2k bits, since all-3s minus a base is its
+    complement).  mask_ambiguous appends one all-ones band: the matmul
+    of the (code >= 4) indicator counts ambiguous bases per window.
+
+    Returns (weights float32 (n_blocks * R, L_pad), R, n_sub)."""
+    import numpy as np
+    R = -(-P_pad // 16) * 16    # bf16 sublane tile height: slices of the
+                                # weight matrix stay aligned at 16
+    n_sub = -(-k // _MXU_SUB)
+    rows = np.arange(P_pad)
+
+    def band(sig_to_j):
+        W = np.zeros((R, L_pad), np.float32)
+        for q in range(_MXU_SUB * m, min(_MXU_SUB * m + _MXU_SUB, k)):
+            j = sig_to_j(q)
+            cols = rows + j
+            ok = cols < L_pad
+            W[rows[ok], cols[ok]] = float(1 << (2 * (q - _MXU_SUB * m)))
+        return W
+
+    blocks = []
+    for m in range(n_sub):
+        blocks.append(band(lambda q: k - 1 - q))      # forward value
+    if canonical:
+        for m in range(n_sub):
+            blocks.append(band(lambda q: q))          # reversed value S
+    if mask_ambiguous:
+        W = np.zeros((R, L_pad), np.float32)
+        for j in range(k):
+            cols = rows + j
+            ok = cols < L_pad
+            W[rows[ok], cols[ok]] = 1.0
+        blocks.append(W)
+    return np.concatenate(blocks, axis=0), R, n_sub
+
+
+def _mxu_assemble(subs, k: int):
+    """Little-endian 24-bit u32 chunks -> (hi, lo) value words (hi =
+    bits [32, 2k), lo = bits [0, 32)).  u32 shifts drop bits >= 32, so
+    (sub1 << 24) keeps exactly sub1's low 8 bits in lo."""
+    lo = subs[0]
+    hi = jnp.zeros_like(lo)
+    if len(subs) >= 2:
+        lo = lo | (subs[1] << jnp.uint32(24))
+        hi = subs[1] >> jnp.uint32(8)
+    if len(subs) >= 3:
+        hi = hi | (subs[2] << jnp.uint32(16))
+    return hi, lo
+
+
+def _pair_to_repacked(acc_hi, acc_lo, k: int, n_words: int):
+    """(hi, lo) value words -> repacked (top, bot); bot None if W=1."""
+    if n_words == 1:
+        return acc_lo, None
+    s_res = 2 * k - 32
+    top = (acc_hi << jnp.uint32(32 - s_res)) | (acc_lo >> jnp.uint32(s_res))
+    return top, acc_lo & jnp.uint32((1 << s_res) - 1)
+
+
+def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
+                 canonical: bool, mask_ambiguous: bool):
+    """MXU extraction: banded matmuls build the key subwords, so the
+    O(k) (or O(log k)) sublane-slice shift-or chains become one
+    systolic-array pass; the VPU only converts and stitches.  Exact by
+    construction: every weight is a power of two (bf16-exact), every
+    window subvalue < 2^24 (f32-exact).  Returns (ftop, fbot, amb) with
+    the canonical min ALREADY selected."""
+    n_sub = -(-k // _MXU_SUB)
+    n_blk = (2 * n_sub if canonical else n_sub) + (1 if mask_ambiguous else 0)
+    R = w_ref.shape[0] // n_blk
+    cm = (c & jnp.uint32(3)) if mask_ambiguous else c
+    cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
+    acc = jnp.dot(w_ref[:], cb, preferred_element_type=jnp.float32)
+
+    def chunk(i):
+        s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
+        return s.astype(jnp.int32).astype(jnp.uint32)
+
+    f_hi, f_lo = _mxu_assemble([chunk(m) for m in range(n_sub)], k)
+    ftop, fbot = _pair_to_repacked(f_hi, f_lo, k, n_words)
+    if canonical:
+        s_hi, s_lo = _mxu_assemble([chunk(n_sub + m) for m in range(n_sub)],
+                                   k)
+        # reverse complement = all-3s minus S = bitwise NOT in 2k bits
+        if n_words == 2:
+            v_lo = ~s_lo
+            v_hi = ~s_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
+        else:
+            v_lo = ~s_lo & jnp.uint32((1 << (2 * k)) - 1)
+            v_hi = s_hi                                # unused
+        rtop, rbot = _pair_to_repacked(v_hi, v_lo, k, n_words)
+        if n_words == 2:
+            take_rc = (rtop < ftop) | ((rtop == ftop) & (rbot < fbot))
+            fbot = jnp.where(take_rc, rbot, fbot)
+        else:
+            take_rc = rtop < ftop
+        ftop = jnp.where(take_rc, rtop, ftop)
+    amb = None
+    if mask_ambiguous:
+        ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)
+        wa = lax.slice_in_dim(w_ref[:], (n_blk - 1) * R,
+                              (n_blk - 1) * R + P_pad, axis=0)
+        amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
+    return ftop, fbot, amb
+
+
 def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
                        mask_ambiguous: bool):
     """_doubling_pair realigned to the repacked layout: (ftop, fbot,
@@ -115,15 +237,24 @@ def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
     return ftop, fbot, amb
 
 
-def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
+def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             P_pad: int, seg: int, n_words: int, canonical: bool,
             mask_ambiguous: bool, algo: str = "sort",
             extract_algo: str = "slicesum"):
+    if extract_algo == "mxu":
+        w_ref, out_refs = rest[0], rest[1:]
+    else:
+        w_ref, out_refs = None, rest
     c = codes_ref[:].astype(jnp.uint32)              # (L_pad, bw)
     bw = c.shape[1]
     shape = (P_pad, bw)
     low = 2 * k - 32 if n_words == 2 else 0          # bits in the bot word
-    if extract_algo == "doubling":
+    if extract_algo == "mxu":
+        ftop, fbot, amb = _mxu_extract(c, w_ref, k, P_pad, n_words,
+                                       canonical, mask_ambiguous)
+        if fbot is None:
+            fbot = jnp.zeros(shape, jnp.uint32)
+    elif extract_algo == "doubling":
         ftop, fbot, amb = _doubling_repacked(c, k, P_pad, n_words,
                                              mask_ambiguous)
         if fbot is None:
@@ -142,7 +273,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *out_refs, k: int, P: int,
                 ftop = ftop | (sl << jnp.uint32(fpos - low))
             else:
                 fbot = fbot | (sl << jnp.uint32(fpos))
-    if canonical:
+    if canonical and extract_algo != "mxu":          # mxu selects in-path
         # RC from the FORWARD words by pure bit tricks instead of a
         # second k-iteration accumulation (ops/canonical.revcomp_words
         # adapted to the repacked layout): align V to the top of the
@@ -262,17 +393,26 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     # 0.27 ms/step vs 0.31 slice-sum, k=31 0.25 vs 0.33)
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "doubling")
+    in_specs = [cspec, rspec, rspec]
+    operands = [codes_t, len2, lim2]
+    if extract_algo == "mxu":
+        wmat, _R, _ = _mxu_weights(k, P_pad, L_pad, canonical,
+                                   mask_ambiguous)
+        wj = jnp.asarray(wmat, jnp.bfloat16)
+        in_specs.append(pl.BlockSpec(wj.shape, lambda q: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(wj)
     outs = pl.pallas_call(
         functools.partial(_kernel, k=k, P=P, P_pad=P_pad, seg=seg,
                           n_words=W, canonical=canonical,
                           mask_ambiguous=mask_ambiguous, algo=algo,
                           extract_algo=extract_algo),
         grid=(Bp // block_lanes,),
-        in_specs=[cspec, rspec, rspec],
+        in_specs=in_specs,
         out_specs=[ospec] * (W + 1),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(codes_t, len2, lim2)
+    )(*operands)
     return [w.reshape(-1) for w in outs[:W]], outs[W].reshape(-1)

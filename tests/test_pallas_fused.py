@@ -137,6 +137,36 @@ def test_fused_extract_count_matches_two_stage(k, canon, amb, algo):
     assert got == want
 
 
+@pytest.mark.parametrize("k,canon,amb", [(5, True, True),
+                                         (13, False, True),
+                                         (21, True, False),
+                                         (27, True, True),
+                                         (31, True, False)])
+def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
+    """The MXU banded-matmul extraction (subword values as bf16xbf16->
+    f32 systolic matmuls — exact because every 4^j weight is a power of
+    two and every <=12-base subvalue < 2^24) must be BIT-IDENTICAL to
+    the doubling extraction on the raw kernel outputs, across key
+    widths, canonical selection, and ambiguity masking."""
+    from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+    rng = np.random.default_rng(7 * k + 2 * canon + amb)
+    B, L = 192, 73
+    hi = 8 if amb else 4
+    codes = jnp.asarray(rng.integers(0, hi, (L, B), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    outs = {}
+    for extract in ("doubling", "mxu"):
+        outs[extract] = fused_extract_count_T(
+            codes, lengths, limits, k, canonical=canon,
+            mask_ambiguous=amb, seg=4, block_lanes=128, algo="dedup",
+            extract=extract, interpret=True)
+    for wa, wb in zip(outs["doubling"][0], outs["mxu"][0]):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(outs["doubling"][1]),
+                                  np.asarray(outs["mxu"][1]))
+
+
 def test_count_step_fused_path_end_to_end(tmp_path):
     """Full fused single-kernel path (KMER_TPU_STEP=fused), interpret
     mode, vs the oracle."""
