@@ -44,6 +44,62 @@ from .fused_count import _dedup_runlen, _sort_runlen
 SENTINEL = 0xFFFFFFFF
 
 
+def _gapped_mxu_weights(n_len: int, P: int, L_pad: int,
+                        mask_ambiguous: bool):
+    """Host-built banded weights for one gapped sub-key table
+    (fused_extract._mxu_weights' forward+amb blocks, no RC — the gapped
+    mode never canonicalizes, matching the reference main.rs)."""
+    import numpy as np
+    from .fused_extract import _MXU_SUB
+    R = -(-P // 16) * 16
+    n_sub = -(-n_len // _MXU_SUB)
+    rows = np.arange(P)
+    blocks = []
+    for m in range(n_sub):
+        W = np.zeros((R, L_pad), np.float32)
+        for q in range(_MXU_SUB * m, min(_MXU_SUB * m + _MXU_SUB, n_len)):
+            j = n_len - 1 - q
+            cols = rows + j
+            ok = cols < L_pad
+            W[rows[ok], cols[ok]] = float(1 << (2 * (q - _MXU_SUB * m)))
+        blocks.append(W)
+    if mask_ambiguous:
+        W = np.zeros((R, L_pad), np.float32)
+        for j in range(n_len):
+            cols = rows + j
+            ok = cols < L_pad
+            W[rows[ok], cols[ok]] = 1.0
+        blocks.append(W)
+    return np.concatenate(blocks, axis=0)
+
+
+def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
+    """MXU sub-key table: one banded matmul yields the <=3 24-bit
+    subword chunks of every n_len-mer (exactness per
+    fused_extract._mxu_extract); VPU converts and stitches into the
+    (hi, lo) 32-bit-packed layout."""
+    from .fused_extract import _MXU_SUB, _mxu_assemble
+    n_sub = -(-n_len // _MXU_SUB)
+    n_blk = n_sub + (1 if mask_ambiguous else 0)
+    R = w_ref.shape[0] // n_blk
+    cm = (c & jnp.uint32(3)) if mask_ambiguous else c
+    cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
+    acc = jnp.dot(w_ref[:], cb, preferred_element_type=jnp.float32)
+
+    def chunk(i):
+        s = lax.slice_in_dim(acc, i * R, i * R + P, axis=0)
+        return s.astype(jnp.int32).astype(jnp.uint32)
+
+    hi, lo = _mxu_assemble([chunk(m) for m in range(n_sub)], n_len)
+    amb = None
+    if mask_ambiguous:
+        ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)
+        wa = lax.slice_in_dim(w_ref[:], n_sub * R, n_sub * R + P, axis=0)
+        amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
+    W = words_per_key(n_len)
+    return ([hi, lo] if W == 2 else [lo]), amb
+
+
 def _build_table(c, n_len: int, P: int, mask_ambiguous: bool,
                  extract_algo: str = "doubling"):
     """Sub-key table: the n_len-mer value at rows 0..P-1 of transposed
@@ -75,18 +131,32 @@ def _build_table(c, n_len: int, P: int, mask_ambiguous: bool,
     return ([hi, lo] if W == 2 else [lo]), amb
 
 
-def _kernel(codes_ref, len_ref, lim_ref, *out_refs, l_len: int, r_len: int,
+def _kernel(codes_ref, len_ref, lim_ref, *rest, l_len: int, r_len: int,
             c_min: int, c_max: int, L: int, T_pad: int, seg: int,
             n_words: int, s_bits: int, mask_ambiguous: bool, algo: str,
             extract_algo: str = "doubling"):
+    if extract_algo == "mxu":
+        n_w = 1 if r_len == l_len else 2
+        w_refs, out_refs = rest[:n_w], rest[n_w:]
+    else:
+        w_refs, out_refs = (), rest
     c = codes_ref[:].astype(jnp.uint32)              # (L_pad, bl)
     bl = c.shape[1]
     P_l = L - l_len + 1
     P_r = L - r_len + 1
-    lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
-    if r_len == l_len:
+    if extract_algo == "mxu":
+        lw, lamb = _build_table_mxu(c, w_refs[0], l_len, P_l,
+                                    mask_ambiguous)
+        if r_len == l_len:
+            rw, ramb = lw, lamb
+        else:
+            rw, ramb = _build_table_mxu(c, w_refs[1], r_len, P_r,
+                                        mask_ambiguous)
+    elif r_len == l_len:
+        lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
         rw, ramb = lw, lamb
     else:
+        lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
         rw, ramb = _build_table(c, r_len, P_r, mask_ambiguous, extract_algo)
 
     lens = len_ref[:].astype(jnp.int32)              # (1, bl)
@@ -204,6 +274,16 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     out_shapes = ([jax.ShapeDtypeStruct((T_pad, Bp), jnp.uint32)
                    for _ in range(n_words)]
                   + [jax.ShapeDtypeStruct((T_pad, Bp), cnt_dtype)])
+    in_specs = [cspec, rspec, rspec]
+    operands = [codes_t, len2, lim2]
+    if extract_algo == "mxu":
+        lens_needed = [l_len] if r_len == l_len else [l_len, r_len]
+        for nl in lens_needed:
+            wmat = _gapped_mxu_weights(nl, L - nl + 1, L, mask_ambiguous)
+            wj = jnp.asarray(wmat, jnp.bfloat16)
+            in_specs.append(pl.BlockSpec(wj.shape, lambda q: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(wj)
     outs = pl.pallas_call(
         functools.partial(_kernel, l_len=l_len, r_len=r_len, c_min=c_min,
                           c_max=c_max, L=L, T_pad=T_pad, seg=seg,
@@ -211,11 +291,11 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                           mask_ambiguous=mask_ambiguous, algo=algo,
                           extract_algo=extract_algo),
         grid=(Bp // block_lanes,),
-        in_specs=[cspec, rspec, rspec],
+        in_specs=in_specs,
         out_specs=[ospec] * (n_words + 1),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(codes_t, len2, lim2)
+    )(*operands)
     return [w.reshape(-1) for w in outs[:n_words]], outs[n_words].reshape(-1)

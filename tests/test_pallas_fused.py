@@ -167,6 +167,36 @@ def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
                                   np.asarray(outs["mxu"][1]))
 
 
+@pytest.mark.parametrize("llen,rlen,cmin,cmax,L,amb", [
+    (27, 27, 80, 140, 150, False),
+    (27, 27, 80, 100, 120, True),
+    (13, 9, 30, 40, 64, False),
+])
+def test_gapped_mxu_tables_bit_equal_doubling(llen, rlen, cmin, cmax, L,
+                                              amb, monkeypatch):
+    """Gapped fused kernel with MXU sub-key tables == doubling tables,
+    bit-identical raw outputs (same exactness argument as the
+    contiguous MXU path; gapped adds the distinct-L/R-table case)."""
+    from kmer_tpu.ops.pallas import fused_gapped as fg
+    rng = np.random.default_rng(13 * llen + rlen + amb)
+    B = 160
+    hi = 8 if amb else 4
+    codes = jnp.asarray(rng.integers(0, hi, (L, B), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    outs = {}
+    for algo in ("doubling", "mxu"):
+        monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", algo)
+        outs[algo] = fg.fused_gapped_count_T(
+            codes, lengths, limits, l_len=llen, r_len=rlen,
+            c_min=cmin, c_max=cmax, mask_ambiguous=amb, seg=4,
+            block_lanes=128, algo="dedup", interpret=True)
+    for wa, wb in zip(outs["doubling"][0], outs["mxu"][0]):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(outs["doubling"][1]),
+                                  np.asarray(outs["mxu"][1]))
+
+
 def test_count_step_fused_path_end_to_end(tmp_path):
     """Full fused single-kernel path (KMER_TPU_STEP=fused), interpret
     mode, vs the oracle."""
