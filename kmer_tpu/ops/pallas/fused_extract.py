@@ -153,27 +153,33 @@ def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
     return np.concatenate(blocks, axis=0), R, n_sub
 
 
-def _mxu_assemble(subs, k: int):
-    """Little-endian 24-bit u32 chunks -> (hi, lo) value words (hi =
-    bits [32, 2k), lo = bits [0, 32)).  u32 shifts drop bits >= 32, so
-    (sub1 << 24) keeps exactly sub1's low 8 bits in lo."""
-    lo = subs[0]
-    hi = jnp.zeros_like(lo)
-    if len(subs) >= 2:
-        lo = lo | (subs[1] << jnp.uint32(24))
-        hi = subs[1] >> jnp.uint32(8)
-    if len(subs) >= 3:
-        hi = hi | (subs[2] << jnp.uint32(16))
-    return hi, lo
+def _bits32(chunks, t: int, width: int = 32):
+    """Value bits [t, t+width) as one u32, from little-endian 24-bit
+    chunks.  All shift amounts are static and < 32 (a 32-bit window
+    spans at most 3 chunks); u32 left shifts drop bits >= 32."""
+    out = None
+    for m in range(t // 24, len(chunks)):
+        base = 24 * m
+        if base >= t + width:
+            break
+        if base <= t:
+            term = chunks[m] >> jnp.uint32(t - base)
+        else:
+            term = chunks[m] << jnp.uint32(base - t)
+        out = term if out is None else (out | term)
+    if width < 32:
+        out = out & jnp.uint32((1 << width) - 1)
+    return out
 
 
-def _pair_to_repacked(acc_hi, acc_lo, k: int, n_words: int):
-    """(hi, lo) value words -> repacked (top, bot); bot None if W=1."""
-    if n_words == 1:
-        return acc_lo, None
-    s_res = 2 * k - 32
-    top = (acc_hi << jnp.uint32(32 - s_res)) | (acc_lo >> jnp.uint32(s_res))
-    return top, acc_lo & jnp.uint32((1 << s_res) - 1)
+def _chunks_to_repacked(chunks, k: int, n_words: int):
+    """24-bit LE value chunks -> repacked words (32 key bits per word
+    from the TOP, s-bit residual last — ops/count.repack_words)."""
+    bits = 2 * k
+    s = bits - 32 * (n_words - 1)
+    ws = [_bits32(chunks, bits - 32 * (j + 1)) for j in range(n_words - 1)]
+    ws.append(_bits32(chunks, 0, width=s))
+    return ws
 
 
 def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
@@ -182,8 +188,11 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
     O(k) (or O(log k)) sublane-slice shift-or chains become one
     systolic-array pass; the VPU only converts and stitches.  Exact by
     construction: every weight is a power of two (bf16-exact), every
-    window subvalue < 2^24 (f32-exact).  Returns (ftop, fbot, amb) with
-    the canonical min ALREADY selected."""
+    window subvalue < 2^24 (f32-exact).  Works for ANY word count
+    (k <= 63) — the doubling path's 64-bit accumulator pair caps it at
+    W <= 2, but chunks stitch into arbitrarily many repacked words.
+    Returns (repacked word list, amb) with the canonical min ALREADY
+    selected."""
     n_sub = -(-k // _MXU_SUB)
     n_blk = (2 * n_sub if canonical else n_sub) + (1 if mask_ambiguous else 0)
     R = w_ref.shape[0] // n_blk
@@ -195,32 +204,31 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
         s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
         return s.astype(jnp.int32).astype(jnp.uint32)
 
-    f_hi, f_lo = _mxu_assemble([chunk(m) for m in range(n_sub)], k)
-    ftop, fbot = _pair_to_repacked(f_hi, f_lo, k, n_words)
+    fw = _chunks_to_repacked([chunk(m) for m in range(n_sub)], k, n_words)
     if canonical:
-        s_hi, s_lo = _mxu_assemble([chunk(n_sub + m) for m in range(n_sub)],
-                                   k)
-        # reverse complement = all-3s minus S = bitwise NOT in 2k bits
-        if n_words == 2:
-            v_lo = ~s_lo
-            v_hi = ~s_hi & jnp.uint32((1 << (2 * k - 32)) - 1)
-        else:
-            v_lo = ~s_lo & jnp.uint32((1 << (2 * k)) - 1)
-            v_hi = s_hi                                # unused
-        rtop, rbot = _pair_to_repacked(v_hi, v_lo, k, n_words)
-        if n_words == 2:
-            take_rc = (rtop < ftop) | ((rtop == ftop) & (rbot < fbot))
-            fbot = jnp.where(take_rc, rbot, fbot)
-        else:
-            take_rc = rtop < ftop
-        ftop = jnp.where(take_rc, rtop, ftop)
+        # reverse complement = all-3s minus S = bitwise NOT in 2k bits,
+        # which is chunk-wise XOR with each chunk's width mask (the
+        # chunks partition the bit range — no borrows)
+        rc_chunks = []
+        for m in range(n_sub):
+            wbits = min(2 * k - 24 * m, 24)
+            rc_chunks.append(chunk(n_sub + m)
+                             ^ jnp.uint32((1 << wbits) - 1))
+        rw = _chunks_to_repacked(rc_chunks, k, n_words)
+        # lexicographic min over repacked words (word 0 most significant)
+        lt = rw[0] < fw[0]
+        eq = rw[0] == fw[0]
+        for rj, fj in zip(rw[1:], fw[1:]):
+            lt = lt | (eq & (rj < fj))
+            eq = eq & (rj == fj)
+        fw = [jnp.where(lt, rj, fj) for rj, fj in zip(rw, fw)]
     amb = None
     if mask_ambiguous:
         ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)
         wa = lax.slice_in_dim(w_ref[:], (n_blk - 1) * R,
                               (n_blk - 1) * R + P_pad, axis=0)
         amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
-    return ftop, fbot, amb
+    return fw, amb
 
 
 def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
@@ -249,11 +257,11 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
     bw = c.shape[1]
     shape = (P_pad, bw)
     low = 2 * k - 32 if n_words == 2 else 0          # bits in the bot word
+    fwords = None
     if extract_algo == "mxu":
-        ftop, fbot, amb = _mxu_extract(c, w_ref, k, P_pad, n_words,
-                                       canonical, mask_ambiguous)
-        if fbot is None:
-            fbot = jnp.zeros(shape, jnp.uint32)
+        fwords, amb = _mxu_extract(c, w_ref, k, P_pad, n_words,
+                                   canonical, mask_ambiguous)
+        ftop = fbot = None
     elif extract_algo == "doubling":
         ftop, fbot, amb = _doubling_repacked(c, k, P_pad, n_words,
                                              mask_ambiguous)
@@ -298,7 +306,9 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
     if mask_ambiguous:
         valid = valid & ~amb
     sent = jnp.uint32(SENTINEL)
-    if n_words == 2:
+    if fwords is not None:                           # mxu: any W
+        ws = [jnp.where(valid, w, sent) for w in fwords]
+    elif n_words == 2:
         ws = [jnp.where(valid, ftop, sent), jnp.where(valid, fbot, sent)]
     else:
         ws = [jnp.where(valid, ftop, sent)]
@@ -346,15 +356,24 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     recur across segments (host KmerTable.from_pairs aggregates).
     Rows >= P and padded lanes carry SENTINEL keys with count 0.
 
-    Supports W <= 2 key words (k <= 15 or 17 <= k <= 31); seg must be a
-    power of two.
+    Supports W <= 2 key words (k <= 15 or 17 <= k <= 31) with the
+    doubling/slicesum extractors; the MXU extractor
+    (KMER_TPU_FUSED_EXTRACT=mxu) lifts that to ANY k <= 63 with
+    2k % 32 != 0 (its 24-bit chunks stitch into arbitrarily many
+    repacked words).  seg must be a power of two.
     """
+    import os
     L, B = codes_t.shape
     P = L - k + 1
     assert P >= 1, (L, k)
     assert seg >= 2 and (seg & (seg - 1)) == 0, seg
     W = words_per_key(k)
-    assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
+    extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
+                                             "doubling")
+    if extract_algo == "mxu":
+        assert k <= 63 and (2 * k) % 32 != 0, (k, "unsupported key width")
+    else:
+        assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg
     L_pad = P_pad + k - 1
     # small batches: shrink the lane block to the 128-lane tile multiple
@@ -378,7 +397,6 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((P_pad, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
-    import os
     # i8 counts (in-segment runs never exceed seg): 1/4 the count
     # write traffic in-kernel AND 1/4 the count D2H downstream
     cnt_dtype = (jnp.int8 if os.environ.get("KMER_TPU_COUNTS_DTYPE",
@@ -391,8 +409,6 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
     # doubling measured the clear winner on v5e (bench.py: k=21
     # 0.27 ms/step vs 0.31 slice-sum, k=31 0.25 vs 0.33)
-    extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
-                                             "doubling")
     in_specs = [cspec, rspec, rspec]
     operands = [codes_t, len2, lim2]
     if extract_algo == "mxu":

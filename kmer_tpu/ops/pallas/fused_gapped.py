@@ -78,7 +78,7 @@ def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
     subword chunks of every n_len-mer (exactness per
     fused_extract._mxu_extract); VPU converts and stitches into the
     (hi, lo) 32-bit-packed layout."""
-    from .fused_extract import _MXU_SUB, _mxu_assemble
+    from .fused_extract import _MXU_SUB, _bits32
     n_sub = -(-n_len // _MXU_SUB)
     n_blk = n_sub + (1 if mask_ambiguous else 0)
     R = w_ref.shape[0] // n_blk
@@ -90,7 +90,10 @@ def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
         s = lax.slice_in_dim(acc, i * R, i * R + P, axis=0)
         return s.astype(jnp.int32).astype(jnp.uint32)
 
-    hi, lo = _mxu_assemble([chunk(m) for m in range(n_sub)], n_len)
+    chunks = [chunk(m) for m in range(n_sub)]
+    lo = _bits32(chunks, 0)
+    hi = (_bits32(chunks, 32) if 2 * n_len > 32
+          else jnp.zeros_like(lo))
     amb = None
     if mask_ambiguous:
         ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)

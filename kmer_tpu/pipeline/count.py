@@ -54,8 +54,14 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     # drops from 1.13 ms to ~0.6 ms at m=16, scripts/r2_sort_experiments
     # phases 8-10).  KMER_TPU_STEP=legacy restores the row-layout path.
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
+    # the MXU extractor lifts the fused kernel's W <= 2 cap (its 24-bit
+    # chunks stitch into arbitrarily many repacked words): any k <= 63
+    # with a residual word is fused-eligible under it
+    mxu_extract = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+                   == "mxu")
     t_eligible = (group_keys > 0
-                  and words_per_key(k) <= 2 and 2 * k != 32)
+                  and ((words_per_key(k) <= 2 and 2 * k != 32)
+                       or (mxu_extract and k <= 63 and (2 * k) % 32)))
     # Fully fused single-kernel step (extraction + canonical + repack +
     # segment collapse, ops/pallas/fused_extract): keys never
     # round-trip HBM between extraction and counting (~68 MB less
@@ -80,7 +86,8 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
             algo=algo, interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
         return std, counts > 0, counts
-    use_T = (t_eligible and step_backend == "t")
+    use_T = (t_eligible and step_backend == "t"
+             and words_per_key(k) <= 2 and 2 * k != 32)
     if use_T:
         from ..ops.extract import kmer_lanes_repacked_T
         rw, _ = kmer_lanes_repacked_T(codes.T, lengths, k, limits=limits,
@@ -138,7 +145,10 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
     import os
     from ..ops.encode import words_per_key
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
-    use_fused = (words_per_key(k) <= 2 and 2 * k != 32
+    mxu_extract = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+                   == "mxu")
+    use_fused = (((words_per_key(k) <= 2 and 2 * k != 32)
+                  or (mxu_extract and k <= 63 and (2 * k) % 32))
                  and (step_backend == "fused" or
                       (step_backend == "auto"
                        and jax.default_backend() == "tpu")))

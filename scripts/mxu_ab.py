@@ -53,18 +53,23 @@ def main():
     lengths = jnp.full((B,), L, jnp.int32)
     limits = jnp.full((B,), L, jnp.int32)
 
+    import os
+    extracts = os.environ.get("AB_EXTRACTS", "doubling,mxu").split(",")
+    bls = [int(x) for x in os.environ.get("AB_BL", "256").split(",")]
     for k in KS:
         N = B * (L - k + 1)
-        for extract in ("doubling", "mxu"):
-            @jax.jit
-            def step(codes, _e=extract, _k=k):
-                ws, counts = fused_extract_count_T(
-                    codes, lengths, limits, _k, canonical=True,
-                    seg=4, block_lanes=256, algo="dedup", extract=_e)
-                inj = (counts[:B].astype(jnp.uint32) % 4).astype(jnp.uint8)
-                return codes.at[0, :].set(inj)
+        for extract in extracts:
+            for bl in bls:
+                @jax.jit
+                def step(codes, _e=extract, _k=k, _bl=bl):
+                    ws, counts = fused_extract_count_T(
+                        codes, lengths, limits, _k, canonical=True,
+                        seg=4, block_lanes=_bl, algo="dedup", extract=_e)
+                    inj = (counts[:B].astype(jnp.uint32)
+                           % 4).astype(jnp.uint8)
+                    return codes.at[0, :].set(inj)
 
-            run_chained(f"k={k} {extract}", step, codes0, N)
+                run_chained(f"k={k} {extract} bl={bl}", step, codes0, N)
 
 
 if __name__ == "__main__":

@@ -167,6 +167,37 @@ def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
                                   np.asarray(outs["mxu"][1]))
 
 
+@pytest.mark.parametrize("k,canon", [(33, True), (45, False), (63, True)])
+def test_mxu_multiword_keys_match_oracle(k, canon):
+    """The MXU extractor lifts the fused kernel's W <= 2 cap: k >= 33
+    (3- and 4-word repacked keys) must match the XLA extraction oracle
+    as aggregated tables, with sparse ambiguity masking exercised."""
+    from kmer_tpu.ops.canonical import canonical_kmer_lanes
+    from kmer_tpu.ops.extract import kmer_lanes
+    from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+    rng = np.random.default_rng(17 * k + canon)
+    B, L = 96, 96
+    codes = rng.integers(0, 4, (B, L), dtype=np.uint8)
+    m = rng.random((B, L)) < 0.02
+    codes = np.where(m, rng.integers(4, 8, (B, L), dtype=np.uint8), codes)
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    rflat, counts = fused_extract_count_T(
+        codes.T, lengths, limits, k, canonical=canon,
+        mask_ambiguous=True, seg=4, block_lanes=128, algo="dedup",
+        extract="mxu", interpret=True)
+    got = _aggregate(k, C.unpack_words(rflat, k), counts > 0, counts)
+    fn = canonical_kmer_lanes if canon else kmer_lanes
+    words, valid = fn(codes, lengths, k, limits=limits,
+                      mask_ambiguous=True)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    want = KmerTable.from_pairs(k, ks[v], np.ones(int(v.sum()), np.int64))
+    assert got == want
+    assert got.num_distinct > 0
+
+
 @pytest.mark.parametrize("llen,rlen,cmin,cmax,L,amb", [
     (27, 27, 80, 140, 150, False),
     (27, 27, 80, 100, 120, True),
