@@ -59,6 +59,8 @@ def main():
     for k in KS:
         N = B * (L - k + 1)
         for extract in extracts:
+            if extract == "doubling" and (k > 31 or 2 * k == 32):
+                continue
             for bl in bls:
                 @jax.jit
                 def step(codes, _e=extract, _k=k, _bl=bl):
@@ -70,6 +72,28 @@ def main():
                     return codes.at[0, :].set(inj)
 
                 run_chained(f"k={k} {extract} bl={bl}", step, codes0, N)
+
+    if os.environ.get("AB_GAPPED", "0") == "1":
+        from kmer_tpu.ops.pallas.fused_gapped import fused_gapped_count_T
+        Bg = 2048
+        rngg = np.random.default_rng(1)
+        codesg = jnp.asarray(rngg.integers(0, 4, (L, Bg), dtype=np.uint8))
+        lg = jnp.full((Bg,), L, jnp.int32)
+        limg = jnp.full((Bg,), L, jnp.int32)
+        chunks = Bg * sum(L - c + 1 for c in range(80, 141))
+        for extract in extracts:
+            os.environ["KMER_TPU_FUSED_EXTRACT"] = extract
+
+            @jax.jit
+            def stepg(codes, _e=extract):
+                ws, counts = fused_gapped_count_T(
+                    codes, lg, limg, l_len=27, r_len=27,
+                    c_min=80, c_max=140, seg=4, block_lanes=256,
+                    algo="dedup")
+                inj = (counts[:Bg].astype(jnp.uint32) % 4).astype(jnp.uint8)
+                return codes.at[0, :Bg].set(inj)
+
+            run_chained(f"gapped {extract}", stepg, codesg, chunks)
 
 
 if __name__ == "__main__":
