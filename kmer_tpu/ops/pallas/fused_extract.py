@@ -174,11 +174,16 @@ def _bits32(chunks, t: int, width: int = 32):
 
 def _chunks_to_repacked(chunks, k: int, n_words: int):
     """24-bit LE value chunks -> repacked words (32 key bits per word
-    from the TOP, s-bit residual last — ops/count.repack_words)."""
+    from the TOP, s-bit residual last — ops/count.repack_words).  When
+    2k is a multiple of 32 (s == 0: k = 16, 32, 48) the residual word
+    carries no key bits and is emitted as the all-zero flag payload
+    (repack_words' s == 0 convention: 0 on real lanes, SENTINEL on
+    invalid ones — the kernel's sentinel select provides the latter)."""
     bits = 2 * k
     s = bits - 32 * (n_words - 1)
     ws = [_bits32(chunks, bits - 32 * (j + 1)) for j in range(n_words - 1)]
-    ws.append(_bits32(chunks, 0, width=s))
+    ws.append(_bits32(chunks, 0, width=s) if s
+              else jnp.zeros_like(ws[0]))
     return ws
 
 
@@ -371,7 +376,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "doubling")
     if extract_algo == "mxu":
-        assert k <= 63 and (2 * k) % 32 != 0, (k, "unsupported key width")
+        assert k <= 63, (k, "unsupported key width")
     else:
         assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg

@@ -61,7 +61,7 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
                    == "mxu")
     t_eligible = (group_keys > 0
                   and ((words_per_key(k) <= 2 and 2 * k != 32)
-                       or (mxu_extract and k <= 63 and (2 * k) % 32)))
+                       or (mxu_extract and k <= 63)))
     # Fully fused single-kernel step (extraction + canonical + repack +
     # segment collapse, ops/pallas/fused_extract): keys never
     # round-trip HBM between extraction and counting (~68 MB less
@@ -148,7 +148,7 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
     mxu_extract = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
                    == "mxu")
     use_fused = (((words_per_key(k) <= 2 and 2 * k != 32)
-                  or (mxu_extract and k <= 63 and (2 * k) % 32))
+                  or (mxu_extract and k <= 63))
                  and (step_backend == "fused" or
                       (step_backend == "auto"
                        and jax.default_backend() == "tpu")))

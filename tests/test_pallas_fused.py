@@ -167,11 +167,13 @@ def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
                                   np.asarray(outs["mxu"][1]))
 
 
-@pytest.mark.parametrize("k,canon", [(33, True), (45, False), (63, True)])
+@pytest.mark.parametrize("k,canon", [(33, True), (45, False), (63, True),
+                                     (16, True), (32, False)])
 def test_mxu_multiword_keys_match_oracle(k, canon):
     """The MXU extractor lifts the fused kernel's W <= 2 cap: k >= 33
-    (3- and 4-word repacked keys) must match the XLA extraction oracle
-    as aggregated tables, with sparse ambiguity masking exercised."""
+    (3- and 4-word repacked keys) and the s == 0 widths (k = 16/32,
+    flag-payload residual) must match the XLA extraction oracle as
+    aggregated tables, with sparse ambiguity masking exercised."""
     from kmer_tpu.ops.canonical import canonical_kmer_lanes
     from kmer_tpu.ops.extract import kmer_lanes
     from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
