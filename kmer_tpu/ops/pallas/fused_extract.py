@@ -107,12 +107,34 @@ _MXU_SUB = 12          # bases per MXU subword: 4^12 - 1 = 2^24 - 1 is the
                        # of two, exact in bfloat16)
 
 
+def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
+             seg: int = 4, block_lanes: int = 256,
+             budget_bytes: int = 24 * 1024 * 1024) -> bool:
+    """Whether the MXU extraction's VMEM-resident operands (the stacked
+    bf16 weight matrix + the f32 matmul accumulator) fit a conservative
+    budget for this (k, L).  Both grow with n_blk * R ~ O(k/12 * L), so
+    long reads at large k must fall back (callers pick doubling for
+    W <= 2, the XLA path otherwise)."""
+    P = L - k + 1
+    if P < 1 or k > 63:
+        return False
+    P_pad = -(-P // seg) * seg
+    L_pad = P_pad + k - 1
+    R = -(-P_pad // 16) * 16
+    n_sub = -(-k // _MXU_SUB)
+    n_blk = ((2 * n_sub if canonical else n_sub)
+             + (1 if mask_ambiguous else 0))
+    rows = n_blk * R
+    return rows * (L_pad * 2 + block_lanes * 4) <= budget_bytes
+
+
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
                  mask_ambiguous: bool):
     """Host-built banded weight matrix for the MXU extraction path.
 
-    Row block m (height R = P_pad rounded up to 8 so in-kernel slices
-    stay sublane-aligned) holds W[p, p+j] = 4^(q-12m) for significance
+    Row block m (height R = P_pad rounded up to 16, the bf16 sublane
+    tile, so in-kernel slices stay aligned) holds
+    W[p, p+j] = 4^(q-12m) for significance
     q = k-1-j in [12m, 12m+12): the matmul W @ codes yields, per output
     row p, the m-th 24-bit little-endian chunk of the forward window
     value sum_j codes[p+j] * 4^(k-1-j).  Canonical adds the
@@ -201,9 +223,12 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
     n_sub = -(-k // _MXU_SUB)
     n_blk = (2 * n_sub if canonical else n_sub) + (1 if mask_ambiguous else 0)
     R = w_ref.shape[0] // n_blk
+    n_val = n_blk - (1 if mask_ambiguous else 0)   # value bands only —
+    # the amb band multiplies the indicator, not the codes, in its own
+    # dot below; including it here would waste 1/n_blk of the MXU work
     cm = (c & jnp.uint32(3)) if mask_ambiguous else c
     cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
-    acc = jnp.dot(w_ref[:], cb, preferred_element_type=jnp.float32)
+    acc = jnp.dot(w_ref[:n_val * R], cb, preferred_element_type=jnp.float32)
 
     def chunk(i):
         s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
@@ -363,9 +388,9 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
 
     Supports W <= 2 key words (k <= 15 or 17 <= k <= 31) with the
     doubling/slicesum extractors; the MXU extractor
-    (KMER_TPU_FUSED_EXTRACT=mxu) lifts that to ANY k <= 63 with
-    2k % 32 != 0 (its 24-bit chunks stitch into arbitrarily many
-    repacked words).  seg must be a power of two.
+    (KMER_TPU_FUSED_EXTRACT=mxu) lifts that to ANY k <= 63, including
+    the s == 0 widths k = 16/32/48 (its 24-bit chunks stitch into
+    arbitrarily many repacked words).  seg must be a power of two.
     """
     import os
     L, B = codes_t.shape

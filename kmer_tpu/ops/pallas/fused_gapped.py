@@ -46,31 +46,13 @@ SENTINEL = 0xFFFFFFFF
 
 def _gapped_mxu_weights(n_len: int, P: int, L_pad: int,
                         mask_ambiguous: bool):
-    """Host-built banded weights for one gapped sub-key table
-    (fused_extract._mxu_weights' forward+amb blocks, no RC — the gapped
-    mode never canonicalizes, matching the reference main.rs)."""
-    import numpy as np
-    from .fused_extract import _MXU_SUB
-    R = -(-P // 16) * 16
-    n_sub = -(-n_len // _MXU_SUB)
-    rows = np.arange(P)
-    blocks = []
-    for m in range(n_sub):
-        W = np.zeros((R, L_pad), np.float32)
-        for q in range(_MXU_SUB * m, min(_MXU_SUB * m + _MXU_SUB, n_len)):
-            j = n_len - 1 - q
-            cols = rows + j
-            ok = cols < L_pad
-            W[rows[ok], cols[ok]] = float(1 << (2 * (q - _MXU_SUB * m)))
-        blocks.append(W)
-    if mask_ambiguous:
-        W = np.zeros((R, L_pad), np.float32)
-        for j in range(n_len):
-            cols = rows + j
-            ok = cols < L_pad
-            W[rows[ok], cols[ok]] = 1.0
-        blocks.append(W)
-    return np.concatenate(blocks, axis=0)
+    """Host-built banded weights for one gapped sub-key table: exactly
+    fused_extract._mxu_weights' forward(+amb) blocks — no RC bands, the
+    gapped mode never canonicalizes (reference main.rs)."""
+    from .fused_extract import _mxu_weights
+    w, _R, _n = _mxu_weights(n_len, P, L_pad, canonical=False,
+                             mask_ambiguous=mask_ambiguous)
+    return w
 
 
 def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
@@ -84,7 +66,8 @@ def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
     R = w_ref.shape[0] // n_blk
     cm = (c & jnp.uint32(3)) if mask_ambiguous else c
     cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
-    acc = jnp.dot(w_ref[:], cb, preferred_element_type=jnp.float32)
+    # value bands only — the amb band rides its own indicator dot below
+    acc = jnp.dot(w_ref[:n_sub * R], cb, preferred_element_type=jnp.float32)
 
     def chunk(i):
         s = lax.slice_in_dim(acc, i * R, i * R + P, axis=0)
@@ -155,12 +138,13 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, l_len: int, r_len: int,
         else:
             rw, ramb = _build_table_mxu(c, w_refs[1], r_len, P_r,
                                         mask_ambiguous)
-    elif r_len == l_len:
-        lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
-        rw, ramb = lw, lamb
     else:
         lw, lamb = _build_table(c, l_len, P_l, mask_ambiguous, extract_algo)
-        rw, ramb = _build_table(c, r_len, P_r, mask_ambiguous, extract_algo)
+        if r_len == l_len:
+            rw, ramb = lw, lamb
+        else:
+            rw, ramb = _build_table(c, r_len, P_r, mask_ambiguous,
+                                    extract_algo)
 
     lens = len_ref[:].astype(jnp.int32)              # (1, bl)
     lims = lim_ref[:].astype(jnp.int32)
@@ -265,6 +249,15 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     if algo is None:
         algo = os.environ.get("KMER_TPU_GAPPED_ALGO", "dedup")
     extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+    if extract_algo == "mxu":
+        # VMEM budget guard (weights + accumulators grow O(n_len/12*L));
+        # doubling covers every gapped-eligible width, so fall back
+        from .fused_extract import _MXU_SUB
+        rows = sum((-(-nl // _MXU_SUB) + (1 if mask_ambiguous else 0))
+                   * (-(-(L - nl + 1) // 16) * 16)
+                   for nl in ({l_len, r_len}))
+        if rows * (L * 2 + block_lanes * 4) > 24 * 1024 * 1024:
+            extract_algo = "doubling"
     cspec = pl.BlockSpec((L, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, block_lanes), lambda q: (0, q),

@@ -56,12 +56,18 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
     # the MXU extractor lifts the fused kernel's W <= 2 cap (its 24-bit
     # chunks stitch into arbitrarily many repacked words): any k <= 63
-    # with a residual word is fused-eligible under it
-    mxu_extract = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
-                   == "mxu")
-    t_eligible = (group_keys > 0
-                  and ((words_per_key(k) <= 2 and 2 * k != 32)
-                       or (mxu_extract and k <= 63)))
+    # is fused-eligible under it — as long as its VMEM-resident weight
+    # matrix + accumulator fit (they grow O(k/12 * L); long reads at
+    # large k fall back to doubling for W <= 2, the XLA path otherwise)
+    from ..ops.pallas.fused_extract import mxu_fits
+    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+               == "mxu")
+    mxu_ok = mxu_req and mxu_fits(k, codes.shape[-1], canonical,
+                                  mask_ambiguous)
+    base_eligible = words_per_key(k) <= 2 and 2 * k != 32
+    t_eligible = group_keys > 0 and (base_eligible or mxu_ok)
+    fused_extract = ("mxu" if mxu_ok
+                     else "doubling" if mxu_req else None)
     # Fully fused single-kernel step (extraction + canonical + repack +
     # segment collapse, ops/pallas/fused_extract): keys never
     # round-trip HBM between extraction and counting (~68 MB less
@@ -83,11 +89,11 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
-            algo=algo, interpret=jax.default_backend() != "tpu")
+            algo=algo, extract=fused_extract,
+            interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
         return std, counts > 0, counts
-    use_T = (t_eligible and step_backend == "t"
-             and words_per_key(k) <= 2 and 2 * k != 32)
+    use_T = (t_eligible and step_backend == "t" and base_eligible)
     if use_T:
         from ..ops.extract import kmer_lanes_repacked_T
         rw, _ = kmer_lanes_repacked_T(codes.T, lengths, k, limits=limits,
@@ -145,10 +151,15 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
     import os
     from ..ops.encode import words_per_key
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
-    mxu_extract = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
-                   == "mxu")
-    use_fused = (((words_per_key(k) <= 2 and 2 * k != 32)
-                  or (mxu_extract and k <= 63))
+    from ..ops.pallas.fused_extract import mxu_fits
+    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+               == "mxu")
+    mxu_ok = mxu_req and mxu_fits(k, codes.shape[-1], canonical,
+                                  mask_ambiguous)
+    base_eligible = words_per_key(k) <= 2 and 2 * k != 32
+    fused_extract = ("mxu" if mxu_ok
+                     else "doubling" if mxu_req else None)
+    use_fused = ((base_eligible or mxu_ok)
                  and (step_backend == "fused" or
                       (step_backend == "auto"
                        and jax.default_backend() == "tpu")))
@@ -162,7 +173,8 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
-            algo=algo, interpret=jax.default_backend() != "tpu")
+            algo=algo, extract=fused_extract,
+            interpret=jax.default_backend() != "tpu")
         return count_ops.compact_from_runs(rflat, counts,
                                            part_keys=part_keys)
     if canonical:
