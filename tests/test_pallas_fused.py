@@ -200,6 +200,37 @@ def test_mxu_multiword_keys_match_oracle(k, canon):
     assert got.num_distinct > 0
 
 
+def test_mxu_fits_guard_and_fallback(monkeypatch):
+    """mxu_fits bounds the VMEM-resident weights/accumulator; a
+    requested-but-unfit mxu extraction falls back (doubling for W<=2,
+    XLA for wide keys) and still matches the oracle."""
+    from kmer_tpu.ops.canonical import canonical_kmer_lanes
+    from kmer_tpu.ops.pallas.fused_extract import mxu_fits
+    from kmer_tpu.pipeline.count import count_step_sort
+    assert mxu_fits(21, 150, True, False)
+    assert mxu_fits(63, 96, True, True)
+    assert not mxu_fits(63, 4096, True, True)
+    assert not mxu_fits(21, 65536, True, False)
+    monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "mxu")
+    monkeypatch.setenv("KMER_TPU_STEP", "fused")
+    rng = np.random.default_rng(4)
+    B, L, k = 2, 4096, 63                  # unfit -> XLA path (W=4)
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    lengths = jnp.full((B,), L, jnp.int32)
+    limits = jnp.full((B,), L, jnp.int32)
+    s, is_start, counts = count_step_sort(codes, lengths, limits, k=k,
+                                          canonical=True, group_keys=256)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in s], 1)
+    c = np.asarray(counts).reshape(-1)
+    sel = np.asarray(is_start).reshape(-1) & (c > 0)
+    got = KmerTable.from_pairs(k, ks[sel], c[sel].astype(np.int64))
+    words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits)
+    kk = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    want = KmerTable.from_pairs(k, kk[v], np.ones(int(v.sum()), np.int64))
+    assert got == want
+
+
 @pytest.mark.parametrize("llen,rlen,cmin,cmax,L,amb", [
     (27, 27, 80, 140, 150, False),
     (27, 27, 80, 100, 120, True),
