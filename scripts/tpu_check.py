@@ -99,6 +99,28 @@ def main():
                                               compact=True))
         check("k=33 compact == uncompacted", t33c == t33)
 
+        # 9-12. MXU extraction on real Mosaic (bit-parity is pinned on
+        # CPU; this validates the actual systolic lowering): contiguous
+        # k=21 canonical, multi-word k=33 through the fused kernel,
+        # s==0 width k=16, and the gapped tables
+        os.environ["KMER_TPU_FUSED_EXTRACT"] = "mxu"
+        try:
+            t_m = count_fasta(corpus, cfg)
+            check("mxu k=21 canonical == oracle", t_m.to_dict() == want)
+            t33m = count_fasta(corpus, KmerConfig(k=33, batch_reads=8192,
+                                                  max_read_len=150))
+            check("mxu fused k=33 == XLA-path k=33", t33m == t33)
+            t16 = count_fasta(corpus, KmerConfig(k=16, batch_reads=8192,
+                                                 max_read_len=150))
+            want16 = dict(oracle.oracle_count(seqs, 16))
+            check("mxu k=16 (s==0) == oracle", t16.to_dict() == want16)
+            tgm = count_fasta(small, KmerConfig(gapped=True, mode="sort",
+                                                batch_reads=64,
+                                                max_read_len=256))
+            check("mxu gapped == oracle", tgm.to_dict() == dict(wantg))
+        finally:
+            del os.environ["KMER_TPU_FUSED_EXTRACT"]
+
     sys.exit(0 if OK else 1)
 
 
