@@ -40,6 +40,9 @@ def main(argv: list[str] | None = None) -> int:
                          "them (default: error, the reference's contract)")
     pc.add_argument("--min-count", type=int, default=1,
                     help="suppress k-mers with count below this")
+    pc.add_argument("--max-count", type=int, default=None,
+                    help="suppress k-mers with count above this "
+                         "(repeat cutoff, KMC's -cx)")
     pc.add_argument("--compact", action="store_true",
                     help="on-device compaction: device->host transfer "
                          "scales with distinct k-mers (sort mode)")
@@ -155,8 +158,9 @@ def _dispatch(args) -> int:
                        process_id=args.process_id)
             with trace(args.profile_dir):
                 table = count_fasta_multihost(args.fasta[0], cfg)
-            if args.min_count > 1:
-                table = table.filter_min_count(args.min_count)
+            if args.min_count > 1 or args.max_count is not None:
+                table = table.filter_count_range(args.min_count,
+                                                 args.max_count)
             if jax.process_index() == 0:
                 if args.out_npz:
                     table.save(args.out_npz)
@@ -172,10 +176,12 @@ def _dispatch(args) -> int:
                                   args.spill_dir)
             with trace(args.profile_dir):
                 sc.run()
-            if args.min_count > 1 or args.out_npz:
+            if args.min_count > 1 or args.max_count is not None \
+                    or args.out_npz:
                 table = sc.final_table()
-                if args.min_count > 1:
-                    table = table.filter_min_count(args.min_count)
+                if args.min_count > 1 or args.max_count is not None:
+                    table = table.filter_count_range(args.min_count,
+                                                     args.max_count)
                 if args.out_npz:
                     table.save(args.out_npz)
                 table.write_tsv(sys.stdout)
@@ -185,8 +191,9 @@ def _dispatch(args) -> int:
         from .pipeline.count import count_files
         with trace(args.profile_dir):
             table = count_files(args.fasta, cfg)
-        if args.min_count > 1:
-            table = table.filter_min_count(args.min_count)
+        if args.min_count > 1 or args.max_count is not None:
+            table = table.filter_count_range(args.min_count,
+                                             args.max_count)
         if args.out_npz:
             table.save(args.out_npz)
         table.write_tsv(sys.stdout)

@@ -195,6 +195,16 @@ class KmerTable:
         keep = self.counts >= min_count
         return KmerTable(self.k, self.keys[keep], self.counts[keep])
 
+    def filter_count_range(self, min_count: int = 1,
+                           max_count: int | None = None) -> "KmerTable":
+        """Keep k-mers with min_count <= count (<= max_count): the
+        standard counter cutoffs (KMC's -ci/-cx) — min drops sequencing
+        errors, max drops repeat-saturated k-mers."""
+        keep = self.counts >= min_count
+        if max_count is not None:
+            keep &= self.counts <= max_count
+        return KmerTable(self.k, self.keys[keep], self.counts[keep])
+
     def get(self, kmer: str, canonical: bool = False) -> int:
         """Count of one k-mer (0 if absent) — binary search.
 

@@ -76,6 +76,28 @@ def test_two_pass_min_count_and_npz(tmp_path, capsys):
     assert all(c >= 3 for c in t.counts)
 
 
+def test_max_count_filter(tmp_path, capsys):
+    """--max-count (KMC -cx analog) drops repeat-saturated k-mers; the
+    retained set equals the unfiltered table restricted to the range."""
+    from kmer_tpu import cli
+    from kmer_tpu.io.generator import reference_style_fasta
+    p = tmp_path / "a.fasta"
+    p.write_text(reference_style_fasta(n_records=4, seed=3))
+    rc = cli.main(["count", str(p), "-k", "9", "--batch-reads", "8",
+                   "--max-read-len", "512"])
+    assert rc == 0
+    full = {l.split("\t")[0]: int(l.split("\t")[1])
+            for l in capsys.readouterr().out.splitlines()}
+    rc = cli.main(["count", str(p), "-k", "9", "--batch-reads", "8",
+                   "--max-read-len", "512", "--min-count", "2",
+                   "--max-count", "5"])
+    assert rc == 0
+    got = {l.split("\t")[0]: int(l.split("\t")[1])
+           for l in capsys.readouterr().out.splitlines()}
+    want = {km: c for km, c in full.items() if 2 <= c <= 5}
+    assert got == want and got  # non-degenerate
+
+
 def test_get_canonical(tmp_path):
     from kmer_tpu import count_fasta, KmerConfig
     from kmer_tpu.io.generator import random_reads_fasta
