@@ -37,6 +37,8 @@
 #include <unistd.h>
 
 #include <thread>
+#include <mutex>
+#include <string>
 #include <vector>
 
 #include <zlib.h>
@@ -255,7 +257,8 @@ enum class FqState { kHeader, kSeq, kPlus, kQual };
 // FASTQ walker (4-line records: @hdr / seq / + / qual).  Sequence may
 // wrap across lines; quality is consumed by LENGTH (qual bytes == seq
 // bases), never by sentinel — '@' is a legal quality character.
-int fastq_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
+template <class H>
+int fastq_walk(H* h, int allow_ambiguous, int64_t max_bases,
                Buffers b, int64_t* n_records, int64_t* total_bases,
                int* eof, char* err, int64_t errcap) {
   FqState st = FqState::kHeader;
@@ -363,7 +366,7 @@ int fastq_walk(IngestHandle* h, int allow_ambiguous, int64_t max_bases,
     rc = -2;
   }
   if (rc == 0) {
-    if (b.offsets) b.offsets[nrec] = nbase;
+    if (b.offsets && b.write_sentinel) b.offsets[nrec] = nbase;
     *n_records = nrec;
     *total_bases = nbase;
     if (eof) *eof = stopped ? 0 : 1;
@@ -484,6 +487,120 @@ int mt_scan_slices(const uint8_t* d, const std::vector<int64_t>& starts,
     }
   }
   return 0;
+}
+
+// ---- multithreaded whole-file FASTQ parse ----------------------------------
+//
+// FASTQ records may wrap sequence/quality across lines, so byte-level
+// splitting is not safe in general.  STRICT 4-line files (the
+// universal real-world layout) are detected by one cheap serial
+// memchr-driven framing scan: every record must be exactly
+// @hdr / seq / + / qual with a non-blank single-line seq (no
+// whitespace, no leading '+') and qual of exactly seq's length (no
+// interior '\r').  The scan yields record-aligned slice starts and
+// per-slice (records, bases) tallies, so the expensive translate pass
+// parallelizes over disjoint output ranges with the UNCHANGED
+// fastq_walk — semantics identical to serial by construction.  Any
+// deviation from strict framing falls back to the serial walker.
+
+struct FqSplit {
+  bool strict = false;
+  std::vector<int64_t> starts;          // slice byte offsets + final n
+  std::vector<int64_t> recs, bases;     // per-slice tallies
+};
+
+FqSplit split_fastq_slices(const uint8_t* d, int64_t n, int want);
+
+// The two-pass API calls scan then parse back-to-back on the same
+// file; the framing scan is the serial bottleneck, so cache the last
+// split keyed by (path, size, mtime, want) and reuse it in parse.
+struct FqSplitCache {
+  std::mutex mu;
+  std::string path;
+  int64_t size = -1, mtime_ns = -1;
+  int want = 0;
+  FqSplit split;
+};
+FqSplitCache g_fq_cache;
+
+bool fq_cache_key(const char* path, int64_t* size, int64_t* mtime_ns) {
+  struct stat st;
+  if (stat(path, &st) != 0 || !S_ISREG(st.st_mode)) return false;
+  *size = (int64_t)st.st_size;
+  *mtime_ns = (int64_t)st.st_mtim.tv_sec * 1000000000 + st.st_mtim.tv_nsec;
+  return true;
+}
+
+FqSplit fq_split_cached(const char* path, const uint8_t* d, int64_t n,
+                        int want) {
+  int64_t size, mtime;
+  if (!fq_cache_key(path, &size, &mtime))
+    return split_fastq_slices(d, n, want);
+  {
+    std::lock_guard<std::mutex> lk(g_fq_cache.mu);
+    if (g_fq_cache.path == path && g_fq_cache.size == size
+        && g_fq_cache.mtime_ns == mtime && g_fq_cache.want == want)
+      return g_fq_cache.split;
+  }
+  FqSplit sp = split_fastq_slices(d, n, want);
+  std::lock_guard<std::mutex> lk(g_fq_cache.mu);
+  g_fq_cache.path = path;
+  g_fq_cache.size = size;
+  g_fq_cache.mtime_ns = mtime;
+  g_fq_cache.want = want;
+  g_fq_cache.split = sp;
+  return sp;
+}
+
+FqSplit split_fastq_slices(const uint8_t* d, int64_t n, int want) {
+  FqSplit out;
+  out.starts.assign(1, 0);
+  out.recs.assign(1, 0);
+  out.bases.assign(1, 0);
+  int64_t p = 0, seq_len = 0;
+  int phase = 0;                        // global line index mod 4
+  int slice = 0;
+  while (p < n) {
+    const uint8_t* nl = (const uint8_t*)memchr(d + p, '\n', n - p);
+    int64_t end = nl ? (const uint8_t*)nl - d : n;     // exclusive, no '\n'
+    int64_t len = end - p;
+    if (len > 0 && d[end - 1] == '\r') --len;          // strip CRLF
+    switch (phase) {
+      case 0:
+        if (len < 1 || d[p] != '@') return out;
+        // slice boundary: first record start at/after the byte target
+        if (slice + 1 < want && p >= n * (slice + 1) / want
+            && p > out.starts.back()) {
+          out.starts.push_back(p);
+          out.recs.push_back(0);
+          out.bases.push_back(0);
+          ++slice;
+        }
+        break;
+      case 1:
+        if (len < 1 || d[p] == '+') return out;
+        if (memchr(d + p, ' ', (size_t)len)
+            || memchr(d + p, '\t', (size_t)len)
+            || memchr(d + p, '\r', (size_t)len)) return out;
+        seq_len = len;
+        break;
+      case 2:
+        if (len < 1 || d[p] != '+') return out;
+        break;
+      case 3:
+        if (len != seq_len
+            || memchr(d + p, '\r', (size_t)len)) return out;
+        out.recs.back() += 1;
+        out.bases.back() += seq_len;
+        break;
+    }
+    phase = (phase + 1) & 3;
+    p = nl ? end + 1 : n;
+  }
+  if (phase != 0) return out;           // truncated final record
+  out.starts.push_back(n);
+  out.strict = true;
+  return out;
 }
 
 }  // namespace
@@ -636,6 +753,21 @@ int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
   return 0;
 }
 
+// Multithreaded whole-file FASTQ scan/parse: strict 4-line files split
+// at record boundaries (serial framing scan) and translate in parallel;
+// everything else — gzip, tiny files, wrapped/non-strict layouts —
+// falls back to the serial walkers, so callers may use these
+// unconditionally.
+
+int fastq_scan_mt(const char* path, int allow_ambiguous,
+                  int nthreads, int64_t* n_records, int64_t* total_bases,
+                  char* err, int64_t errcap);
+int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
+                   uint8_t* codes, int64_t codes_cap,
+                   int64_t* offsets, int64_t offsets_cap,
+                   int64_t* n_records, int64_t* total_bases,
+                   char* err, int64_t errcap);
+
 int fastq_scan(const char* path, int allow_ambiguous,
                int64_t* n_records, int64_t* total_bases,
                char* err, int64_t errcap) {
@@ -659,6 +791,92 @@ int fastq_parse(const char* path, int allow_ambiguous,
                       n_records, total_bases, nullptr, err, errcap);
   ingest_close(h);
   return rc;
+}
+
+int fastq_scan_mt(const char* path, int allow_ambiguous, int nthreads,
+                  int64_t* n_records, int64_t* total_bases,
+                  char* err, int64_t errcap) {
+  MappedFile mf(path);
+  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
+  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+    return fastq_scan(path, allow_ambiguous, n_records, total_bases,
+                      err, errcap);
+  if (nthreads > 16) nthreads = 16;
+  FqSplit sp = fq_split_cached(path, mf.data, mf.n, nthreads);
+  if (!sp.strict)
+    return fastq_scan(path, allow_ambiguous, n_records, total_bases,
+                      err, errcap);
+  // strict framing gives exact counts without any walk.  Base VALIDITY
+  // is deliberately not checked here: the parse pass reports the same
+  // first-in-file-order error, so two-pass callers see identical
+  // behavior one call later.
+  int64_t nrec = 0, nbase = 0;
+  for (size_t t = 0; t < sp.recs.size(); ++t) {
+    nrec += sp.recs[t];
+    nbase += sp.bases[t];
+  }
+  *n_records = nrec;
+  *total_bases = nbase;
+  return 0;
+}
+
+int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
+                   uint8_t* codes, int64_t codes_cap,
+                   int64_t* offsets, int64_t offsets_cap,
+                   int64_t* n_records, int64_t* total_bases,
+                   char* err, int64_t errcap) {
+  MappedFile mf(path);
+  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
+  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+    return fastq_parse(path, allow_ambiguous, codes, codes_cap,
+                       offsets, offsets_cap, n_records, total_bases,
+                       err, errcap);
+  if (nthreads > 16) nthreads = 16;
+  FqSplit sp = fq_split_cached(path, mf.data, mf.n, nthreads);
+  if (!sp.strict)
+    return fastq_parse(path, allow_ambiguous, codes, codes_cap,
+                       offsets, offsets_cap, n_records, total_bases,
+                       err, errcap);
+  int T = (int)sp.starts.size() - 1;
+  // exclusive prefix sums from the framing scan's exact tallies
+  std::vector<int64_t> rec_off(T + 1, 0), base_off(T + 1, 0);
+  for (int t = 0; t < T; ++t) {
+    rec_off[t + 1] = rec_off[t] + sp.recs[t];
+    base_off[t + 1] = base_off[t] + sp.bases[t];
+  }
+  if (base_off[T] > codes_cap || rec_off[T] >= offsets_cap) {
+    set_err(err, errcap, "caller buffers too small", 0);
+    return -4;
+  }
+  std::vector<SliceResult> res(T);
+  std::vector<std::thread> ths;
+  ths.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    ths.emplace_back([&, t] {
+      MemHandle mh{mf.data + sp.starts[t], sp.starts[t + 1] - sp.starts[t],
+                   sp.starts[t]};
+      Buffers b{codes + base_off[t], sp.bases[t],
+                offsets + rec_off[t], sp.recs[t] + 1,
+                /*write_sentinel=*/false};
+      int64_t nr = 0, nb = 0;
+      res[t].rc = fastq_walk(&mh, allow_ambiguous, 0, b, &nr, &nb,
+                             nullptr, res[t].err, sizeof(res[t].err));
+      if (res[t].rc == 0 && base_off[t] != 0)
+        for (int64_t j = 0; j < nr; ++j)
+          offsets[rec_off[t] + j] += base_off[t];
+    });
+  }
+  for (auto& th : ths) th.join();
+  for (int t = 0; t < T; ++t) {
+    if (res[t].rc != 0) {
+      if (err && errcap > 0) snprintf(err, (size_t)errcap, "%s", res[t].err);
+      return res[t].rc;
+    }
+  }
+  offsets[rec_off[T]] = base_off[T];
+  *n_records = rec_off[T];
+  *total_bases = base_off[T];
+  return 0;
 }
 
 // ---- 2-bit packing + batch fill ------------------------------------------

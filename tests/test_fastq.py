@@ -1,6 +1,7 @@
 """FASTQ ingest: native parser vs python fallback vs oracle; counting
 end-to-end with auto-detection."""
 
+import os
 import numpy as np
 import pytest
 
@@ -87,3 +88,81 @@ def test_fastq_crlf(tmp_path):
     p.write_bytes(b"@r1\r\nACGT\r\n+\r\nIIII\r\n@r2\r\nGGGG\r\n+\r\n!!!!\r\n")
     c, o = fasta.parse_fastq_native(str(p))
     assert list(o) == [0, 4, 8]
+
+
+# ---- multithreaded whole-file FASTQ parse ----------------------------------
+
+def _big_fastq(tmp_path, name, *, wrapped=False, with_n=False, seed=7):
+    """>= 4 MB FASTQ; strict 4-line unless wrapped=True."""
+    rng = np.random.default_rng(seed)
+    buf = []
+    seqs = []
+    n = 12000
+    for i in range(n):
+        L = int(rng.integers(120, 420))
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+        if with_n and i % 7 == 0:
+            s = s[:10] + "N" + s[11:]
+        seqs.append(s)
+        qual = "I" * L
+        if wrapped and i % 3 == 0:
+            half = L // 2
+            buf.append(f"@r{i}\n{s[:half]}\n{s[half:]}\n+\n{qual}\n")
+        else:
+            buf.append(f"@r{i}\n{s}\n+\n{qual}\n")
+    p = tmp_path / name
+    p.write_text("".join(buf))
+    assert p.stat().st_size >= (4 << 20), "must exercise the MT path"
+    return str(p), seqs
+
+
+def test_fastq_mt_matches_serial(tmp_path, monkeypatch):
+    p, seqs = _big_fastq(tmp_path, "mt.fastq")
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    mc, mo = fasta.parse_fastq_native(p)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+    sc, so = fasta.parse_fastq_native(p)
+    assert np.array_equal(mc, sc) and np.array_equal(mo, so)
+    assert np.diff(mo).tolist() == [len(s) for s in seqs]
+
+
+def test_fastq_mt_wrapped_falls_back(tmp_path, monkeypatch):
+    """Wrapped sequence lines are NOT strict 4-line framing: the MT
+    path must fall back to the serial walker, bit-identically."""
+    p, seqs = _big_fastq(tmp_path, "wrap.fastq", wrapped=True)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    mc, mo = fasta.parse_fastq_native(p)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+    sc, so = fasta.parse_fastq_native(p)
+    assert np.array_equal(mc, sc) and np.array_equal(mo, so)
+    assert np.diff(mo).tolist() == [len(s) for s in seqs]
+
+
+def test_fastq_mt_ambiguous_and_errors(tmp_path, monkeypatch):
+    p, seqs = _big_fastq(tmp_path, "mtn.fastq", with_n=True)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    mc, mo = fasta.parse_fastq_native(p, allow_ambiguous=True)
+    assert np.diff(mo).tolist() == [len(s) for s in seqs]
+    assert (mc == 4).any()
+    # strict mode: first bad byte in file order, same message as serial
+    with pytest.raises(InvalidBaseError) as e_mt:
+        fasta.parse_fastq_native(p)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+    with pytest.raises(InvalidBaseError) as e_ser:
+        fasta.parse_fastq_native(p)
+    assert str(e_mt.value) == str(e_ser.value)
+
+
+def test_fastq_mt_chunked_ingest_whole_file_path(tmp_path, monkeypatch):
+    """iter_parse_chunks routes single-window plain files through the MT
+    parser; the yielded table must equal the chunked walker's."""
+    p, seqs = _big_fastq(tmp_path, "ic.fastq", seed=11)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    chunks = list(fasta.iter_parse_chunks(p))
+    assert len(chunks) == 1
+    codes, offsets, cursor = chunks[0]
+    assert cursor == os.path.getsize(p)
+    small = list(fasta.iter_parse_chunks(p, max_bases=1 << 20))
+    assert len(small) > 1
+    cat = np.concatenate([c for c, _, _ in small])
+    assert np.array_equal(codes[: offsets[-1]], cat)
