@@ -511,6 +511,146 @@ struct FqSplit {
 
 FqSplit split_fastq_slices(const uint8_t* d, int64_t n, int want);
 
+// ---- parallel framing scan -------------------------------------------------
+//
+// The serial framing scan caps the cold MT parse (~2.2 GB/s); this
+// version slices the file at LINE starts and scans every slice under
+// all four possible (global line index mod 4) hypotheses at once —
+// per line it computes kind-validity (header/seq/plus/qual) and folds
+// it into ok[p] for each phase p; a cheap serial stitch then resolves
+// the real phases from the line-count prefix sums, moves each
+// boundary-straddling record's tallies to the slice owning its '@'
+// line, and checks the one deferred qual-length pair per boundary.
+// Any ambiguity falls back to the serial framing scan (which itself
+// falls back to the serial walker on non-strict files).
+
+struct FqSliceScan {
+  int64_t nlines = 0;
+  bool ok[4] = {true, true, true, true};
+  int64_t pend[4] = {-1, -1, -1, -1};    // last seq-line length per phase
+  int64_t tail_s[4] = {-1, -1, -1, -1};  // pend at slice end
+  int64_t head_q[4] = {-1, -1, -1, -1};  // qual len seen before any seq
+  int64_t recs[4] = {0, 0, 0, 0};
+  int64_t bases[4] = {0, 0, 0, 0};
+  int64_t head_off[4] = {-1, -1, -1, -1};  // first 4 line-start offsets
+  int64_t head_len[4] = {-1, -1, -1, -1};  // their stripped lengths
+};
+
+void fq_scan_slice(const uint8_t* d, int64_t a, int64_t b, FqSliceScan* r) {
+  int64_t p = a;
+  int64_t L = 0;
+  while (p < b) {
+    const uint8_t* nl = (const uint8_t*)memchr(d + p, '\n', b - p);
+    int64_t end = nl ? (const uint8_t*)nl - d : b;
+    int64_t len = end - p;
+    if (len > 0 && d[end - 1] == '\r') --len;
+    if (L < 4) { r->head_off[L] = p; r->head_len[L] = len; }
+    uint8_t c0 = len > 0 ? d[p] : 0;
+    bool pass0 = len >= 1 && c0 == '@';
+    bool pass2 = len >= 1 && c0 == '+';
+    bool clean_cr = !memchr(d + p, '\r', (size_t)len);
+    bool pass1 = len >= 1 && c0 != '+' && clean_cr
+                 && !memchr(d + p, ' ', (size_t)len)
+                 && !memchr(d + p, '\t', (size_t)len);
+    for (int ph = 0; ph < 4; ++ph) {
+      switch ((ph + (int)(L & 3)) & 3) {
+        case 0: r->ok[ph] = r->ok[ph] && pass0; break;
+        case 1:
+          r->ok[ph] = r->ok[ph] && pass1;
+          r->pend[ph] = len;
+          r->bases[ph] += len;
+          break;
+        case 2: r->ok[ph] = r->ok[ph] && pass2; break;
+        case 3:
+          if (!clean_cr) r->ok[ph] = false;
+          if (r->pend[ph] >= 0) {
+            r->ok[ph] = r->ok[ph] && len == r->pend[ph];
+          } else if (r->head_q[ph] < 0) {
+            r->head_q[ph] = len;       // checked at the stitch
+          } else {
+            r->ok[ph] = false;         // two quals before any seq
+          }
+          r->recs[ph] += 1;
+          break;
+      }
+    }
+    ++L;
+    p = nl ? end + 1 : b;
+  }
+  r->nlines = L;
+  for (int ph = 0; ph < 4; ++ph) r->tail_s[ph] = r->pend[ph];
+}
+
+FqSplit split_fastq_slices_mt(const uint8_t* d, int64_t n, int want,
+                              int nthreads) {
+  FqSplit out;
+  // raw slices at line starts
+  std::vector<int64_t> raw{0};
+  for (int t = 1; t < nthreads; ++t) {
+    int64_t target = n * t / nthreads;
+    if (target <= raw.back()) continue;
+    const uint8_t* nl = (const uint8_t*)memchr(d + target, '\n',
+                                               n - target);
+    if (!nl) break;
+    int64_t s = (const uint8_t*)nl - d + 1;
+    if (s < n && s > raw.back()) raw.push_back(s);
+  }
+  raw.push_back(n);
+  int T = (int)raw.size() - 1;
+  std::vector<FqSliceScan> sc(T);
+  std::vector<std::thread> ths;
+  ths.reserve(T);
+  for (int t = 0; t < T; ++t)
+    ths.emplace_back([&, t] { fq_scan_slice(d, raw[t], raw[t + 1], &sc[t]); });
+  for (auto& th : ths) th.join();
+
+  // stitch: real phase per slice from line-count prefix sums
+  std::vector<int> phase(T);
+  int64_t lines = 0;
+  for (int t = 0; t < T; ++t) { phase[t] = (int)(lines & 3); lines += sc[t].nlines; }
+  if ((lines & 3) != 0) return out;                 // truncated final record
+  std::vector<int64_t> recs(T), bases(T), pstart(T);
+  for (int t = 0; t < T; ++t) {
+    int ph = phase[t];
+    if (!sc[t].ok[ph]) return out;
+    recs[t] = sc[t].recs[ph];
+    bases[t] = sc[t].bases[ph];
+    int head = (4 - ph) & 3;                        // prev record's tail lines
+    if (head) {
+      if (t == 0 || sc[t].nlines < head + 1) return out;
+      // boundary record belongs to the slice holding its '@' line
+      recs[t] -= 1;
+      recs[t - 1] += 1;
+      if (ph == 1) {                                // its seq line lives here
+        bases[t] -= sc[t].head_len[0];
+        bases[t - 1] += sc[t].head_len[0];
+      }
+      if (sc[t].head_q[ph] >= 0) {                  // deferred qual==seq check
+        int64_t want_len = (ph == 1) ? sc[t].head_len[0]
+                                     : sc[t - 1].tail_s[phase[t - 1]];
+        if (want_len < 0 || sc[t].head_q[ph] != want_len) return out;
+      }
+      pstart[t] = sc[t].head_off[head];
+    } else {
+      pstart[t] = raw[t];
+    }
+  }
+  // fold: merge each slice's tallies into final parse slices (drop
+  // slices that would start past the next — cannot happen with
+  // head < nlines, asserted above)
+  out.starts.assign(1, 0);
+  out.recs.assign(1, recs[0]);
+  out.bases.assign(1, bases[0]);
+  for (int t = 1; t < T; ++t) {
+    out.starts.push_back(pstart[t]);
+    out.recs.push_back(recs[t]);
+    out.bases.push_back(bases[t]);
+  }
+  out.starts.push_back(n);
+  out.strict = true;
+  return out;
+}
+
 // The two-pass API calls scan then parse back-to-back on the same
 // file; the framing scan is the serial bottleneck, so cache the last
 // split keyed by (path, size, mtime, want) and reuse it in parse.
@@ -534,15 +674,18 @@ bool fq_cache_key(const char* path, int64_t* size, int64_t* mtime_ns) {
 FqSplit fq_split_cached(const char* path, const uint8_t* d, int64_t n,
                         int want) {
   int64_t size, mtime;
-  if (!fq_cache_key(path, &size, &mtime))
-    return split_fastq_slices(d, n, want);
+  if (!fq_cache_key(path, &size, &mtime)) {
+    FqSplit sp = split_fastq_slices_mt(d, n, want, want);
+    return sp.strict ? sp : split_fastq_slices(d, n, want);
+  }
   {
     std::lock_guard<std::mutex> lk(g_fq_cache.mu);
     if (g_fq_cache.path == path && g_fq_cache.size == size
         && g_fq_cache.mtime_ns == mtime && g_fq_cache.want == want)
       return g_fq_cache.split;
   }
-  FqSplit sp = split_fastq_slices(d, n, want);
+  FqSplit sp = split_fastq_slices_mt(d, n, want, want);
+  if (!sp.strict) sp = split_fastq_slices(d, n, want);
   std::lock_guard<std::mutex> lk(g_fq_cache.mu);
   g_fq_cache.path = path;
   g_fq_cache.size = size;
