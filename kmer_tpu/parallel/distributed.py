@@ -160,6 +160,107 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
     return s2, is_start, counts, overflow
 
 
+def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
+                                 canonical: bool, capacity: int,
+                                 axis_names=(DATA_AXIS, SEQ_AXIS),
+                                 seq_axis: str | None = SEQ_AXIS,
+                                 mask_ambiguous: bool = False):
+    """shard_map body, FUSED-LOCAL variant: local shapes in, routed
+    (std_words..., counts, overflow) PAIRS out.
+
+    The sorted-stream step (count_step_distributed) pays two full flat
+    sorts per batch because its routing and its run-length counting
+    both need sorted order.  Counting TABLES need neither — only
+    deterministic aggregation — so this step runs the production fused
+    single-kernel count locally (extraction + canonical + in-segment
+    collapse, ~10-20x cheaper than a flat sort), routes (key, count)
+    pairs with ONE single-word dest sort, and lets the host's
+    order-independent integer aggregation (KmerTable.from_pairs) merge
+    per owner.  Tables stay bit-identical across mesh shapes because
+    integer aggregation is order-independent; the globally-sorted
+    stream contract (parity mode) stays on the sorted-stream step.
+
+    Output lanes with SENTINEL key words are dead (padding); counts
+    ride as a uint32 word.
+    """
+    import jax as _jax
+
+    from ..ops.pallas.fused_extract import fused_extract_count_T
+    n_dev = 1
+    for a in axis_names:
+        n_dev *= lax.axis_size(a)
+    B, L_loc = codes.shape
+    if seq_axis is not None and lax.axis_size(seq_axis) > 1:
+        # halo so every window is extracted exactly once; ownership and
+        # in-read validity become per-shard effective lengths/limits
+        # (the fused kernel's validity test is pos <= len-k & pos < lim)
+        ext = halo_extend(codes, seq_axis, k - 1)
+        base = lax.axis_index(seq_axis) * L_loc
+        len_eff = jnp.clip(lengths.astype(jnp.int32) - base, 0,
+                           ext.shape[1])
+        lim_eff = jnp.clip(limits.astype(jnp.int32) - base, 0, L_loc)
+        codes_l, lengths_l, limits_l = ext, len_eff, lim_eff
+    else:
+        codes_l, lengths_l, limits_l = codes, lengths, limits
+    rflat, counts = fused_extract_count_T(
+        codes_l.T, lengths_l, limits_l, k, canonical=canonical,
+        mask_ambiguous=mask_ambiguous, seg=4, block_lanes=256,
+        algo="dedup", interpret=_jax.default_backend() != "tpu")
+    std = count_ops.unpack_words(rflat, k)
+    cnt = counts.astype(jnp.uint32)
+    dest = _route_dest(std[0], std[1] if len(std) > 1 else None, k, n_dev)
+    dead = (std[0] == SENTINEL) | (cnt == 0)
+    dest = jnp.where(dead, n_dev, dest)
+    # single-word partition sort; keys+counts ride as payload
+    s = lax.sort((dest, *std, cnt), num_keys=1)
+    recv, overflow = _partition_and_route(list(s[1:]), s[0], axis_names,
+                                          n_dev, capacity)
+    overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
+    return recv[:-1], recv[-1], overflow
+
+
+def make_distributed_count_pairs(mesh, *, k: int, canonical: bool = False,
+                                 capacity: int | None = None,
+                                 use_seq: bool | None = None,
+                                 mask_ambiguous: bool = False):
+    """jit-compiled fused-local distributed count over `mesh`.
+
+    Returns fn(codes, lengths, limits) -> (std_words, counts, overflow);
+    aggregate host-side with KmerTable.from_pairs over lanes whose key
+    is not SENTINEL.  Eligibility mirrors the single-chip fused step
+    (W <= 2 keys, or any k <= 63 under KMER_TPU_FUSED_EXTRACT=mxu)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+    n_dev = n_data * n_seq
+    if use_seq is None:
+        use_seq = n_seq > 1
+    if not use_seq and n_seq > 1:
+        raise ValueError(
+            f"use_seq=False on a mesh with seq={n_seq}; build the mesh "
+            f"with n_seq=1 instead")
+
+    def fn(codes, lengths, limits):
+        B_loc, L_loc = codes.shape
+        cap = capacity
+        if cap is None:
+            n_lanes = B_loc * (L_loc if use_seq else L_loc - k + 1)
+            cap = route_capacity(n_lanes, n_dev)
+        return count_step_distributed_pairs(
+            codes, lengths, limits, k=k, canonical=canonical, capacity=cap,
+            axis_names=(DATA_AXIS, SEQ_AXIS),
+            seq_axis=SEQ_AXIS if use_seq else None,
+            mask_ambiguous=mask_ambiguous)
+
+    shard = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS if use_seq else None),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=([P((DATA_AXIS, SEQ_AXIS))] * words_per_key(k),
+                   P((DATA_AXIS, SEQ_AXIS)), P()),
+        check_vma=False)
+    return jax.jit(shard)
+
+
 def make_distributed_count(mesh, *, k: int, canonical: bool = False,
                            capacity: int | None = None,
                            use_seq: bool | None = None,

@@ -204,12 +204,28 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     mesh = make_mesh(n_dev, 1)
     capacity = [None]        # None = route_capacity default
 
+    # fused-local pair routing is the production path (the local count
+    # runs the single-kernel fused step instead of two flat sorts);
+    # KMER_TPU_MULTIHOST_STEP=legacy restores the sorted-stream merge
+    import os
+    from ..ops.encode import words_per_key
+    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling") == "mxu"
+    use_pairs = (not cfg.gapped
+                 and ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
+                      or (mxu and cfg.k <= 63))
+                 and os.environ.get("KMER_TPU_MULTIHOST_STEP",
+                                    "pairs") != "legacy")
+
     def build_fn():
         if cfg.gapped:
             return distributed.make_distributed_gapped(
                 mesh, l_len=cfg.l_len, r_len=cfg.r_len,
                 c_min=cfg.c_min, c_max=cfg.c_max, capacity=capacity[0],
                 mask_ambiguous=cfg.skip_invalid)
+        if use_pairs:
+            return distributed.make_distributed_count_pairs(
+                mesh, k=cfg.k, canonical=cfg.canonical,
+                capacity=capacity[0], mask_ambiguous=cfg.skip_invalid)
         return distributed.make_distributed_count(
             mesh, k=cfg.k, canonical=cfg.canonical, capacity=capacity[0],
             mask_ambiguous=cfg.skip_invalid)
@@ -252,7 +268,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
         n_windows = (cfg.c_max - cfg.c_min + 1) if cfg.gapped else 1
         cap_max = (cfg.batch_reads // n_dev + 1) * cfg.max_read_len * n_windows
         while True:
-            sw, is_start, counts, overflow = fn(gcodes, glens, glims)
+            out = fn(gcodes, glens, glims)
+            overflow = out[-1]
             if not bool(overflow):
                 break
             if (capacity[0] or 0) >= cap_max:
@@ -261,9 +278,21 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
             prev = capacity[0] or max(cap_max // 8, 128)
             capacity[0] = min(prev * 2, cap_max)
             fn = build_fn()
-        host = multihost_utils.process_allgather(
-            (tuple(sw), is_start, counts), tiled=True)
         n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
-        part = KmerTable.from_device_runs(n_bases, *host)
+        if use_pairs:
+            words, counts, _ = out
+            host_w, host_c = multihost_utils.process_allgather(
+                (tuple(words), counts), tiled=True)
+            from ..ops.extract import SENTINEL
+            ks = np.stack([np.asarray(w).reshape(-1) for w in host_w], 1)
+            c = np.asarray(host_c).reshape(-1)
+            live = ks[:, 0] != SENTINEL
+            part = KmerTable.from_pairs(n_bases, ks[live],
+                                        c[live].astype(np.int64))
+        else:
+            sw, is_start, counts, _ = out
+            host = multihost_utils.process_allgather(
+                (tuple(sw), is_start, counts), tiled=True)
+            part = KmerTable.from_device_runs(n_bases, *host)
         table = part if table is None else table.merge(part)
     return table if table is not None else KmerTable.empty(cfg.k)

@@ -66,6 +66,59 @@ def test_distributed_identical_across_mesh_shapes():
         assert t == tables[0]
 
 
+def _table_from_pairs(k, out):
+    words, counts, overflow = out
+    assert not bool(overflow)
+    from kmer_tpu.ops.extract import SENTINEL
+    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    c = np.asarray(counts).reshape(-1)
+    live = ks[:, 0] != SENTINEL
+    return KmerTable.from_pairs(k, ks[live], c[live].astype(np.int64))
+
+
+@pytest.mark.parametrize("shape,canonical,k", [
+    ((8, 1), False, 21),
+    ((8, 1), True, 21),
+    ((4, 2), True, 21),    # halo'd fused extraction across seq shards
+    ((2, 4), False, 13),
+    ((1, 8), True, 11),    # pure sequence parallelism
+])
+def test_distributed_pairs_matches_oracle(shape, canonical, k):
+    """Fused-local pair routing (count_step_distributed_pairs): same
+    tables as the oracle, incl. sequence-parallel halo'd extraction."""
+    rng = np.random.default_rng(k * 7 + shape[0])
+    B, L = 16, 64
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    fn = distributed.make_distributed_count_pairs(m, k=k,
+                                                  canonical=canonical)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from_pairs(k, out)
+    want = oracle.oracle_count(seqs, k, canonical)
+    assert table.to_dict() == dict(want)
+
+
+def test_distributed_pairs_identical_across_mesh_shapes():
+    """The pairs path keeps the §5.2 determinism contract: integer
+    aggregation is order-independent, so tables are bit-identical for
+    every device count."""
+    rng = np.random.default_rng(1)
+    B, L, k = 8, 96, 21
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    tables = []
+    for n in (1, 2, 4, 8):
+        m = mesh_lib.make_mesh(n, 1)
+        fn = distributed.make_distributed_count_pairs(m, k=k)
+        out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+        tables.append(_table_from_pairs(k, out))
+    for t in tables[1:]:
+        assert t == tables[0]
+    fn1 = distributed.make_distributed_count(mesh_lib.make_mesh(8, 1), k=k)
+    sorted_path = _table_from(k, fn1(jnp.asarray(codes), jnp.asarray(lens),
+                                     jnp.asarray(lims)))
+    assert tables[0] == sorted_path
+
+
 def test_distributed_output_globally_sorted():
     rng = np.random.default_rng(3)
     B, L, k = 16, 64, 15
