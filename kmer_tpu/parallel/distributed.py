@@ -374,6 +374,79 @@ def make_distributed_gapped(mesh, *, l_len: int = 27, r_len: int = 27,
     return jax.jit(shard)
 
 
+def make_distributed_gapped_pairs(mesh, *, l_len: int = 27, r_len: int = 27,
+                                  c_min: int = 80, c_max: int = 140,
+                                  capacity: int | None = None,
+                                  use_seq: bool | None = None,
+                                  mask_ambiguous: bool = False):
+    """Fused-local distributed GAPPED count: the single-kernel gapped
+    step (tables + per-c combine + in-segment dedup) runs locally, then
+    (key, count) pairs route to owners — the gapped twin of
+    make_distributed_count_pairs, replacing two 4-word flat sorts with
+    one single-word dest sort.  Requires the fused gapped kernel's
+    eligibility (l/r <= 31, a residual word, reads >= c_min wide);
+    callers fall back to make_distributed_gapped otherwise.
+    Returns fn -> (std_words, counts, overflow)."""
+    from ..ops.pallas.fused_gapped import fused_gapped_count_T
+
+    n_bases = l_len + r_len
+    assert max(l_len, r_len) <= 31 and (2 * n_bases) % 32 != 0, (
+        l_len, r_len, "use make_distributed_gapped")
+    n_data = mesh.shape[DATA_AXIS]
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+    n_dev = n_data * n_seq
+    if use_seq is None:
+        use_seq = n_seq > 1
+    if not use_seq and n_seq > 1:
+        raise ValueError(
+            f"use_seq=False on a mesh with seq={n_seq}; build the mesh "
+            f"with n_seq=1 instead")
+    axis_names = (DATA_AXIS, SEQ_AXIS)
+
+    def body(codes, lengths, limits):
+        import jax as _jax
+        B, L_loc = codes.shape
+        if use_seq and n_seq > 1:
+            ext = halo_extend(codes, SEQ_AXIS, c_max - 1)
+            off = (lax.axis_index(SEQ_AXIS) * L_loc).astype(jnp.int32)
+            # the kernel's validity is (o + c <= len) & (o < lim) on
+            # LOCAL offsets — shifting len/lim makes it the global
+            # condition with start ownership capped at L_loc
+            len_l = lengths.astype(jnp.int32) - off
+            lim_l = jnp.minimum(limits.astype(jnp.int32) - off, L_loc)
+            codes_l = ext
+        else:
+            codes_l = codes
+            len_l = lengths
+            lim_l = limits
+        rflat, counts = fused_gapped_count_T(
+            codes_l.T, len_l, lim_l, l_len=l_len, r_len=r_len,
+            c_min=c_min, c_max=c_max, mask_ambiguous=mask_ambiguous,
+            interpret=_jax.default_backend() != "tpu")
+        std = count_ops.unpack_words(rflat, n_bases)
+        cnt = counts.astype(jnp.uint32)
+        dest = _route_dest(std[0], std[1] if len(std) > 1 else None,
+                           n_bases, n_dev)
+        dest = jnp.where((std[0] == SENTINEL) | (cnt == 0), n_dev, dest)
+        s = lax.sort((dest, *std, cnt), num_keys=1)
+        cap = capacity
+        if cap is None:
+            cap = route_capacity(cnt.size, n_dev)
+        recv, overflow = _partition_and_route(list(s[1:]), s[0],
+                                              axis_names, n_dev, cap)
+        overflow = lax.psum(overflow.astype(jnp.int32), axis_names) > 0
+        return recv[:-1], recv[-1], overflow
+
+    shard = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(DATA_AXIS, SEQ_AXIS if use_seq else None),
+                  P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=([P((DATA_AXIS, SEQ_AXIS))] * words_per_key(n_bases),
+                   P((DATA_AXIS, SEQ_AXIS)), P()),
+        check_vma=False)
+    return jax.jit(shard)
+
+
 # ---------------------------------------------------------------------------
 # Dense mode: local histograms + psum (replicated) or psum_scatter (sharded).
 # ---------------------------------------------------------------------------

@@ -210,13 +210,23 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     import os
     from ..ops.encode import words_per_key
     mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling") == "mxu"
-    use_pairs = (not cfg.gapped
-                 and ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
-                      or (mxu and cfg.k <= 63))
-                 and os.environ.get("KMER_TPU_MULTIHOST_STEP",
-                                    "pairs") != "legacy")
+    legacy = os.environ.get("KMER_TPU_MULTIHOST_STEP", "pairs") == "legacy"
+    if cfg.gapped:
+        nb = cfg.l_len + cfg.r_len
+        use_pairs = (not legacy and max(cfg.l_len, cfg.r_len) <= 31
+                     and (2 * nb) % 32 != 0
+                     and cfg.max_read_len >= cfg.c_min)
+    else:
+        use_pairs = (not legacy
+                     and ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
+                          or (mxu and cfg.k <= 63)))
 
     def build_fn():
+        if cfg.gapped and use_pairs:
+            return distributed.make_distributed_gapped_pairs(
+                mesh, l_len=cfg.l_len, r_len=cfg.r_len,
+                c_min=cfg.c_min, c_max=cfg.c_max, capacity=capacity[0],
+                mask_ambiguous=cfg.skip_invalid)
         if cfg.gapped:
             return distributed.make_distributed_gapped(
                 mesh, l_len=cfg.l_len, r_len=cfg.r_len,

@@ -119,6 +119,31 @@ def test_distributed_pairs_identical_across_mesh_shapes():
     assert tables[0] == sorted_path
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_distributed_gapped_pairs_matches_oracle(shape):
+    """Fused-local gapped pair routing == gapped oracle, incl. the
+    halo'd sequence-parallel case."""
+    from collections import Counter
+    rng = np.random.default_rng(shape[0])
+    B, L = 16, 64
+    gl, gr, c0, c1 = 4, 4, 10, 16
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(shape[0], shape[1])
+    fn = distributed.make_distributed_gapped_pairs(
+        m, l_len=gl, r_len=gr, c_min=c0, c_max=c1)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from_pairs(gl + gr, out)
+    want = Counter(oracle.oracle_gapped_lines(seqs, l_len=gl, r_len=gr,
+                                              c_min=c0, c_max=c1))
+    assert table.to_dict() == dict(want)
+    # bit-identity with the sorted-stream gapped path
+    sfn = distributed.make_distributed_gapped(m, l_len=gl, r_len=gr,
+                                              c_min=c0, c_max=c1)
+    stab = _table_from(gl + gr, sfn(jnp.asarray(codes), jnp.asarray(lens),
+                                    jnp.asarray(lims)))
+    assert table == stab
+
+
 def test_distributed_output_globally_sorted():
     rng = np.random.default_rng(3)
     B, L, k = 16, 64, 15
