@@ -166,6 +166,10 @@ def test_distributed_overflow_flag():
     fn = distributed.make_distributed_count(m, k=5, capacity=1)
     *_, overflow = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
     assert bool(overflow)
+    pfn = distributed.make_distributed_count_pairs(m, k=5, capacity=1)
+    *_, poverflow = pfn(jnp.asarray(codes), jnp.asarray(lens),
+                        jnp.asarray(lims))
+    assert bool(poverflow)
 
 
 def test_dense_distributed_psum_and_scatter():
