@@ -137,11 +137,41 @@ class StreamingCounter:
                 raise ValueError(
                     f"max_read_len={cfg.max_read_len} not divisible by "
                     f"mesh seq axis {n_seq}")
+            # fused-local pair routing when eligible (the multihost
+            # driver's policy; KMER_TPU_MULTIHOST_STEP=legacy reverts)
+            legacy = os.environ.get("KMER_TPU_MULTIHOST_STEP",
+                                    "pairs") == "legacy"
+            mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT",
+                                 "doubling") == "mxu"
+            if cfg.gapped:
+                nb = cfg.l_len + cfg.r_len
+                use_pairs = (not legacy
+                             and max(cfg.l_len, cfg.r_len) <= 31
+                             and (2 * nb) % 32 != 0
+                             and cfg.max_read_len >= cfg.c_min)
+            else:
+                use_pairs = (not legacy
+                             and ((words_per_key(cfg.k) <= 2
+                                   and 2 * cfg.k != 32)
+                                  or (mxu and cfg.k <= 63)))
+            self._dist_pairs = use_pairs
+
             def _build_dist(capacity=None):
+                if cfg.gapped and use_pairs:
+                    return distributed.make_distributed_gapped_pairs(
+                        mesh, l_len=cfg.l_len, r_len=cfg.r_len,
+                        c_min=cfg.c_min, c_max=cfg.c_max,
+                        capacity=capacity,
+                        mask_ambiguous=cfg.skip_invalid)
                 if cfg.gapped:
                     return distributed.make_distributed_gapped(
                         mesh, l_len=cfg.l_len, r_len=cfg.r_len,
                         c_min=cfg.c_min, c_max=cfg.c_max,
+                        capacity=capacity,
+                        mask_ambiguous=cfg.skip_invalid)
+                if use_pairs:
+                    return distributed.make_distributed_count_pairs(
+                        mesh, k=cfg.k, canonical=cfg.canonical,
                         capacity=capacity,
                         mask_ambiguous=cfg.skip_invalid)
                 return distributed.make_distributed_count(
@@ -239,7 +269,8 @@ class StreamingCounter:
             # overflow — the doubling retry terminates there
             cap_max = batch.codes.size
             while True:
-                s, is_start, counts, overflow = self._dist_fn(*args)
+                out = self._dist_fn(*args)
+                overflow = out[-1]
                 if not bool(overflow):
                     break
                 if (self._dist_capacity or 0) >= cap_max:
@@ -254,6 +285,15 @@ class StreamingCounter:
                 self.log.log("route_overflow_retry",
                              capacity=self._dist_capacity)
                 self._dist_fn = self._build_dist(self._dist_capacity)
+            if self._dist_pairs:
+                words, counts, _ = out
+                from ..ops.extract import SENTINEL
+                ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+                c = np.asarray(counts).reshape(-1)
+                live = ks[:, 0] != SENTINEL
+                return KmerTable.from_pairs(self._n_bases, ks[live],
+                                            c[live].astype(np.int64))
+            s, is_start, counts, _ = out
             return KmerTable.from_device_runs(self._n_bases, s, is_start,
                                               counts)
         if cfg.gapped:
