@@ -348,7 +348,8 @@ def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
             parser = (parse_fastq_native if fmt == "fastq"
                       else parse_fasta_native)
             codes, offsets = parser(path, allow_ambiguous)
-            yield codes, offsets, size    # EOF cursor: resume is a no-op
+            if len(offsets) > 1:          # chunked path yields nothing
+                yield codes, offsets, size  # for empty files; match it
             return
         yield from _iter_chunks_native(lib, path, fmt, max_bases,
                                        allow_ambiguous, start_cursor)

@@ -160,6 +160,25 @@ def count_step_distributed(codes, lengths, limits, *, k: int, canonical: bool,
     return s2, is_start, counts, overflow
 
 
+def pairs_eligible(cfg) -> bool:
+    """Driver policy (multihost + streaming): route through the
+    fused-local pairs step for this config?  One definition so the
+    eligibility can never drift between drivers.
+    KMER_TPU_MULTIHOST_STEP=legacy restores the sorted-stream merge.
+    The VMEM fits-guard is enforced inside the step body (it needs the
+    halo-extended width); an unfit mxu request downgrades there."""
+    import os
+    if os.environ.get("KMER_TPU_MULTIHOST_STEP", "pairs") == "legacy":
+        return False
+    if cfg.gapped:
+        nb = cfg.l_len + cfg.r_len
+        return (max(cfg.l_len, cfg.r_len) <= 31 and (2 * nb) % 32 != 0
+                and cfg.max_read_len >= cfg.c_min)
+    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling") == "mxu"
+    return ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
+            or (mxu and cfg.k <= 63))
+
+
 def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
                                  canonical: bool, capacity: int,
                                  axis_names=(DATA_AXIS, SEQ_AXIS),
@@ -202,12 +221,40 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
         codes_l, lengths_l, limits_l = ext, len_eff, lim_eff
     else:
         codes_l, lengths_l, limits_l = codes, lengths, limits
-    rflat, counts = fused_extract_count_T(
-        codes_l.T, lengths_l, limits_l, k, canonical=canonical,
-        mask_ambiguous=mask_ambiguous, seg=4, block_lanes=256,
-        algo="dedup", interpret=_jax.default_backend() != "tpu")
-    std = count_ops.unpack_words(rflat, k)
-    cnt = counts.astype(jnp.uint32)
+    # extractor resolution mirrors pipeline/count.py, incl. the VMEM
+    # fits-guard on the HALO-EXTENDED width: an unfit mxu request
+    # downgrades to doubling (W <= 2) or, for wide keys, to plain XLA
+    # extraction with per-lane count 1 (pair routing doesn't care
+    # where the pairs come from — aggregation absorbs uncollapsed
+    # duplicates)
+    import os
+
+    from ..ops.pallas.fused_extract import mxu_fits
+    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+               == "mxu")
+    mxu_ok = mxu_req and mxu_fits(k, codes_l.shape[1], canonical,
+                                  mask_ambiguous)
+    base_eligible = words_per_key(k) <= 2 and 2 * k != 32
+    if base_eligible or mxu_ok:
+        rflat, counts = fused_extract_count_T(
+            codes_l.T, lengths_l, limits_l, k, canonical=canonical,
+            mask_ambiguous=mask_ambiguous, seg=4, block_lanes=256,
+            algo="dedup",
+            extract=("mxu" if mxu_ok else "doubling" if mxu_req else None),
+            interpret=_jax.default_backend() != "tpu")
+        std = count_ops.unpack_words(rflat, k)
+        cnt = counts.astype(jnp.uint32)
+    else:
+        if canonical:
+            words, valid = canonical_kmer_lanes(
+                codes_l, lengths_l, k, limits=limits_l,
+                mask_ambiguous=mask_ambiguous)
+        else:
+            words, valid = kmer_lanes(codes_l, lengths_l, k,
+                                      limits=limits_l,
+                                      mask_ambiguous=mask_ambiguous)
+        std = [w.reshape(-1) for w in words]
+        cnt = valid.reshape(-1).astype(jnp.uint32)
     dest = _route_dest(std[0], std[1] if len(std) > 1 else None, k, n_dev)
     dead = (std[0] == SENTINEL) | (cnt == 0)
     dest = jnp.where(dead, n_dev, dest)
@@ -226,9 +273,10 @@ def make_distributed_count_pairs(mesh, *, k: int, canonical: bool = False,
     """jit-compiled fused-local distributed count over `mesh`.
 
     Returns fn(codes, lengths, limits) -> (std_words, counts, overflow);
-    aggregate host-side with KmerTable.from_pairs over lanes whose key
-    is not SENTINEL.  Eligibility mirrors the single-chip fused step
-    (W <= 2 keys, or any k <= 63 under KMER_TPU_FUSED_EXTRACT=mxu)."""
+    aggregate host-side with KmerTable.from_routed_pairs.  Works for
+    ANY k: the body runs the fused kernel when eligible (W <= 2, or
+    any k <= 63 under a FITTING KMER_TPU_FUSED_EXTRACT=mxu) and falls
+    back to XLA extraction with per-lane count 1 otherwise."""
     n_data = mesh.shape[DATA_AXIS]
     n_seq = mesh.shape.get(SEQ_AXIS, 1)
     n_dev = n_data * n_seq

@@ -206,20 +206,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
 
     # fused-local pair routing is the production path (the local count
     # runs the single-kernel fused step instead of two flat sorts);
-    # KMER_TPU_MULTIHOST_STEP=legacy restores the sorted-stream merge
-    import os
-    from ..ops.encode import words_per_key
-    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling") == "mxu"
-    legacy = os.environ.get("KMER_TPU_MULTIHOST_STEP", "pairs") == "legacy"
-    if cfg.gapped:
-        nb = cfg.l_len + cfg.r_len
-        use_pairs = (not legacy and max(cfg.l_len, cfg.r_len) <= 31
-                     and (2 * nb) % 32 != 0
-                     and cfg.max_read_len >= cfg.c_min)
-    else:
-        use_pairs = (not legacy
-                     and ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
-                          or (mxu and cfg.k <= 63)))
+    # policy shared with streaming (distributed.pairs_eligible)
+    use_pairs = distributed.pairs_eligible(cfg)
 
     def build_fn():
         if cfg.gapped and use_pairs:
@@ -293,12 +281,7 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
             words, counts, _ = out
             host_w, host_c = multihost_utils.process_allgather(
                 (tuple(words), counts), tiled=True)
-            from ..ops.extract import SENTINEL
-            ks = np.stack([np.asarray(w).reshape(-1) for w in host_w], 1)
-            c = np.asarray(host_c).reshape(-1)
-            live = ks[:, 0] != SENTINEL
-            part = KmerTable.from_pairs(n_bases, ks[live],
-                                        c[live].astype(np.int64))
+            part = KmerTable.from_routed_pairs(n_bases, host_w, host_c)
         else:
             sw, is_start, counts, _ = out
             host = multihost_utils.process_allgather(

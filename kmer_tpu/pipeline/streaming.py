@@ -137,23 +137,9 @@ class StreamingCounter:
                 raise ValueError(
                     f"max_read_len={cfg.max_read_len} not divisible by "
                     f"mesh seq axis {n_seq}")
-            # fused-local pair routing when eligible (the multihost
-            # driver's policy; KMER_TPU_MULTIHOST_STEP=legacy reverts)
-            legacy = os.environ.get("KMER_TPU_MULTIHOST_STEP",
-                                    "pairs") == "legacy"
-            mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT",
-                                 "doubling") == "mxu"
-            if cfg.gapped:
-                nb = cfg.l_len + cfg.r_len
-                use_pairs = (not legacy
-                             and max(cfg.l_len, cfg.r_len) <= 31
-                             and (2 * nb) % 32 != 0
-                             and cfg.max_read_len >= cfg.c_min)
-            else:
-                use_pairs = (not legacy
-                             and ((words_per_key(cfg.k) <= 2
-                                   and 2 * cfg.k != 32)
-                                  or (mxu and cfg.k <= 63)))
+            # fused-local pair routing when eligible (policy shared
+            # with the multihost driver, distributed.pairs_eligible)
+            use_pairs = distributed.pairs_eligible(cfg)
             self._dist_pairs = use_pairs
 
             def _build_dist(capacity=None):
@@ -287,12 +273,8 @@ class StreamingCounter:
                 self._dist_fn = self._build_dist(self._dist_capacity)
             if self._dist_pairs:
                 words, counts, _ = out
-                from ..ops.extract import SENTINEL
-                ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
-                c = np.asarray(counts).reshape(-1)
-                live = ks[:, 0] != SENTINEL
-                return KmerTable.from_pairs(self._n_bases, ks[live],
-                                            c[live].astype(np.int64))
+                return KmerTable.from_routed_pairs(self._n_bases, words,
+                                                   counts)
             s, is_start, counts, _ = out
             return KmerTable.from_device_runs(self._n_bases, s, is_start,
                                               counts)

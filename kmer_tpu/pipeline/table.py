@@ -192,8 +192,7 @@ class KmerTable:
 
     def filter_min_count(self, min_count: int) -> "KmerTable":
         """Drop k-mers with count < min_count (error-kmer cutoff)."""
-        keep = self.counts >= min_count
-        return KmerTable(self.k, self.keys[keep], self.counts[keep])
+        return self.filter_count_range(min_count)
 
     def filter_count_range(self, min_count: int = 1,
                            max_count: int | None = None) -> "KmerTable":
@@ -204,6 +203,18 @@ class KmerTable:
         if max_count is not None:
             keep &= self.counts <= max_count
         return KmerTable(self.k, self.keys[keep], self.counts[keep])
+
+    @staticmethod
+    def from_routed_pairs(n_bases: int, words, counts) -> "KmerTable":
+        """Aggregate a routed-pairs device output (the
+        make_distributed_*_pairs contract): stack the std key words,
+        drop SENTINEL (padding) lanes, and from_pairs the rest."""
+        from ..ops.extract import SENTINEL
+        ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+        c = np.asarray(counts).reshape(-1)
+        live = ks[:, 0] != SENTINEL
+        return KmerTable.from_pairs(n_bases, ks[live],
+                                    c[live].astype(np.int64))
 
     def get(self, kmer: str, canonical: bool = False) -> int:
         """Count of one k-mer (0 if absent) — binary search.

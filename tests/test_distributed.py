@@ -69,11 +69,7 @@ def test_distributed_identical_across_mesh_shapes():
 def _table_from_pairs(k, out):
     words, counts, overflow = out
     assert not bool(overflow)
-    from kmer_tpu.ops.extract import SENTINEL
-    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
-    c = np.asarray(counts).reshape(-1)
-    live = ks[:, 0] != SENTINEL
-    return KmerTable.from_pairs(k, ks[live], c[live].astype(np.int64))
+    return KmerTable.from_routed_pairs(k, words, counts)
 
 
 @pytest.mark.parametrize("shape,canonical,k", [
@@ -117,6 +113,27 @@ def test_distributed_pairs_identical_across_mesh_shapes():
     sorted_path = _table_from(k, fn1(jnp.asarray(codes), jnp.asarray(lens),
                                      jnp.asarray(lims)))
     assert tables[0] == sorted_path
+
+
+def test_distributed_pairs_wide_key_fallback(monkeypatch):
+    """Wide keys (W > 2) without a fitting mxu extractor fall back to
+    XLA extraction with per-lane pairs — same table, no fused kernel."""
+    rng = np.random.default_rng(2)
+    B, L, k = 8, 80, 33
+    seqs, codes, lens, lims = _corpus(rng, B, L)
+    m = mesh_lib.make_mesh(8, 1)
+    fn = distributed.make_distributed_count_pairs(m, k=k, canonical=True)
+    out = fn(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    table = _table_from_pairs(k, out)
+    assert table.to_dict() == dict(oracle.oracle_count(seqs, k, True))
+    # with mxu requested and fitting, the fused kernel path must agree
+    # (fresh factory: the env is read at trace time)
+    monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "mxu")
+    from kmer_tpu.ops.pallas.fused_extract import mxu_fits
+    assert mxu_fits(k, L, True, False)
+    fn2 = distributed.make_distributed_count_pairs(m, k=k, canonical=True)
+    out2 = fn2(jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(lims))
+    assert _table_from_pairs(k, out2) == table
 
 
 @pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
@@ -298,10 +315,14 @@ def test_default_capacity_even_share_not_ndev_inflated():
     assert n * n * cap < n * n * n_local
 
 
-def test_skewed_corpus_streaming_overflow_retry(tmp_path):
+def test_skewed_corpus_streaming_overflow_retry(tmp_path, monkeypatch):
     """All-identical reads route every key to one destination — the
     even-share default capacity overflows and the streaming driver must
     retry with doubled capacity and still produce the exact table."""
+    # pin the sorted-stream path: the retry machinery under test is
+    # shared, but the pairs path's local dedup collapses this corpus's
+    # skew below capacity (by design), so it would never overflow here
+    monkeypatch.setenv("KMER_TPU_MULTIHOST_STEP", "legacy")
     from kmer_tpu import KmerConfig
     from kmer_tpu.pipeline.streaming import StreamingCounter
     reads = ["A" * 500] * 16              # every 9-mer routes to dest 0
