@@ -166,3 +166,36 @@ def test_fastq_mt_chunked_ingest_whole_file_path(tmp_path, monkeypatch):
     assert len(small) > 1
     cat = np.concatenate([c for c, _, _ in small])
     assert np.array_equal(codes[: offsets[-1]], cat)
+
+
+def test_fastq_mt_property_fuzz(tmp_path, monkeypatch):
+    """Property fuzz: random record shapes (lengths 1..600, CRLF rows,
+    occasional '@'/'+' leading quality chars, with/without trailing
+    newline) — MT parse must equal serial for random thread counts."""
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        buf = []
+        seqs = []
+        n = int(rng.integers(9000, 14000))
+        for i in range(n):
+            L = int(rng.integers(1, 600))
+            s = "".join("ACGT"[c] for c in rng.integers(0, 4, L))
+            seqs.append(s)
+            eol = "\r\n" if rng.random() < 0.3 else "\n"
+            q0 = "@" if rng.random() < 0.2 else ("+" if rng.random() < 0.2
+                                                 else "I")
+            qual = q0 + "J" * (L - 1) if L > 1 else q0
+            buf.append(f"@r{i}{eol}{s}{eol}+{eol}{qual}{eol}")
+        text = "".join(buf)
+        if trial % 2:
+            text = text[:-1]          # no trailing newline
+        p = tmp_path / f"fz{trial}.fastq"
+        p.write_text(text)
+        monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+        sc, so = fasta.parse_fastq_native(str(p))
+        assert np.diff(so).tolist() == [len(s) for s in seqs]
+        for t in rng.choice([2, 3, 5, 8, 16], size=2, replace=False):
+            monkeypatch.setenv("KMER_TPU_PARSE_THREADS", str(t))
+            mc, mo = fasta.parse_fastq_native(str(p))
+            assert np.array_equal(mc, sc) and np.array_equal(mo, so), \
+                (trial, t)
