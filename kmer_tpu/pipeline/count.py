@@ -486,6 +486,28 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
     table: KmerTable | None = None
     seen_any = False
+    # per-chunk tables are BUFFERED and bulk-merged (one vectorized
+    # sort over all parts) instead of pairwise-merged per chunk —
+    # re-sorting the growing table every chunk is O(chunks^2) overall;
+    # the flush threshold bounds buffered pairs like count_codes does
+    parts: list[KmerTable] = []
+    buffered = 0
+    flush_pairs = 8 << 20
+
+    def flush() -> None:
+        nonlocal parts, buffered, table
+        if parts:
+            if table is None and len(parts) == 1:
+                table = parts[0]        # single-chunk fast path: no re-sort
+            else:
+                allp = ([table] if table is not None else []) + parts
+                table = KmerTable.from_pairs(
+                    n_bases,
+                    np.concatenate([t.keys for t in allp], axis=0),
+                    np.concatenate([t.counts for t in allp]))
+            parts = []
+        buffered = 0
+
     for p in paths:
         if cfg.ingest_chunk_bases > 0:
             chunks = iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
@@ -496,7 +518,11 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
         for codes, offsets, _cur in chunks:
             seen_any = True
             part = count_codes(codes, offsets, cfg)
-            table = part if table is None else table.merge(part)
+            parts.append(part)
+            buffered += part.num_distinct
+            if buffered >= flush_pairs:
+                flush()
+    flush()
     if table is None:
         # empty input: run one empty pass so dense mode still yields a
         # (possibly empty) table of the right shape
