@@ -121,6 +121,32 @@ def main():
         finally:
             del os.environ["KMER_TPU_FUSED_EXTRACT"]
 
+        # 13. fused-local pair routing on a 1-device mesh (compiles the
+        # real Mosaic kernel inside shard_map + the dest sort + route)
+        import jax.numpy as jnp
+        import numpy as np
+        from kmer_tpu import KmerTable
+        from kmer_tpu.io.fasta import parse_seqs
+        from kmer_tpu.io.fasta import iter_batches
+        from kmer_tpu.parallel import distributed
+        from kmer_tpu.parallel import mesh as mesh_lib
+        m1 = mesh_lib.make_mesh(1, 1)
+        pfn = distributed.make_distributed_count_pairs(m1, k=21,
+                                                       canonical=True)
+        pcodes, poffsets = parse_seqs(corpus)
+        batch = next(iter_batches(pcodes, poffsets, batch_reads=8192,
+                                  max_len=150, overlap=20))
+        pw, pc, pover = pfn(jnp.asarray(batch.codes),
+                            jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits))
+        ptab = KmerTable.from_routed_pairs(21, pw, pc)
+        sub = [s for s in seqs][:]
+        # oracle over just this batch's reads
+        nb = int((np.asarray(batch.lengths) > 0).sum())
+        want_p = dict(oracle.oracle_count(sub[:nb], 21, canonical=True))
+        check("pairs 1-dev mesh == oracle",
+              not bool(pover) and ptab.to_dict() == want_p)
+
     sys.exit(0 if OK else 1)
 
 
