@@ -47,11 +47,28 @@ def main():
     from kmer_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
 
+    # device-init watchdog: a broken attachment makes jax.devices()
+    # block forever (observed: relay up, remote worker unreachable) —
+    # fail loudly instead of hanging the caller.  Disarmed once the
+    # backend answers; compiles afterwards may take as long as needed.
+    import os
+    import threading
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(timeout=900):
+            log("FATAL: TPU backend initialization did not complete "
+                "within 900 s — attachment down?")
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     from kmer_tpu.pipeline.count import count_step_sort
 
     dev = jax.devices()[0]
+    init_done.set()
     log(f"device: {dev} backend={jax.default_backend()}")
 
     rng = np.random.default_rng(0)
