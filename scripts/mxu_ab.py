@@ -56,22 +56,26 @@ def main():
     import os
     extracts = os.environ.get("AB_EXTRACTS", "doubling,mxu").split(",")
     bls = [int(x) for x in os.environ.get("AB_BL", "256").split(",")]
+    segs = [int(x) for x in os.environ.get("AB_SEG", "4").split(",")]
     for k in KS:
         N = B * (L - k + 1)
         for extract in extracts:
             if extract == "doubling" and (k > 31 or 2 * k == 32):
                 continue
             for bl in bls:
-                @jax.jit
-                def step(codes, _e=extract, _k=k, _bl=bl):
-                    ws, counts = fused_extract_count_T(
-                        codes, lengths, limits, _k, canonical=True,
-                        seg=4, block_lanes=_bl, algo="dedup", extract=_e)
-                    inj = (counts[:B].astype(jnp.uint32)
-                           % 4).astype(jnp.uint8)
-                    return codes.at[0, :].set(inj)
+                for seg in segs:
+                    @jax.jit
+                    def step(codes, _e=extract, _k=k, _bl=bl, _s=seg):
+                        ws, counts = fused_extract_count_T(
+                            codes, lengths, limits, _k, canonical=True,
+                            seg=_s, block_lanes=_bl, algo="dedup",
+                            extract=_e)
+                        inj = (counts[:B].astype(jnp.uint32)
+                               % 4).astype(jnp.uint8)
+                        return codes.at[0, :].set(inj)
 
-                run_chained(f"k={k} {extract} bl={bl}", step, codes0, N)
+                    run_chained(f"k={k} {extract} bl={bl} s={seg}",
+                                step, codes0, N)
 
     if os.environ.get("AB_GAPPED", "0") == "1":
         from kmer_tpu.ops.pallas.fused_gapped import fused_gapped_count_T
