@@ -15,6 +15,8 @@ import os
 import sys
 import tempfile
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from kmer_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
