@@ -128,6 +128,38 @@ def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
     return rows * (L_pad * 2 + block_lanes * 4) <= budget_bytes
 
 
+def select_fused_extract(k: int, L: int, canonical: bool,
+                         mask_ambiguous: bool = False) -> str | None:
+    """Fused-kernel extraction backend policy — ONE definition shared by
+    every step-selection site (pipeline/count.py, parallel/distributed).
+
+    Returns the `extract=` argument for fused_extract_count_T, or None
+    when the fused kernel is not eligible (caller falls back to the XLA
+    extraction path).
+
+    env KMER_TPU_FUSED_EXTRACT:
+      auto (default)  doubling for W <= 2 keys (2k != 32); otherwise
+                      mxu when its VMEM operands fit — the banded-matmul
+                      extraction measured 5.5-6.7x over the XLA fallback
+                      at k=33/45/63 on v5e (scripts/bigk_ab.py), and it
+                      lifts the fused kernel to every k <= 63 including
+                      the s==0 widths k=16/32/48.
+      mxu             mxu wherever it fits; doubling downgrade for
+                      W <= 2; None otherwise.
+      doubling /      force (W <= 2 only; None otherwise — the escape
+      slicesum        hatch back to the XLA path for wide keys).
+    """
+    import os
+    req = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto")
+    base = words_per_key(k) <= 2 and 2 * k != 32
+    fits = mxu_fits(k, L, canonical, mask_ambiguous)
+    if req == "mxu":
+        return "mxu" if fits else ("doubling" if base else None)
+    if req in ("doubling", "slicesum"):
+        return req if base else None
+    return "doubling" if base else ("mxu" if fits else None)
+
+
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
                  mask_ambiguous: bool):
     """Host-built banded weight matrix for the MXU extraction path.
@@ -227,7 +259,8 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
     # the amb band multiplies the indicator, not the codes, in its own
     # dot below; including it here would waste 1/n_blk of the MXU work
     cm = (c & jnp.uint32(3)) if mask_ambiguous else c
-    cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
+    # Mosaic has no u32->f32 convert; i32 hop is exact (codes 0..7)
+    cb = cm.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
     acc = jnp.dot(w_ref[:n_val * R], cb, preferred_element_type=jnp.float32)
 
     def chunk(i):
@@ -254,7 +287,8 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
         fw = [jnp.where(lt, rj, fj) for rj, fj in zip(rw, fw)]
     amb = None
     if mask_ambiguous:
-        ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)
+        ind = (c >= 4).astype(jnp.int32).astype(jnp.float32) \
+            .astype(jnp.bfloat16)
         wa = lax.slice_in_dim(w_ref[:], (n_blk - 1) * R,
                               (n_blk - 1) * R + P_pad, axis=0)
         amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
@@ -399,7 +433,9 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     assert seg >= 2 and (seg & (seg - 1)) == 0, seg
     W = words_per_key(k)
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
-                                             "doubling")
+                                             "auto")
+    if extract_algo == "auto":
+        extract_algo = ("doubling" if W <= 2 and 2 * k != 32 else "mxu")
     if extract_algo == "mxu":
         assert k <= 63, (k, "unsupported key width")
     else:

@@ -65,7 +65,8 @@ def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
     n_blk = n_sub + (1 if mask_ambiguous else 0)
     R = w_ref.shape[0] // n_blk
     cm = (c & jnp.uint32(3)) if mask_ambiguous else c
-    cb = cm.astype(jnp.float32).astype(jnp.bfloat16)
+    # Mosaic has no u32->f32 convert; i32 hop is exact (codes 0..7)
+    cb = cm.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
     # value bands only — the amb band rides its own indicator dot below
     acc = jnp.dot(w_ref[:n_sub * R], cb, preferred_element_type=jnp.float32)
 
@@ -79,7 +80,8 @@ def _build_table_mxu(c, w_ref, n_len: int, P: int, mask_ambiguous: bool):
           else jnp.zeros_like(lo))
     amb = None
     if mask_ambiguous:
-        ind = (c >= 4).astype(jnp.float32).astype(jnp.bfloat16)
+        ind = (c >= 4).astype(jnp.int32).astype(jnp.float32) \
+            .astype(jnp.bfloat16)
         wa = lax.slice_in_dim(w_ref[:], n_sub * R, n_sub * R + P, axis=0)
         amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
     W = words_per_key(n_len)
@@ -248,7 +250,11 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
 
     if algo is None:
         algo = os.environ.get("KMER_TPU_GAPPED_ALGO", "dedup")
-    extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
+    extract_algo = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto")
+    if extract_algo == "auto":
+        # gapped sub-keys are <= 31 bases, so doubling always covers
+        # them; mxu stays opt-in here (measured ~parity on v5e)
+        extract_algo = "doubling"
     if extract_algo == "mxu":
         # VMEM budget guard (weights + accumulators grow O(n_len/12*L));
         # doubling covers every gapped-eligible width, so fall back

@@ -174,7 +174,8 @@ def pairs_eligible(cfg) -> bool:
         nb = cfg.l_len + cfg.r_len
         return (max(cfg.l_len, cfg.r_len) <= 31 and (2 * nb) % 32 != 0
                 and cfg.max_read_len >= cfg.c_min)
-    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling") == "mxu"
+    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto") in ("auto",
+                                                               "mxu")
     return ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
             or (mxu and cfg.k <= 63))
 
@@ -229,18 +230,14 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     # duplicates)
     import os
 
-    from ..ops.pallas.fused_extract import mxu_fits
-    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
-               == "mxu")
-    mxu_ok = mxu_req and mxu_fits(k, codes_l.shape[1], canonical,
-                                  mask_ambiguous)
-    base_eligible = words_per_key(k) <= 2 and 2 * k != 32
-    if base_eligible or mxu_ok:
+    from ..ops.pallas.fused_extract import select_fused_extract
+    fused_extract = select_fused_extract(k, codes_l.shape[1], canonical,
+                                         mask_ambiguous)
+    if fused_extract is not None:
         rflat, counts = fused_extract_count_T(
             codes_l.T, lengths_l, limits_l, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=4, block_lanes=256,
-            algo="dedup",
-            extract=("mxu" if mxu_ok else "doubling" if mxu_req else None),
+            algo="dedup", extract=fused_extract,
             interpret=_jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
         cnt = counts.astype(jnp.uint32)

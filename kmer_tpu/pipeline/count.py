@@ -57,17 +57,14 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     # the MXU extractor lifts the fused kernel's W <= 2 cap (its 24-bit
     # chunks stitch into arbitrarily many repacked words): any k <= 63
     # is fused-eligible under it — as long as its VMEM-resident weight
-    # matrix + accumulator fit (they grow O(k/12 * L); long reads at
-    # large k fall back to doubling for W <= 2, the XLA path otherwise)
-    from ..ops.pallas.fused_extract import mxu_fits
-    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
-               == "mxu")
-    mxu_ok = mxu_req and mxu_fits(k, codes.shape[-1], canonical,
-                                  mask_ambiguous)
+    # matrix + accumulator fit (they grow O(k/12 * L)); the shared
+    # policy (select_fused_extract) picks doubling for W <= 2 and mxu
+    # elsewhere, with env overrides
+    from ..ops.pallas.fused_extract import select_fused_extract
+    fused_extract = select_fused_extract(k, codes.shape[-1], canonical,
+                                         mask_ambiguous)
     base_eligible = words_per_key(k) <= 2 and 2 * k != 32
-    t_eligible = group_keys > 0 and (base_eligible or mxu_ok)
-    fused_extract = ("mxu" if mxu_ok
-                     else "doubling" if mxu_req else None)
+    t_eligible = group_keys > 0 and fused_extract is not None
     # Fully fused single-kernel step (extraction + canonical + repack +
     # segment collapse, ops/pallas/fused_extract): keys never
     # round-trip HBM between extraction and counting (~68 MB less
@@ -151,15 +148,10 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
     import os
     from ..ops.encode import words_per_key
     step_backend = os.environ.get("KMER_TPU_STEP", "auto")
-    from ..ops.pallas.fused_extract import mxu_fits
-    mxu_req = (os.environ.get("KMER_TPU_FUSED_EXTRACT", "doubling")
-               == "mxu")
-    mxu_ok = mxu_req and mxu_fits(k, codes.shape[-1], canonical,
-                                  mask_ambiguous)
-    base_eligible = words_per_key(k) <= 2 and 2 * k != 32
-    fused_extract = ("mxu" if mxu_ok
-                     else "doubling" if mxu_req else None)
-    use_fused = ((base_eligible or mxu_ok)
+    from ..ops.pallas.fused_extract import select_fused_extract
+    fused_extract = select_fused_extract(k, codes.shape[-1], canonical,
+                                         mask_ambiguous)
+    use_fused = (fused_extract is not None
                  and (step_backend == "fused" or
                       (step_backend == "auto"
                        and jax.default_backend() == "tpu")))

@@ -123,6 +123,16 @@ def main():
         finally:
             del os.environ["KMER_TPU_FUSED_EXTRACT"]
 
+        # 13b. AUTO policy default: multi-word k=45 routes to the fused
+        # mxu kernel with no env set — the production default path for
+        # 32 <= k <= 63 (select_fused_extract)
+        t45 = count_fasta(corpus, KmerConfig(k=45, canonical=True,
+                                             batch_reads=8192,
+                                             max_read_len=150))
+        want45 = dict(oracle.oracle_count(seqs, 45, canonical=True))
+        check("auto k=45 (fused mxu default) == oracle",
+              t45.to_dict() == want45)
+
         # 13. fused-local pair routing on a 1-device mesh (compiles the
         # real Mosaic kernel inside shard_map + the dest sort + route)
         import jax.numpy as jnp

@@ -387,3 +387,51 @@ def test_gapped_fused_compact_end_to_end(tmp_path):
         del os.environ["KMER_TPU_GAPPED_STEP"]
     assert got == want
     assert got_sort == want
+
+
+def test_select_fused_extract_policy(monkeypatch):
+    """The shared backend policy (select_fused_extract): auto picks
+    doubling for W<=2 keys and mxu for everything else that fits;
+    forced doubling stays the escape hatch to the XLA path for wide
+    keys; a forced-but-unfit mxu downgrades."""
+    from kmer_tpu.ops.pallas.fused_extract import select_fused_extract
+    monkeypatch.delenv("KMER_TPU_FUSED_EXTRACT", raising=False)
+    assert select_fused_extract(21, 150, True) == "doubling"
+    assert select_fused_extract(31, 150, True) == "doubling"
+    # W>2 and the s==0 widths route to mxu when it fits
+    assert select_fused_extract(33, 150, True) == "mxu"
+    assert select_fused_extract(63, 96, True, True) == "mxu"
+    assert select_fused_extract(16, 150, True) == "mxu"
+    assert select_fused_extract(32, 150, True) == "mxu"
+    # unfit -> None (XLA fallback)
+    assert select_fused_extract(63, 4096, True, True) is None
+    monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "doubling")
+    assert select_fused_extract(21, 150, True) == "doubling"
+    assert select_fused_extract(33, 150, True) is None
+    monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "mxu")
+    assert select_fused_extract(33, 150, True) == "mxu"
+    assert select_fused_extract(21, 65536, True) == "doubling"
+    assert select_fused_extract(63, 4096, True, True) is None
+
+
+def test_auto_policy_multiword_end_to_end(tmp_path):
+    """Default env (auto): k=45 counting runs the fused mxu kernel in
+    interpret mode and matches the XLA-forced table bit-exactly."""
+    import os
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    p = tmp_path / "bigk.fasta"
+    p.write_text(random_reads_fasta(6, 120, seed=11))
+    cfg = KmerConfig(k=45, canonical=True, batch_reads=8,
+                     max_read_len=128, sort_group_keys=64)
+    os.environ["KMER_TPU_STEP"] = "fused"
+    try:
+        got = count_fasta(str(p), cfg)
+    finally:
+        del os.environ["KMER_TPU_STEP"]
+    os.environ["KMER_TPU_FUSED_EXTRACT"] = "doubling"   # -> XLA path
+    try:
+        want = count_fasta(str(p), cfg)
+    finally:
+        del os.environ["KMER_TPU_FUSED_EXTRACT"]
+    assert got == want
