@@ -5,7 +5,10 @@ main.rs:44) and a single positional arg in test.py (test.py:15-18).
 Subcommands:
 
   count     FASTA -> sorted "kmer\\tcount" TSV on stdout
+  histo     k-mer multiplicity spectrum
   parity    FASTA -> the reference's exact sorted chunk dump on stdout
+  query     look up counts in a saved table (.npz)
+  tools     set operations on saved tables (union/intersect/subtract)
   generate  seeded random FASTA corpora (reference-style or uniform reads)
 """
 
@@ -98,6 +101,22 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--canonical", action="store_true",
                     help="map queries to min(kmer, revcomp) first (use "
                          "when the table was built with --canonical)")
+
+    pt = sub.add_parser("tools", help="set operations on saved tables "
+                                      "(KMC-tools style)")
+    pt.add_argument("op", choices=["union", "intersect", "subtract",
+                                   "kmers-subtract"],
+                    help="union: sum counts; intersect: keys in both, "
+                         "min counts; subtract: count difference, <=0 "
+                         "dropped; kmers-subtract: drop keys present "
+                         "in B")
+    pt.add_argument("table_a", help="KmerTable .npz (operand A)")
+    pt.add_argument("table_b", help="KmerTable .npz (operand B)")
+    pt.add_argument("-o", "--out-npz", default=None,
+                    help="save the result as .npz (default: TSV on "
+                         "stdout only)")
+    pt.add_argument("--min-count", type=int, default=1)
+    pt.add_argument("--max-count", type=int, default=None)
 
     pg = sub.add_parser("generate", help="seeded random FASTA/FASTQ to stdout")
     pg.add_argument("--style", choices=["reference", "reads", "genome"],
@@ -224,8 +243,30 @@ def _dispatch(args) -> int:
         table = KmerTable.load(args.table)
         kmers = args.kmers or [ln.strip() for ln in sys.stdin
                                if ln.strip()]
-        for km in kmers:
-            sys.stdout.write(f"{km}\t{table.get(km, canonical=args.canonical)}\n")
+        counts = table.get_many(kmers, canonical=args.canonical)
+        for km, c in zip(kmers, counts.tolist()):
+            sys.stdout.write(f"{km}\t{c}\n")
+        return 0
+
+    if args.cmd == "tools":
+        from .pipeline.table import KmerTable
+        a = KmerTable.load(args.table_a)
+        b = KmerTable.load(args.table_b)
+        if a.k != b.k:
+            raise ValueError(f"table k mismatch: {a.k} vs {b.k}")
+        if args.op == "union":
+            t = a.union(b)
+        elif args.op == "intersect":
+            t = a.intersect(b)
+        elif args.op == "subtract":
+            t = a.subtract(b, counters=True)
+        else:
+            t = a.subtract(b, counters=False)
+        if args.min_count > 1 or args.max_count is not None:
+            t = t.filter_count_range(args.min_count, args.max_count)
+        if args.out_npz:
+            t.save(args.out_npz)
+        t.write_tsv(sys.stdout)
         return 0
 
     if args.cmd == "generate":

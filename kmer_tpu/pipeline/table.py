@@ -190,6 +190,47 @@ class KmerTable:
             self.k, np.concatenate([self.keys, other.keys], axis=0),
             np.concatenate([self.counts, other.counts]))
 
+    def union(self, other: "KmerTable") -> "KmerTable":
+        """Sum-union (KMC-tools `simple ... union`): all keys, counts
+        added where a key is in both.  Alias of merge()."""
+        return self.merge(other)
+
+    def intersect(self, other: "KmerTable") -> "KmerTable":
+        """Keys present in BOTH tables, count = min(self, other) —
+        KMC-tools `simple ... intersect` with min counters.  Vectorized:
+        one searchsorted over the big-endian void views."""
+        assert self.k == other.k
+        if self.num_distinct == 0 or other.num_distinct == 0:
+            return KmerTable.empty(self.k)
+        va, vb = _void_view(self.keys), _void_view(other.keys)
+        idx = np.searchsorted(vb, va)
+        idx_c = np.minimum(idx, len(vb) - 1)
+        hit = vb[idx_c] == va
+        keep = np.flatnonzero(hit)
+        return KmerTable(self.k, self.keys[keep],
+                         np.minimum(self.counts[keep],
+                                    other.counts[idx_c[keep]]))
+
+    def subtract(self, other: "KmerTable",
+                 counters: bool = True) -> "KmerTable":
+        """counters=True (KMC `counters_subtract`): per-key count
+        difference self - other, keys dropped when the result <= 0.
+        counters=False (KMC `kmers_subtract`): drop every key present
+        in `other` regardless of counts."""
+        assert self.k == other.k
+        if self.num_distinct == 0 or other.num_distinct == 0:
+            return self
+        va, vb = _void_view(self.keys), _void_view(other.keys)
+        idx = np.searchsorted(vb, va)
+        idx_c = np.minimum(idx, len(vb) - 1)
+        hit = vb[idx_c] == va
+        if not counters:
+            keep = ~hit
+            return KmerTable(self.k, self.keys[keep], self.counts[keep])
+        new = self.counts - np.where(hit, other.counts[idx_c], 0)
+        keep = new > 0
+        return KmerTable(self.k, self.keys[keep], new[keep])
+
     def filter_min_count(self, min_count: int) -> "KmerTable":
         """Drop k-mers with count < min_count (error-kmer cutoff)."""
         return self.filter_count_range(min_count)
@@ -234,6 +275,28 @@ class KmerTable:
         if i < len(v) and v[i] == target:
             return int(self.counts[i])
         return 0
+
+    def get_many(self, kmers: list[str],
+                 canonical: bool = False) -> np.ndarray:
+        """Vectorized count lookup for a list of k-mers (0 where
+        absent): one searchsorted over the void views instead of a
+        Python loop of get() binary searches."""
+        from ..ops.encode import encode_seq, key_words_from_codes, revcomp_str
+        if not kmers:
+            return np.zeros((0,), np.int64)
+        for km in kmers:
+            if len(km) != self.k:
+                raise ValueError(
+                    f"expected a {self.k}-mer, got {len(km)} bases")
+        if canonical:
+            kmers = [min(km, revcomp_str(km)) for km in kmers]
+        q = np.stack([key_words_from_codes(encode_seq(km)) for km in kmers])
+        if self.num_distinct == 0:
+            return np.zeros((len(kmers),), np.int64)
+        v = _void_view(self.keys)
+        t = _void_view(q)
+        idx = np.minimum(np.searchsorted(v, t), len(v) - 1)
+        return np.where(v[idx] == t, self.counts[idx], 0).astype(np.int64)
 
     def save(self, path: str) -> None:
         """Persist as .npz (keys/counts/k)."""
