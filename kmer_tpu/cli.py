@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--skip-invalid", action="store_true",
                     help="accept N/IUPAC bases and drop windows containing "
                          "them (default: error, the reference's contract)")
+    pc.add_argument("--min-qual", type=int, default=0,
+                    help="FASTQ only: mask bases below this Phred+33 "
+                         "quality and drop windows containing them "
+                         "(implies --skip-invalid)")
     pc.add_argument("--min-count", type=int, default=1,
                     help="suppress k-mers with count below this")
     pc.add_argument("--max-count", type=int, default=None,
@@ -148,19 +152,23 @@ def _dispatch(args) -> int:
                 raise ValueError("--canonical applies to contiguous "
                                  "k-mers (gapped chunks have no "
                                  "reverse-complement contract)")
+        skip_invalid = args.skip_invalid or args.min_qual > 0
+        if args.gapped:
             cfg = KmerConfig(gapped=True, l_len=args.l_len, r_len=args.r_len,
                              c_min=args.c_min, c_max=args.c_max,
                              batch_reads=args.batch_reads,
                              max_read_len=max(args.max_read_len, args.c_max),
                              partitions=args.partitions, stats=args.stats,
-                             skip_invalid=args.skip_invalid,
+                             skip_invalid=skip_invalid,
+                             min_qual=args.min_qual,
                              compact=args.compact)
         else:
             cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
                              batch_reads=args.batch_reads,
                              max_read_len=max(args.max_read_len, args.k),
                              partitions=args.partitions, stats=args.stats,
-                             skip_invalid=args.skip_invalid,
+                             skip_invalid=skip_invalid,
+                             min_qual=args.min_qual,
                              compact=args.compact)
         from .utils.profiling import trace
         if args.compact and (args.two_pass or args.multihost):

@@ -62,6 +62,12 @@ class KmerConfig:
     # non-ACGT byte, main.rs:23; strict mode keeps that contract as a
     # clean error).
     skip_invalid: bool = False
+    # FASTQ quality cutoff: mask bases whose Phred+33 quality is below
+    # this to the ambiguous code at ingest, so every window containing
+    # one is dropped (the standard counter cutoff, cf. KMC -cs quality
+    # mode / jellyfish --min-qual-char).  Requires skip_invalid (the
+    # masked code rides the same path as N); ignored for FASTA input.
+    min_qual: int = 0
     # observability
     stats: bool = False                     # per-batch JSONL stats to stderr
 
@@ -90,6 +96,12 @@ class KmerConfig:
                                  f"(<= 111 bases; got {n_bases})")
         if self.compact and self.mode == "dense":
             raise ValueError("compact applies to sort mode")
+        if self.min_qual < 0:
+            raise ValueError(f"min_qual must be >= 0, got {self.min_qual}")
+        if self.min_qual > 0 and not self.skip_invalid:
+            raise ValueError("min_qual masks bases to the ambiguous "
+                             "code; set skip_invalid=True (CLI: "
+                             "--min-qual implies --skip-invalid)")
 
     @property
     def window_span(self) -> int:

@@ -71,11 +71,16 @@ def _load_native():
         lib.fastq_scan.restype = ctypes.c_int
         lib.fastq_scan.argtypes = lib.fasta_scan.argtypes
         lib.fastq_parse.restype = ctypes.c_int
-        lib.fastq_parse.argtypes = lib.fasta_parse.argtypes
+        # fastq parse entry points take min_qual after allow_ambiguous
+        lib.fastq_parse.argtypes = (lib.fasta_parse.argtypes[:2]
+                                    + [ctypes.c_int]
+                                    + lib.fasta_parse.argtypes[2:])
         lib.fastq_scan_mt.restype = ctypes.c_int
         lib.fastq_scan_mt.argtypes = lib.fasta_scan_mt.argtypes
         lib.fastq_parse_mt.restype = ctypes.c_int
-        lib.fastq_parse_mt.argtypes = lib.fasta_parse_mt.argtypes
+        lib.fastq_parse_mt.argtypes = (lib.fasta_parse_mt.argtypes[:2]
+                                       + [ctypes.c_int]
+                                       + lib.fasta_parse_mt.argtypes[2:])
         lib.fill_batch.restype = None
         lib.fill_batch.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
@@ -105,7 +110,8 @@ def _load_native():
         lib.fasta_chunk.restype = ctypes.c_int
         lib.fasta_chunk.argtypes = chunk_sig
         lib.fastq_chunk.restype = ctypes.c_int
-        lib.fastq_chunk.argtypes = chunk_sig
+        lib.fastq_chunk.argtypes = (chunk_sig[:2] + [ctypes.c_int]
+                                    + chunk_sig[2:])
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -167,7 +173,8 @@ def parse_fasta_native(path: str, allow_ambiguous: bool = False
         lambda p, amb, *rest: lib.fasta_parse_mt(p, amb, t, *rest))
 
 
-def parse_fastq_native(path: str, allow_ambiguous: bool = False
+def parse_fastq_native(path: str, allow_ambiguous: bool = False,
+                       min_qual: int = 0
                        ) -> tuple[np.ndarray, np.ndarray]:
     lib = _load_native()
     if lib is None:
@@ -176,7 +183,8 @@ def parse_fastq_native(path: str, allow_ambiguous: bool = False
     return _parse_native_two_pass(
         path, allow_ambiguous,
         lambda p, amb, *rest: lib.fastq_scan_mt(p, amb, t, *rest),
-        lambda p, amb, *rest: lib.fastq_parse_mt(p, amb, t, *rest))
+        lambda p, amb, *rest: lib.fastq_parse_mt(p, amb, min_qual, t,
+                                                 *rest))
 
 
 def parse_fasta_numpy(path: str, allow_ambiguous: bool = False
@@ -195,13 +203,14 @@ def parse_fasta_numpy(path: str, allow_ambiguous: bool = False
     return codes, offsets
 
 
-def parse_fastq_numpy(path: str, allow_ambiguous: bool = False
+def parse_fastq_numpy(path: str, allow_ambiguous: bool = False,
+                      min_qual: int = 0
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-Python FASTQ fallback (same contract as native)."""
     from ..utils.oracle import read_fastq_py
     from ..ops.encode import encode_seq
 
-    seqs = read_fastq_py(path)
+    seqs = read_fastq_py(path, min_qual=min_qual)
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
@@ -220,11 +229,16 @@ def parse_fasta(path: str, prefer_native: bool = True,
 
 
 def parse_fastq(path: str, prefer_native: bool = True,
-                allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
-    """Parse a FASTQ file into (codes, offsets); native parser preferred."""
+                allow_ambiguous: bool = False,
+                min_qual: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Parse a FASTQ file into (codes, offsets); native parser preferred.
+
+    min_qual > 0 masks bases below that Phred+33 quality to the
+    ambiguous code (requires allow_ambiguous downstream — windows
+    containing masked bases are dropped like N)."""
     if prefer_native and _load_native() is not None:
-        return parse_fastq_native(path, allow_ambiguous)
-    return parse_fastq_numpy(path, allow_ambiguous)
+        return parse_fastq_native(path, allow_ambiguous, min_qual)
+    return parse_fastq_numpy(path, allow_ambiguous, min_qual)
 
 
 def _maybe_decompress(path: str):
@@ -269,20 +283,22 @@ def detect_format(path: str) -> str:
 
 
 def parse_seqs(path: str, prefer_native: bool = True,
-               allow_ambiguous: bool = False) -> tuple[np.ndarray, np.ndarray]:
+               allow_ambiguous: bool = False,
+               min_qual: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Auto-detecting sequence-file parser (FASTA or FASTQ, plain or
     gzip-compressed).  The native parser streams gzip directly through
     zlib (no temp-file round trip); only the NumPy fallback inflates to
-    a temp file first."""
+    a temp file first.  min_qual applies to FASTQ only (FASTA has no
+    qualities; it is ignored there, matching standard counters)."""
     fmt = detect_format(path)
     if prefer_native and _load_native() is not None:
         if fmt == "fastq":
-            return parse_fastq_native(path, allow_ambiguous)
+            return parse_fastq_native(path, allow_ambiguous, min_qual)
         return parse_fasta_native(path, allow_ambiguous)
     real, cleanup = _maybe_decompress(path)
     try:
         if fmt == "fastq":
-            return parse_fastq_numpy(real, allow_ambiguous)
+            return parse_fastq_numpy(real, allow_ambiguous, min_qual)
         return parse_fasta_numpy(real, allow_ambiguous)
     finally:
         cleanup()
@@ -316,7 +332,8 @@ def scan_record_offsets(path: str, *, max_bases: int = 256 << 20,
 def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
                       allow_ambiguous: bool = False,
                       prefer_native: bool = True,
-                      start_cursor: int = 0):
+                      start_cursor: int = 0,
+                      min_qual: int = 0):
     """Yield (codes, offsets, next_cursor) windows of whole records.
 
     Peak host memory is ~max_bases + one-record slack, independent of
@@ -345,23 +362,31 @@ def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
         except OSError:
             whole = False
         if whole:
-            parser = (parse_fastq_native if fmt == "fastq"
-                      else parse_fasta_native)
-            codes, offsets = parser(path, allow_ambiguous)
+            if fmt == "fastq":
+                codes, offsets = parse_fastq_native(path, allow_ambiguous,
+                                                    min_qual)
+            else:
+                codes, offsets = parse_fasta_native(path, allow_ambiguous)
             if len(offsets) > 1:          # chunked path yields nothing
                 yield codes, offsets, size  # for empty files; match it
             return
         yield from _iter_chunks_native(lib, path, fmt, max_bases,
-                                       allow_ambiguous, start_cursor)
+                                       allow_ambiguous, start_cursor,
+                                       min_qual)
     else:
         if start_cursor > 0:
             raise ValueError("resume cursors need the native parser")
-        yield from _iter_chunks_py(path, fmt, max_bases, allow_ambiguous)
+        yield from _iter_chunks_py(path, fmt, max_bases, allow_ambiguous,
+                                   min_qual)
 
 
 def _iter_chunks_native(lib, path, fmt, max_bases, allow_ambiguous,
-                        start_cursor):
-    fn = lib.fastq_chunk if fmt == "fastq" else lib.fasta_chunk
+                        start_cursor, min_qual=0):
+    if fmt == "fastq":
+        def fn(h, amb, *rest):
+            return lib.fastq_chunk(h, amb, min_qual, *rest)
+    else:
+        fn = lib.fasta_chunk
     amb = 1 if allow_ambiguous else 0
     cap = max_bases + (16 << 20)          # slack for one straddling record
     rec_cap = max(max_bases // 32, 1 << 16)
@@ -408,7 +433,7 @@ def _iter_chunks_native(lib, path, fmt, max_bases, allow_ambiguous,
         lib.ingest_close(h)
 
 
-def _iter_chunks_py(path, fmt, max_bases, allow_ambiguous):
+def _iter_chunks_py(path, fmt, max_bases, allow_ambiguous, min_qual=0):
     """Pure-Python streaming fallback (gzip-aware, no temp file)."""
     from ..ops.encode import encode_seq
     import gzip
@@ -429,7 +454,7 @@ def _iter_chunks_py(path, fmt, max_bases, allow_ambiguous):
     total = 0
     with opener(path, "rt") as f:
         if fmt == "fastq":
-            it = _iter_fastq_records_py(f)
+            it = _iter_fastq_records_py(f, min_qual)
         else:
             it = _iter_fasta_records_py(f)
         for seq in it:
@@ -462,9 +487,9 @@ def _iter_fasta_records_py(f):
         yield "".join(seq)
 
 
-def _iter_fastq_records_py(f):
+def _iter_fastq_records_py(f, min_qual=0):
     from ..utils.oracle import read_fastq_stream
-    yield from read_fastq_stream(f)
+    yield from read_fastq_stream(f, min_qual=min_qual)
 
 
 # ---------------------------------------------------------------------------

@@ -63,18 +63,25 @@ def random_codes(n_reads: int, read_len: int, seed: int = 0) -> np.ndarray:
     return rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
 
 
-def random_reads_fastq(n_reads: int, read_len: int, seed: int = 0) -> str:
-    """n_reads uniform-random FASTQ reads (constant 'I' quality)."""
+def random_reads_fastq(n_reads: int, read_len: int, seed: int = 0,
+                       qual_range: tuple[int, int] | None = None) -> str:
+    """n_reads uniform-random FASTQ reads.  Quality is constant 'I'
+    (Phred 40) unless qual_range=(lo, hi) draws per-base Phred scores
+    uniformly from [lo, hi) — for exercising --min-qual filtering."""
     rng = np.random.default_rng(seed)
     codes = rng.integers(0, 4, (n_reads, read_len), dtype=np.uint8)
     ascii_rows = _BASES[codes]
-    qual = "I" * read_len
+    if qual_range is not None:
+        lo, hi = qual_range
+        quals = (rng.integers(lo, hi, (n_reads, read_len)) + 33) \
+            .astype(np.uint8)
     buf = _io.StringIO()
     for i in range(n_reads):
         buf.write(f"@read_{i:06d}\n")
         buf.write(ascii_rows[i].tobytes().decode())
         buf.write("\n+\n")
-        buf.write(qual)
+        buf.write(quals[i].tobytes().decode() if qual_range is not None
+                  else "I" * read_len)
         buf.write("\n")
     return buf.getvalue()
 

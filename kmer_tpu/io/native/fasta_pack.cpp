@@ -257,10 +257,16 @@ enum class FqState { kHeader, kSeq, kPlus, kQual };
 // FASTQ walker (4-line records: @hdr / seq / + / qual).  Sequence may
 // wrap across lines; quality is consumed by LENGTH (qual bytes == seq
 // bases), never by sentinel — '@' is a legal quality character.
+// min_qual > 0 masks bases whose Phred+33 quality is below it to code
+// 4 (the ambiguous-base code) as the quality line is consumed — the
+// record's codes sit at [nbase - seq_len, nbase), so qual byte
+// (qual_seen + j) maps to codes[nbase - seq_len + qual_seen + j].
+// Callers must run with skip_invalid semantics downstream (windows
+// containing masked bases are dropped, like N).
 template <class H>
 int fastq_walk(H* h, int allow_ambiguous, int64_t max_bases,
                Buffers b, int64_t* n_records, int64_t* total_bases,
-               int* eof, char* err, int64_t errcap) {
+               int* eof, char* err, int64_t errcap, int min_qual = 0) {
   FqState st = FqState::kHeader;
   int64_t nrec = 0, nbase = 0, seq_len = 0, qual_seen = 0;
   bool at_line_start = true, hdr_started = false, stopped = false;
@@ -348,6 +354,12 @@ int fastq_walk(H* h, int allow_ambiguous, int64_t max_bases,
         const void* cr = memchr(blk + i, '\r', run);
         if (cr) run = (const uint8_t*)cr - (blk + i);
         if (run > want) { set_err(err, errcap, "quality longer than sequence", h->fpos + i); rc = -2; goto done; }
+        if (min_qual > 0 && b.codes && run > 0) {
+          uint8_t* rec = b.codes + (nbase - seq_len) + qual_seen;
+          const uint8_t thresh = (uint8_t)(33 + min_qual);
+          for (int64_t j = 0; j < run; ++j)
+            if (blk[i + j] < thresh) rec[j] = 4;
+        }
         qual_seen += run;
         i += run;
         if (qual_seen == seq_len) { st = FqState::kHeader; at_line_start = true; }
@@ -776,7 +788,7 @@ int fasta_chunk(void* h, int allow_ambiguous,
                     n_records, total_bases, eof, err, errcap);
 }
 
-int fastq_chunk(void* h, int allow_ambiguous,
+int fastq_chunk(void* h, int allow_ambiguous, int min_qual,
                 uint8_t* codes, int64_t codes_cap,
                 int64_t* offsets, int64_t offsets_cap,
                 int64_t max_bases,
@@ -784,7 +796,7 @@ int fastq_chunk(void* h, int allow_ambiguous,
                 char* err, int64_t errcap) {
   Buffers b{codes, codes_cap, offsets, offsets_cap};
   return fastq_walk((IngestHandle*)h, allow_ambiguous, max_bases, b,
-                    n_records, total_bases, eof, err, errcap);
+                    n_records, total_bases, eof, err, errcap, min_qual);
 }
 
 // ---- whole-file two-pass API (scan sizes, then parse) --------------------
@@ -905,7 +917,8 @@ int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
 int fastq_scan_mt(const char* path, int allow_ambiguous,
                   int nthreads, int64_t* n_records, int64_t* total_bases,
                   char* err, int64_t errcap);
-int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
+int fastq_parse_mt(const char* path, int allow_ambiguous, int min_qual,
+                   int nthreads,
                    uint8_t* codes, int64_t codes_cap,
                    int64_t* offsets, int64_t offsets_cap,
                    int64_t* n_records, int64_t* total_bases,
@@ -922,7 +935,7 @@ int fastq_scan(const char* path, int allow_ambiguous,
   return rc;
 }
 
-int fastq_parse(const char* path, int allow_ambiguous,
+int fastq_parse(const char* path, int allow_ambiguous, int min_qual,
                 uint8_t* codes, int64_t codes_cap,
                 int64_t* offsets, int64_t offsets_cap,
                 int64_t* n_records, int64_t* total_bases,
@@ -931,7 +944,8 @@ int fastq_parse(const char* path, int allow_ambiguous,
   if (!h) { set_err(err, errcap, "cannot open file", 0); return -1; }
   Buffers b{codes, codes_cap, offsets, offsets_cap};
   int rc = fastq_walk(h, allow_ambiguous, 0, b,
-                      n_records, total_bases, nullptr, err, errcap);
+                      n_records, total_bases, nullptr, err, errcap,
+                      min_qual);
   ingest_close(h);
   return rc;
 }
@@ -963,7 +977,8 @@ int fastq_scan_mt(const char* path, int allow_ambiguous, int nthreads,
   return 0;
 }
 
-int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
+int fastq_parse_mt(const char* path, int allow_ambiguous, int min_qual,
+                   int nthreads,
                    uint8_t* codes, int64_t codes_cap,
                    int64_t* offsets, int64_t offsets_cap,
                    int64_t* n_records, int64_t* total_bases,
@@ -971,13 +986,13 @@ int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
   MappedFile mf(path);
   bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
   if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
-    return fastq_parse(path, allow_ambiguous, codes, codes_cap,
+    return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);
   if (nthreads > 16) nthreads = 16;
   FqSplit sp = fq_split_cached(path, mf.data, mf.n, nthreads);
   if (!sp.strict)
-    return fastq_parse(path, allow_ambiguous, codes, codes_cap,
+    return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);
   int T = (int)sp.starts.size() - 1;
@@ -1003,7 +1018,8 @@ int fastq_parse_mt(const char* path, int allow_ambiguous, int nthreads,
                 /*write_sentinel=*/false};
       int64_t nr = 0, nb = 0;
       res[t].rc = fastq_walk(&mh, allow_ambiguous, 0, b, &nr, &nb,
-                             nullptr, res[t].err, sizeof(res[t].err));
+                             nullptr, res[t].err, sizeof(res[t].err),
+                             min_qual);
       if (res[t].rc == 0 && base_off[t] != 0)
         for (int64_t j = 0; j < nr; ++j)
           offsets[rec_off[t] + j] += base_off[t];

@@ -107,7 +107,7 @@ def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
     rec_i = 0
     for codes, offsets, _cur in iter_parse_chunks(
             path, max_bases=cfg.ingest_chunk_bases,
-            allow_ambiguous=cfg.skip_invalid):
+            allow_ambiguous=cfg.skip_invalid, min_qual=cfg.min_qual):
         n_in = len(offsets) - 1
         lo = max(s - rec_i, 0)
         hi = min(e - rec_i, n_in)
@@ -187,7 +187,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
                                       max_bases=cfg.ingest_chunk_bases,
                                       allow_ambiguous=cfg.skip_invalid)
     else:
-        codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid)
+        codes, offsets = parse_seqs(path, allow_ambiguous=cfg.skip_invalid,
+                                    min_qual=cfg.min_qual)
     n_records = len(offsets) - 1
 
     # every process derives every host's batch count locally — all

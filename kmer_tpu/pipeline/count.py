@@ -503,9 +503,11 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     for p in paths:
         if cfg.ingest_chunk_bases > 0:
             chunks = iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
-                                       allow_ambiguous=cfg.skip_invalid)
+                                       allow_ambiguous=cfg.skip_invalid,
+                                       min_qual=cfg.min_qual)
         else:
-            codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid)
+            codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid,
+                                        min_qual=cfg.min_qual)
             chunks = [(codes, offsets, -1)]
         for codes, offsets, _cur in chunks:
             seen_any = True

@@ -185,7 +185,7 @@ class StreamingCounter:
             "k": c.k, "canonical": c.canonical,
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
-            "skip_invalid": c.skip_invalid,
+            "skip_invalid": c.skip_invalid, "min_qual": c.min_qual,
             "l_len": c.l_len, "r_len": c.r_len,
             "c_min": c.c_min, "c_max": c.c_max,
             # chunk boundaries are deterministic given this; a changed
@@ -328,12 +328,14 @@ class StreamingCounter:
         if cfg.ingest_chunk_bases > 0:
             chunks = iter_parse_chunks(
                 self.fasta, max_bases=cfg.ingest_chunk_bases,
-                allow_ambiguous=cfg.skip_invalid, start_cursor=cursor)
+                allow_ambiguous=cfg.skip_invalid, start_cursor=cursor,
+                min_qual=cfg.min_qual)
         else:
             # 0 = whole-file parse (one chunk, no resume cursor)
             from ..io.fasta import parse_seqs
             codes0, offsets0 = parse_seqs(self.fasta,
-                                          allow_ambiguous=cfg.skip_invalid)
+                                          allow_ambiguous=cfg.skip_invalid,
+                                          min_qual=cfg.min_qual)
             chunks = iter([(codes0, offsets0, -1)])
         for codes, offsets, next_cur in chunks:
             spans_n = len(segment_records(offsets, cfg.max_read_len,

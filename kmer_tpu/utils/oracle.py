@@ -68,9 +68,24 @@ def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False,
     return c
 
 
-def read_fastq_py(path: str) -> list[str]:
+def mask_low_quality(seq: str, qual: str, min_qual: int) -> str:
+    """Replace bases whose Phred+33 quality is below min_qual with 'N'
+    (the framework then drops windows containing them, like any
+    ambiguous base).  Mirrors the native walker's in-place code-4
+    masking (io/native/fasta_pack.cpp fastq_walk)."""
+    if min_qual <= 0:
+        return seq
+    import numpy as np
+    arr = np.frombuffer(seq.encode(), np.uint8).copy()
+    qarr = np.frombuffer(qual.encode(), np.uint8)
+    arr[qarr < 33 + min_qual] = ord("N")
+    return arr.tobytes().decode()
+
+
+def read_fastq_py(path: str, min_qual: int = 0) -> list[str]:
     """Minimal FASTQ reader (oracle-side): 4-line records, sequence may
-    wrap; quality consumed by length ('@' is a legal quality char)."""
+    wrap; quality consumed by length ('@' is a legal quality char).
+    min_qual > 0 masks low-quality bases to 'N' (mask_low_quality)."""
     seqs: list[str] = []
     with open(path, "r") as f:
         lines = f.read().splitlines()
@@ -88,13 +103,15 @@ def read_fastq_py(path: str) -> list[str]:
             i += 1
         i += 1                      # the '+' line
         s = "".join(seq)
-        q = 0
-        while i < len(lines) and q < len(s):
-            q += len(lines[i].strip())
+        q: list[str] = []
+        ql = 0
+        while i < len(lines) and ql < len(s):
+            q.append(lines[i].strip())
+            ql += len(q[-1])
             i += 1
-        if q != len(s):
+        if ql != len(s):
             raise ValueError("truncated FASTQ record")
-        seqs.append(s)
+        seqs.append(mask_low_quality(s, "".join(q), min_qual))
     return seqs
 
 
@@ -125,7 +142,7 @@ def read_fasta_py(path: str) -> list[str]:
     return seqs
 
 
-def read_fastq_stream(f):
+def read_fastq_stream(f, min_qual: int = 0):
     """Yield sequences from an open FASTQ text stream — same semantics
     as read_fastq_py (wrapping-safe, '@'-in-quality safe) without
     materializing the file (chunked-ingest fallback path)."""
@@ -148,12 +165,14 @@ def read_fastq_stream(f):
                 break
             seq.append(ln.strip())
         s = "".join(seq)
-        q = 0
-        while q < len(s):
+        q: list[str] = []
+        ql = 0
+        while ql < len(s):
             ln = f.readline()
             if not ln:
                 break
-            q += len(ln.strip())
-        if q != len(s):
+            q.append(ln.strip())
+            ql += len(q[-1])
+        if ql != len(s):
             raise ValueError("truncated FASTQ record")
-        yield s
+        yield mask_low_quality(s, "".join(q), min_qual)

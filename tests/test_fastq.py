@@ -199,3 +199,103 @@ def test_fastq_mt_property_fuzz(tmp_path, monkeypatch):
             mc, mo = fasta.parse_fastq_native(str(p))
             assert np.array_equal(mc, sc) and np.array_equal(mo, so), \
                 (trial, t)
+
+
+# ---------------------------------------------------------------------------
+# FASTQ quality filtering (--min-qual): bases below the Phred+33 cutoff
+# are masked to the ambiguous code at ingest; windows containing one
+# are dropped exactly like N (skip_invalid semantics).
+# ---------------------------------------------------------------------------
+
+def _mk_qual_fastq(tmp_path, name="q.fastq", n=64, L=40, seed=5):
+    from kmer_tpu.io.generator import random_reads_fastq
+    p = tmp_path / name
+    p.write_text(random_reads_fastq(n, L, seed=seed, qual_range=(0, 41)))
+    return str(p)
+
+
+def _oracle_minqual_table(path, k, min_qual, canonical=False):
+    from collections import Counter
+    seqs = oracle.read_fastq_py(path, min_qual=min_qual)
+    return Counter(dict(oracle.oracle_count(seqs, k, canonical=canonical,
+                                            skip_invalid=True)))
+
+
+@pytest.mark.parametrize("min_qual", [0, 10, 25])
+def test_min_qual_parsers_agree(tmp_path, min_qual):
+    """Native (serial walker) and NumPy fallback mask identically."""
+    p = _mk_qual_fastq(tmp_path)
+    if fasta._load_native() is None:
+        pytest.skip("native parser unavailable")
+    cn, on = fasta.parse_fastq_native(p, allow_ambiguous=True,
+                                      min_qual=min_qual)
+    cp, op_ = fasta.parse_fastq_numpy(p, allow_ambiguous=True,
+                                      min_qual=min_qual)
+    assert np.array_equal(on, op_)
+    # fallback maps masked bases via 'N' -> 4; native writes 4 in place
+    assert np.array_equal(cn, cp)
+    if min_qual > 0:
+        assert (cn == 4).any()          # the fixture spans Phred 0..40
+
+
+def test_min_qual_mt_matches_serial(tmp_path, monkeypatch):
+    """The multithreaded strict-framing path masks identically to the
+    serial walker (per-slice fastq_walk carries min_qual)."""
+    if fasta._load_native() is None:
+        pytest.skip("native parser unavailable")
+    from kmer_tpu.io.generator import random_reads_fastq
+    p = tmp_path / "big.fastq"
+    p.write_text(random_reads_fastq(40_000, 150, seed=9,
+                                    qual_range=(0, 41)))
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "4")
+    cm, om = fasta.parse_fastq_native(str(p), allow_ambiguous=True,
+                                      min_qual=15)
+    monkeypatch.setenv("KMER_TPU_PARSE_THREADS", "1")
+    cs, os_ = fasta.parse_fastq_native(str(p), allow_ambiguous=True,
+                                       min_qual=15)
+    assert np.array_equal(om, os_)
+    assert np.array_equal(cm, cs)
+    assert (cm == 4).any()
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_min_qual_count_end_to_end(tmp_path, canonical):
+    p = _mk_qual_fastq(tmp_path, n=48, L=36, seed=7)
+    cfg = KmerConfig(k=9, canonical=canonical, skip_invalid=True,
+                     min_qual=20, batch_reads=16, max_read_len=64,
+                     mode="sort", sort_group_keys=64)
+    got = count_fasta(p, cfg)
+    want = _oracle_minqual_table(p, 9, 20, canonical)
+    assert got.to_dict() == dict(want)
+    # sanity: the filter actually removed something vs min_qual=0
+    unfiltered = count_fasta(p, cfg.replace(min_qual=0))
+    assert unfiltered.total > got.total
+
+
+def test_min_qual_requires_skip_invalid():
+    with pytest.raises(ValueError):
+        KmerConfig(min_qual=10)
+    with pytest.raises(ValueError):
+        KmerConfig(min_qual=-1, skip_invalid=True)
+
+
+def test_min_qual_cli_implies_skip_invalid(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    p = _mk_qual_fastq(tmp_path, n=16, L=30, seed=3)
+    rc = main(["count", p, "-k", "9", "--min-qual", "20",
+               "--batch-reads", "8", "--max-read-len", "64"])
+    assert rc == 0
+    got = {ln.split("\t")[0]: int(ln.split("\t")[1])
+           for ln in capsys.readouterr().out.splitlines()}
+    assert got == dict(_oracle_minqual_table(p, 9, 20))
+
+
+def test_min_qual_ignored_for_fasta(tmp_path):
+    """FASTA has no qualities: min_qual must be a no-op, not an error."""
+    from kmer_tpu.io.generator import random_reads_fasta
+    p = tmp_path / "a.fasta"
+    p.write_text(random_reads_fasta(8, 30, seed=1))
+    cfg = KmerConfig(k=9, skip_invalid=True, min_qual=30, batch_reads=8,
+                     max_read_len=64, mode="sort", sort_group_keys=64)
+    want = count_fasta(str(p), cfg.replace(min_qual=0, skip_invalid=True))
+    assert count_fasta(str(p), cfg) == want
