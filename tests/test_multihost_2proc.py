@@ -51,11 +51,15 @@ def test_two_process_table_bit_identical():
         worker = os.path.join(d, "worker.py")
         with open(worker, "w") as f:
             f.write(_WORKER)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = dict(os.environ)
         env.update({
             "JAX_PLATFORMS": "cpu",
             "PALLAS_AXON_POOL_IPS": "",
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            # the worker script lives in a temp dir; make kmer_tpu
+            # importable regardless of the runner's cwd/install state
+            "PYTHONPATH": repo + os.pathsep + env.get("PYTHONPATH", ""),
         })
         coord = f"127.0.0.1:{_free_port()}"
         procs = [subprocess.Popen(
