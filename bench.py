@@ -102,7 +102,7 @@ def main():
     # BEST one — still elision-proof (the chain runs through every
     # block; the readback forces it), and it matches quiet-session
     # single-window numbers.
-    def measure(step, state, label):
+    def measure(step, state, label, spread_s: float = 0.0):
         t0 = time.perf_counter()
         state = step(state)
         _ = np.asarray(state[0, :8])
@@ -112,7 +112,11 @@ def main():
             state = step(state)
         _ = np.asarray(state[0, :8])
         best = float("inf")
-        for _ in range(NBLOCKS):
+        for b in range(NBLOCKS):
+            if spread_s and b:
+                # interference phases last minutes — spacing the windows
+                # out is what lets one land in a quiet phase
+                time.sleep(spread_s)
             t0 = time.perf_counter()
             for _ in range(BLOCK_ITERS):
                 state = step(state)
@@ -120,7 +124,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / BLOCK_ITERS)
         return best
 
-    dt_step = measure(step_chained, codes, f"k={K}")
+    dt_step = measure(step_chained, codes, f"k={K}", spread_s=12.0)
     kmers_per_sec = kmers_per_step / dt_step
     log(f"k={K}: best {BLOCK_ITERS}-step window of {NBLOCKS}: "
         f"{dt_step * 1e3:.2f} ms/step x {kmers_per_step} kmers "

@@ -138,12 +138,16 @@ def select_fused_extract(k: int, L: int, canonical: bool,
     extraction path).
 
     env KMER_TPU_FUSED_EXTRACT:
-      auto (default)  doubling for W <= 2 keys (2k != 32); otherwise
-                      mxu when its VMEM operands fit — the banded-matmul
-                      extraction measured 5.5-6.7x over the XLA fallback
-                      at k=33/45/63 on v5e (scripts/bigk_ab.py), and it
-                      lifts the fused kernel to every k <= 63 including
-                      the s==0 widths k=16/32/48.
+      auto (default)  doubling for single-word keys (k <= 15: parity
+                      within noise, simpler integer path); mxu for
+                      every other k <= 63 whose VMEM operands fit —
+                      the banded-matmul extraction measured 5.5-6.7x
+                      over the XLA fallback at k=33/45/63 and a
+                      consistent same-process win over doubling at
+                      W=2 (k=21: 0.257 vs 0.268 ms at seg=2, k=31:
+                      0.270 vs 0.285 — r3 alternated sweeps), and it
+                      covers the s==0 widths k=16/32/48; unfit falls
+                      back to doubling (W <= 2) / XLA (wide keys).
       mxu             mxu wherever it fits; doubling downgrade for
                       W <= 2; None otherwise.
       doubling /      force (W <= 2 only; None otherwise — the escape
@@ -157,7 +161,9 @@ def select_fused_extract(k: int, L: int, canonical: bool,
         return "mxu" if fits else ("doubling" if base else None)
     if req in ("doubling", "slicesum"):
         return req if base else None
-    return "doubling" if base else ("mxu" if fits else None)
+    if words_per_key(k) == 1:
+        return "doubling"
+    return "mxu" if fits else ("doubling" if base else None)
 
 
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
@@ -435,7 +441,12 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "auto")
     if extract_algo == "auto":
-        extract_algo = ("doubling" if W <= 2 and 2 * k != 32 else "mxu")
+        extract_algo = select_fused_extract(k, L, canonical,
+                                            mask_ambiguous)
+        if extract_algo is None:
+            raise ValueError(
+                f"no fused extraction backend fits (k={k}, L={L}); "
+                f"use the XLA path")
     if extract_algo == "mxu":
         assert k <= 63, (k, "unsupported key width")
     else:

@@ -236,7 +236,7 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     if fused_extract is not None:
         rflat, counts = fused_extract_count_T(
             codes_l.T, lengths_l, limits_l, k, canonical=canonical,
-            mask_ambiguous=mask_ambiguous, seg=4, block_lanes=256,
+            mask_ambiguous=mask_ambiguous, seg=2, block_lanes=256,
             algo="dedup", extract=fused_extract,
             interpret=_jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)

@@ -81,8 +81,12 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     if use_fused:
         from ..ops.pallas.fused_extract import fused_extract_count_T
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "dedup")
+        # seg=2 measured best for the contiguous dedup kernel on v5e
+        # (r3 alternated sweep: k=21 0.268 vs 0.312 ms at seg=4, k=31
+        # 0.285 vs 0.303; in-segment collapse scope only affects host
+        # pair volume, never the table)
         seg = int(os.environ.get("KMER_TPU_T_M",
-                                 "4" if algo == "dedup" else "8"))
+                                 "2" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
@@ -160,8 +164,12 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
         # half directly (same repacked run-stream contract)
         from ..ops.pallas.fused_extract import fused_extract_count_T
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "dedup")
+        # seg=2 measured best for the contiguous dedup kernel on v5e
+        # (r3 alternated sweep: k=21 0.268 vs 0.312 ms at seg=4, k=31
+        # 0.285 vs 0.303; in-segment collapse scope only affects host
+        # pair volume, never the table)
         seg = int(os.environ.get("KMER_TPU_T_M",
-                                 "4" if algo == "dedup" else "8"))
+                                 "2" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,

@@ -396,9 +396,13 @@ def test_select_fused_extract_policy(monkeypatch):
     keys; a forced-but-unfit mxu downgrades."""
     from kmer_tpu.ops.pallas.fused_extract import select_fused_extract
     monkeypatch.delenv("KMER_TPU_FUSED_EXTRACT", raising=False)
-    assert select_fused_extract(21, 150, True) == "doubling"
-    assert select_fused_extract(31, 150, True) == "doubling"
-    # W>2 and the s==0 widths route to mxu when it fits
+    # W=1: doubling (parity within noise, simpler integer path)
+    assert select_fused_extract(13, 150, True) == "doubling"
+    # W=2 and up: mxu when it fits (r3 alternated-sweep winner)
+    assert select_fused_extract(21, 150, True) == "mxu"
+    assert select_fused_extract(31, 150, True) == "mxu"
+    # unfit W<=2 falls back to doubling
+    assert select_fused_extract(21, 65536, True) == "doubling"
     assert select_fused_extract(33, 150, True) == "mxu"
     assert select_fused_extract(63, 96, True, True) == "mxu"
     assert select_fused_extract(16, 150, True) == "mxu"
