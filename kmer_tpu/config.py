@@ -96,8 +96,9 @@ class KmerConfig:
                                  f"(<= 111 bases; got {n_bases})")
         if self.compact and self.mode == "dense":
             raise ValueError("compact applies to sort mode")
-        if self.min_qual < 0:
-            raise ValueError(f"min_qual must be >= 0, got {self.min_qual}")
+        if not 0 <= self.min_qual <= 93:
+            raise ValueError("min_qual must be in [0, 93] (Phred+33 "
+                             f"range), got {self.min_qual}")
         if self.min_qual > 0 and not self.skip_invalid:
             raise ValueError("min_qual masks bases to the ambiguous "
                              "code; set skip_invalid=True (CLI: "

@@ -151,6 +151,17 @@ def _parse_native_two_pass(path: str, allow_ambiguous: bool, scan, parse
     return codes[: int(nbase.value)], offsets
 
 
+def _check_min_qual(allow_ambiguous: bool, min_qual: int) -> None:
+    """Quality masking writes the ambiguous code into the stream: a
+    caller that advertised a strict 0..3 stream (allow_ambiguous=False)
+    would silently corrupt downstream keys — reject the combination at
+    every public parse entry point (KmerConfig enforces the same
+    pairing for the pipeline)."""
+    if min_qual > 0 and not allow_ambiguous:
+        raise ValueError("min_qual masks bases to the ambiguous code; "
+                         "pass allow_ambiguous=True")
+
+
 def _parse_threads() -> int:
     """Threads for the multithreaded whole-file FASTA parse
     (KMER_TPU_PARSE_THREADS overrides; gzip/tiny files stay serial
@@ -234,8 +245,9 @@ def parse_fastq(path: str, prefer_native: bool = True,
     """Parse a FASTQ file into (codes, offsets); native parser preferred.
 
     min_qual > 0 masks bases below that Phred+33 quality to the
-    ambiguous code (requires allow_ambiguous downstream — windows
-    containing masked bases are dropped like N)."""
+    ambiguous code (requires allow_ambiguous — windows containing
+    masked bases are dropped like N)."""
+    _check_min_qual(allow_ambiguous, min_qual)
     if prefer_native and _load_native() is not None:
         return parse_fastq_native(path, allow_ambiguous, min_qual)
     return parse_fastq_numpy(path, allow_ambiguous, min_qual)
@@ -291,6 +303,8 @@ def parse_seqs(path: str, prefer_native: bool = True,
     a temp file first.  min_qual applies to FASTQ only (FASTA has no
     qualities; it is ignored there, matching standard counters)."""
     fmt = detect_format(path)
+    if fmt == "fastq":
+        _check_min_qual(allow_ambiguous, min_qual)
     if prefer_native and _load_native() is not None:
         if fmt == "fastq":
             return parse_fastq_native(path, allow_ambiguous, min_qual)
@@ -335,6 +349,8 @@ def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
                       start_cursor: int = 0,
                       min_qual: int = 0):
     """Yield (codes, offsets, next_cursor) windows of whole records.
+    min_qual masks sub-threshold FASTQ bases to the ambiguous code
+    (requires allow_ambiguous; no effect on FASTA).
 
     Peak host memory is ~max_bases + one-record slack, independent of
     corpus size; gzip inputs stream through zlib with no temp file and
@@ -347,6 +363,8 @@ def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
     next_cursor = -1 (resume-by-cursor needs the native parser).
     """
     fmt = detect_format(path)
+    if fmt == "fastq":
+        _check_min_qual(allow_ambiguous, min_qual)
     lib = _load_native()
     if prefer_native and lib is not None:
         # whole-file fast path: a PLAIN file that fits one window has no

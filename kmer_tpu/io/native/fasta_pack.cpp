@@ -356,9 +356,9 @@ int fastq_walk(H* h, int allow_ambiguous, int64_t max_bases,
         if (run > want) { set_err(err, errcap, "quality longer than sequence", h->fpos + i); rc = -2; goto done; }
         if (min_qual > 0 && b.codes && run > 0) {
           uint8_t* rec = b.codes + (nbase - seq_len) + qual_seen;
-          const uint8_t thresh = (uint8_t)(33 + min_qual);
-          for (int64_t j = 0; j < run; ++j)
-            if (blk[i + j] < thresh) rec[j] = 4;
+          const int thresh = 33 + min_qual;   // int: no u8 wrap for
+          for (int64_t j = 0; j < run; ++j)   // absurd cutoffs
+            if ((int)blk[i + j] < thresh) rec[j] = 4;
         }
         qual_seen += run;
         i += run;

@@ -228,8 +228,6 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     # extraction with per-lane count 1 (pair routing doesn't care
     # where the pairs come from — aggregation absorbs uncollapsed
     # duplicates)
-    import os
-
     from ..ops.pallas.fused_extract import select_fused_extract
     fused_extract = select_fused_extract(k, codes_l.shape[1], canonical,
                                          mask_ambiguous)

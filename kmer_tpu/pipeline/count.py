@@ -58,8 +58,8 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     # chunks stitch into arbitrarily many repacked words): any k <= 63
     # is fused-eligible under it — as long as its VMEM-resident weight
     # matrix + accumulator fit (they grow O(k/12 * L)); the shared
-    # policy (select_fused_extract) picks doubling for W <= 2 and mxu
-    # elsewhere, with env overrides
+    # policy (select_fused_extract) picks doubling for W == 1 and mxu
+    # for every wider key that fits, with env overrides
     from ..ops.pallas.fused_extract import select_fused_extract
     fused_extract = select_fused_extract(k, codes.shape[-1], canonical,
                                          mask_ambiguous)

@@ -190,6 +190,14 @@ class KmerTable:
             self.k, np.concatenate([self.keys, other.keys], axis=0),
             np.concatenate([self.counts, other.counts]))
 
+    def _probe(self, other: "KmerTable"):
+        """For each of self's keys: (hit, idx) into other's sorted keys
+        — one searchsorted over the big-endian void views (the shared
+        kernel of intersect/subtract/get_many)."""
+        va, vb = _void_view(self.keys), _void_view(other.keys)
+        idx = np.minimum(np.searchsorted(vb, va), len(vb) - 1)
+        return vb[idx] == va, idx
+
     def union(self, other: "KmerTable") -> "KmerTable":
         """Sum-union (KMC-tools `simple ... union`): all keys, counts
         added where a key is in both.  Alias of merge()."""
@@ -202,14 +210,11 @@ class KmerTable:
         assert self.k == other.k
         if self.num_distinct == 0 or other.num_distinct == 0:
             return KmerTable.empty(self.k)
-        va, vb = _void_view(self.keys), _void_view(other.keys)
-        idx = np.searchsorted(vb, va)
-        idx_c = np.minimum(idx, len(vb) - 1)
-        hit = vb[idx_c] == va
+        hit, idx = self._probe(other)
         keep = np.flatnonzero(hit)
         return KmerTable(self.k, self.keys[keep],
                          np.minimum(self.counts[keep],
-                                    other.counts[idx_c[keep]]))
+                                    other.counts[idx[keep]]))
 
     def subtract(self, other: "KmerTable",
                  counters: bool = True) -> "KmerTable":
@@ -220,14 +225,11 @@ class KmerTable:
         assert self.k == other.k
         if self.num_distinct == 0 or other.num_distinct == 0:
             return self
-        va, vb = _void_view(self.keys), _void_view(other.keys)
-        idx = np.searchsorted(vb, va)
-        idx_c = np.minimum(idx, len(vb) - 1)
-        hit = vb[idx_c] == va
+        hit, idx = self._probe(other)
         if not counters:
             keep = ~hit
             return KmerTable(self.k, self.keys[keep], self.counts[keep])
-        new = self.counts - np.where(hit, other.counts[idx_c], 0)
+        new = self.counts - np.where(hit, other.counts[idx], 0)
         keep = new > 0
         return KmerTable(self.k, self.keys[keep], new[keep])
 
@@ -293,10 +295,8 @@ class KmerTable:
         q = np.stack([key_words_from_codes(encode_seq(km)) for km in kmers])
         if self.num_distinct == 0:
             return np.zeros((len(kmers),), np.int64)
-        v = _void_view(self.keys)
-        t = _void_view(q)
-        idx = np.minimum(np.searchsorted(v, t), len(v) - 1)
-        return np.where(v[idx] == t, self.counts[idx], 0).astype(np.int64)
+        hit, idx = KmerTable(self.k, q, np.zeros(len(q)))._probe(self)
+        return np.where(hit, self.counts[idx], 0).astype(np.int64)
 
     def save(self, path: str) -> None:
         """Persist as .npz (keys/counts/k)."""

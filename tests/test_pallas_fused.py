@@ -435,7 +435,10 @@ def test_auto_policy_multiword_end_to_end(tmp_path):
         del os.environ["KMER_TPU_STEP"]
     os.environ["KMER_TPU_FUSED_EXTRACT"] = "doubling"   # -> XLA path
     try:
-        want = count_fasta(str(p), cfg)
+        # different batch shape => different trace: the env re-routing
+        # happens at trace time, so reusing cfg would hit the jit cache
+        # of the mxu run and compare it with itself
+        want = count_fasta(str(p), cfg.replace(batch_reads=12))
     finally:
         del os.environ["KMER_TPU_FUSED_EXTRACT"]
     assert got == want
