@@ -202,7 +202,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, l_len: int, r_len: int,
 def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          limits: jnp.ndarray | None, *, l_len: int,
                          r_len: int, c_min: int, c_max: int,
-                         mask_ambiguous: bool = False, seg: int = 4,
+                         mask_ambiguous: bool = False, seg: int = 2,
                          block_lanes: int = 256, algo: str | None = None,
                          interpret: bool = False):
     """(L, B) uint8 transposed codes -> (repacked_words_flat, counts_flat)
