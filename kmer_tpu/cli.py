@@ -96,6 +96,19 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("-k", type=int, default=21)
     ph.add_argument("--canonical", action="store_true")
 
+    pe = sub.add_parser("card", help="estimate DISTINCT k-mers (F0 "
+                                     "cardinality, ntCard-style "
+                                     "HyperLogLog on the MXU) without "
+                                     "building a table")
+    _add_common(pe)
+    pe.add_argument("-k", type=int, default=21)
+    pe.add_argument("--canonical", action="store_true")
+    pe.add_argument("--skip-invalid", action="store_true")
+    pe.add_argument("--min-qual", type=int, default=0)
+    pe.add_argument("--buckets-log2", type=int, default=10,
+                    help="HLL precision b: 2^b buckets, relative error "
+                         "~1.04/sqrt(2^b) (default 10: ~3.3%%)")
+
     pq = sub.add_parser("query", help="look up k-mer counts in a saved "
                                       "table (.npz from count --out-npz)")
     pq.add_argument("table", help="KmerTable .npz path")
@@ -236,6 +249,21 @@ def _dispatch(args) -> int:
         table = count_files(args.fasta, cfg)
         for mult, ndis in sorted(table.multiplicity_histogram().items()):
             sys.stdout.write(f"{mult}\t{ndis}\n")
+        return 0
+
+    if args.cmd == "card":
+        from .config import KmerConfig
+        from .pipeline.sketch import estimate_distinct_files
+        cfg = KmerConfig(k=args.k, canonical=args.canonical,
+                         batch_reads=args.batch_reads,
+                         max_read_len=max(args.max_read_len, args.k),
+                         skip_invalid=(args.skip_invalid
+                                       or args.min_qual > 0),
+                         min_qual=args.min_qual, stats=args.stats)
+        est, total = estimate_distinct_files(args.fasta, cfg,
+                                             b=args.buckets_log2)
+        sys.stdout.write(f"distinct_estimate\t{round(est)}\n"
+                         f"total_kmers\t{total}\n")
         return 0
 
     if args.cmd == "parity":

@@ -66,7 +66,20 @@ def dense_histogram_mxu(word: jnp.ndarray, valid: jnp.ndarray, k: int,
     2^24 keys per call (f32 accumulator exactness).
     """
     assert k <= DENSE_MXU_K_MAX, k
-    bits = 2 * k
+    return index_histogram_mxu(word, valid, 2 * k, interpret=interpret)
+
+
+def index_histogram_mxu(word: jnp.ndarray, valid: jnp.ndarray,
+                        n_bits: int, *,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Histogram of `word` (any shape, flattened, values < 2^n_bits)
+    where valid — the same hi/lo outer-product one-hot matmul as the
+    dense k-mer table, for ANY index width <= 16 bits (the HLL sketch
+    uses (bucket, rho) classes; ops/sketch.py).
+
+    Returns (2^n_bits,) int32; < 2^24 keys per call."""
+    assert 1 <= n_bits <= 16, n_bits
+    bits = n_bits
     bh = (bits + 1) // 2
     bl = bits - bh
     H, L = 1 << bh, 1 << bl
@@ -77,7 +90,7 @@ def dense_histogram_mxu(word: jnp.ndarray, valid: jnp.ndarray, k: int,
     if N == 0:
         # a zero-iteration pallas grid never writes out_ref — the result
         # would be uninitialized memory (ADVICE r1)
-        return jnp.zeros((4 ** k,), jnp.int32)
+        return jnp.zeros((1 << bits,), jnp.int32)
     assert N < (1 << 24), "tile accumulation exactness bound"
     tile = _TILE_ROWS * 128
     n = math.ceil(N / tile) * tile

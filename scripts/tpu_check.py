@@ -123,6 +123,19 @@ def main():
         finally:
             del os.environ["KMER_TPU_FUSED_EXTRACT"]
 
+        # 13a. HLL estimator on real Mosaic (generic-width one-hot
+        # histogram + the VPU hash pipeline): total must equal the
+        # exact window count, and the estimate must sit within the
+        # HLL error band of the exact distinct count
+        from kmer_tpu.pipeline.sketch import estimate_distinct_files
+        est, tot = estimate_distinct_files(corpus, cfg)
+        n_distinct = len(want)
+        sigma = 1.04 / (1 << 5)                  # b=10 -> 1.04/sqrt(1024)
+        check("hll estimator total == window count",
+              tot == sum(max(0, len(s) - 21 + 1) for s in seqs))
+        check("hll estimate within 5 sigma of exact distinct",
+              abs(est - n_distinct) / n_distinct < 5 * sigma)
+
         # 13b. AUTO policy default: multi-word k=45 routes to the fused
         # mxu kernel with no env set — the production default path for
         # 32 <= k <= 63 (select_fused_extract)
