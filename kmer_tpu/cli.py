@@ -95,6 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(ph)
     ph.add_argument("-k", type=int, default=21)
     ph.add_argument("--canonical", action="store_true")
+    ph.add_argument("--two-pass", action="store_true",
+                    help="streaming spectrum for corpora whose table "
+                         "exceeds host memory (requires --spill-dir)")
+    ph.add_argument("--spill-dir", default=None)
+    ph.add_argument("--partitions", type=int, default=16)
 
     pe = sub.add_parser("card", help="estimate DISTINCT k-mers (F0 "
                                      "cardinality, ntCard-style "
@@ -241,13 +246,24 @@ def _dispatch(args) -> int:
 
     if args.cmd == "histo":
         from .config import KmerConfig
-        from .pipeline.count import count_files
         cfg = KmerConfig(k=args.k, canonical=args.canonical,
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, args.k),
-                         stats=args.stats)
-        table = count_files(args.fasta, cfg)
-        for mult, ndis in sorted(table.multiplicity_histogram().items()):
+                         partitions=args.partitions, stats=args.stats)
+        if args.two_pass:
+            if not args.spill_dir:
+                raise ValueError("--two-pass requires --spill-dir")
+            if len(args.fasta) != 1:
+                raise ValueError("--two-pass takes exactly one input file")
+            from .pipeline.streaming import StreamingCounter
+            sc = StreamingCounter(args.fasta[0], cfg.replace(mode="sort"),
+                                  args.spill_dir)
+            sc.run()
+            histo = sc.multiplicity_histogram()
+        else:
+            from .pipeline.count import count_files
+            histo = count_files(args.fasta, cfg).multiplicity_histogram()
+        for mult, ndis in sorted(histo.items()):
             sys.stdout.write(f"{mult}\t{ndis}\n")
         return 0
 

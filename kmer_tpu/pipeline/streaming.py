@@ -439,6 +439,17 @@ class StreamingCounter:
         return KmerTable(self._n_bases, np.concatenate(keys, axis=0),
                          np.concatenate(counts))
 
+    def multiplicity_histogram(self) -> dict[int, int]:
+        """The k-mer spectrum of the full corpus, streamed: partitions
+        hold disjoint key ranges, so per-partition spectra add —
+        peak host memory stays one partition table (the histo analog
+        of write_tsv)."""
+        out: dict[int, int] = {}
+        for _, t in self.partition_tables():
+            for mult, ndis in t.multiplicity_histogram().items():
+                out[mult] = out.get(mult, 0) + ndis
+        return out
+
     def write_tsv(self, stream) -> None:
         """Stream the global table as TSV without materializing it."""
         for _, t in self.partition_tables():

@@ -133,3 +133,18 @@ def test_estimate_with_min_qual(tmp_path):
     _, total_all = estimate_distinct_files(
         str(p), cfg.replace(min_qual=0), b=8)
     assert 0 < total < total_all
+
+
+def test_histo_two_pass_cli(tmp_path, capsys):
+    """Streaming spectrum (histo --two-pass) == in-memory spectrum."""
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import genome_reads_fasta
+    p = tmp_path / "h.fasta"
+    p.write_text(genome_reads_fasta(60, 80, genome_len=2000, seed=9))
+    args = ["histo", str(p), "-k", "15", "--canonical",
+            "--batch-reads", "16", "--max-read-len", "96"]
+    assert main(args) == 0
+    in_mem = capsys.readouterr().out
+    assert main(args + ["--two-pass", "--spill-dir",
+                        str(tmp_path / "sp"), "--partitions", "4"]) == 0
+    assert capsys.readouterr().out == in_mem
