@@ -107,6 +107,10 @@ def _load_native():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int64]
+        lib.bgzf_usize.restype = ctypes.c_int64
+        lib.bgzf_usize.argtypes = [ctypes.c_char_p]
+        lib.bgzf_cache_clear.restype = None
+        lib.bgzf_cache_clear.argtypes = []
         lib.fasta_chunk.restype = ctypes.c_int
         lib.fasta_chunk.argtypes = chunk_sig
         lib.fastq_chunk.restype = ctypes.c_int
@@ -148,6 +152,9 @@ def _parse_native_two_pass(path: str, allow_ambiguous: bool, scan, parse
     if rc != 0:
         msg = err.value.decode() or _ERRCODES.get(rc, f"error {rc}")
         raise (InvalidBaseError if rc == -3 else ValueError)(f"{path}: {msg}")
+    # BGZF inputs: both passes shared one cached decompressed buffer;
+    # release it now so a corpus-sized allocation never outlives parse
+    _lib.bgzf_cache_clear()
     return codes[: int(nbase.value)], offsets
 
 
@@ -281,8 +288,12 @@ def detect_format(path: str) -> str:
         head = f.read(256)
     if head[:2] == b"\x1f\x8b":
         import gzip
-        with gzip.open(path, "rb") as f:
-            head = f.read(256)
+        import zlib
+        try:
+            with gzip.open(path, "rb") as f:
+                head = f.read(256)
+        except (zlib.error, EOFError) as e:
+            raise ValueError(f"{path}: corrupt gzip stream ({e})")
     for b in head:
         if b in b" \t\r\n":
             continue
@@ -376,6 +387,13 @@ def iter_parse_chunks(path: str, *, max_bases: int = 256 << 20,
             size = os.path.getsize(path)
             with open(path, "rb") as fh:
                 plain = fh.read(2) != b"\x1f\x8b"
+            if not plain:
+                # BGZF (blocked gzip): the native MT parsers inflate its
+                # blocks in parallel, so it qualifies for the whole-file
+                # fast path when the UNCOMPRESSED size fits the window
+                # (bgzf_usize walks headers only; -1 = plain gzip)
+                usize = int(lib.bgzf_usize(path.encode()))
+                plain, size = usize >= 0, usize
             whole = start_cursor == 0 and plain and size <= max_bases
         except OSError:
             whole = False

@@ -36,6 +36,8 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#include <algorithm>
+#include <memory>
 #include <thread>
 #include <mutex>
 #include <string>
@@ -445,6 +447,166 @@ struct MappedFile {
   MappedFile& operator=(const MappedFile&) = delete;
 };
 
+// ---- BGZF (blocked gzip, the samtools-ecosystem framing) -----------------
+//
+// A BGZF file is a series of independent gzip members, each carrying its
+// compressed size in an FEXTRA 'BC' subfield — so unlike plain gzip (one
+// serial inflate stream), blocks can be located by a cheap header walk
+// (~18 bytes touched per ~64 KB block) and inflated IN PARALLEL.  The
+// multithreaded parsers transparently decompress BGZF inputs this way and
+// then run their normal slice machinery over the uncompressed buffer;
+// plain gzip still falls back to the serial zlib walkers.
+
+struct BgzfIndex {
+  std::vector<int64_t> coff;   // compressed offset of each block (+ end)
+  std::vector<int64_t> uoff;   // uncompressed prefix sums (+ total)
+  bool ok = false;
+};
+
+// Walk the block headers; returns ok=false if the file is not BGZF
+// (including plain single-member gzip).
+BgzfIndex bgzf_index(const uint8_t* d, int64_t n) {
+  BgzfIndex ix;
+  int64_t c = 0, u = 0;
+  while (c < n) {
+    if (n - c < 28) return ix;                      // truncated block
+    const uint8_t* h = d + c;
+    if (h[0] != 0x1f || h[1] != 0x8b || h[2] != 8 || !(h[3] & 4))
+      return ix;                                    // no FEXTRA -> not BGZF
+    int xlen = h[10] | (h[11] << 8);
+    if (12 + xlen > n - c) return ix;
+    int64_t bsize = -1;
+    for (int p = 12; p + 4 <= 12 + xlen;) {
+      int si1 = h[p], si2 = h[p + 1], slen = h[p + 2] | (h[p + 3] << 8);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        bsize = (int64_t)(h[p + 4] | (h[p + 5] << 8)) + 1;
+        break;
+      }
+      p += 4 + slen;
+    }
+    if (bsize < 28 || c + bsize > n) return ix;
+    ix.coff.push_back(c);
+    ix.uoff.push_back(u);
+    u += (int64_t)(d[c + bsize - 4]) | ((int64_t)d[c + bsize - 3] << 8)
+         | ((int64_t)d[c + bsize - 2] << 16)
+         | ((int64_t)d[c + bsize - 1] << 24);       // ISIZE
+    c += bsize;
+  }
+  ix.coff.push_back(n);
+  ix.uoff.push_back(u);
+  ix.ok = !ix.coff.empty();
+  return ix;
+}
+
+// Parallel inflate of every block into a caller buffer laid out at the
+// uncompressed prefix offsets.  Returns 0, or -6 on any inflate/crc error.
+int bgzf_inflate_all(const uint8_t* d, const BgzfIndex& ix,
+                     uint8_t* out, int nthreads) {
+  int nb = (int)ix.coff.size() - 1;
+  std::vector<int> rcs((size_t)std::max(nthreads, 1), 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nthreads; ++t) {
+    ths.emplace_back([&, t] {
+      for (int b = t; b < nb; b += nthreads) {
+        const uint8_t* h = d + ix.coff[b];
+        int xlen = h[10] | (h[11] << 8);
+        const uint8_t* cdata = h + 12 + xlen;
+        int64_t csize = (ix.coff[b + 1] - ix.coff[b]) - 12 - xlen - 8;
+        int64_t usize = ix.uoff[b + 1] - ix.uoff[b];
+        z_stream zs{};
+        if (inflateInit2(&zs, -15) != Z_OK) { rcs[t] = -6; return; }
+        zs.next_in = (Bytef*)cdata;
+        zs.avail_in = (uInt)csize;
+        zs.next_out = out + ix.uoff[b];
+        zs.avail_out = (uInt)usize;
+        int zrc = inflate(&zs, Z_FINISH);
+        inflateEnd(&zs);
+        if (zrc != Z_STREAM_END || zs.total_out != (uLong)usize) {
+          rcs[t] = -6;
+          return;
+        }
+        uint32_t want_crc = (uint32_t)cdata[csize] | ((uint32_t)cdata[csize + 1] << 8)
+                            | ((uint32_t)cdata[csize + 2] << 16)
+                            | ((uint32_t)cdata[csize + 3] << 24);
+        if (crc32(crc32(0, nullptr, 0), out + ix.uoff[b],
+                  (uInt)usize) != want_crc) {
+          rcs[t] = -6;
+          return;
+        }
+      }
+    });
+  }
+  for (auto& th : ths) th.join();
+  for (int t = 0; t < nthreads; ++t)
+    if (rcs[t] != 0) return rcs[t];
+  return 0;
+}
+
+// Decompressed-buffer cache (scan + parse both need the bytes; the
+// two-pass API would otherwise inflate twice).  Keyed like the FASTQ
+// split cache: path + size + mtime.
+struct BgzfCache {
+  std::mutex mu;
+  std::string path;
+  int64_t size = -1, mtime_ns = -1;
+  std::shared_ptr<std::vector<uint8_t>> buf;
+};
+BgzfCache g_bgzf_cache;
+
+bool fq_cache_key(const char* path, int64_t* size, int64_t* mtime_ns);
+
+// File bytes for the multithreaded parsers: a plain file maps directly;
+// a BGZF file is block-parallel inflated (cached).  ok==false for
+// non-regular files AND for plain (non-BGZF) gzip — callers then fall
+// back to the serial zlib walkers.
+struct FileData {
+  MappedFile mf;
+  std::shared_ptr<std::vector<uint8_t>> buf;
+  const uint8_t* data = nullptr;
+  int64_t n = 0;
+  bool ok = false;
+  FileData(const char* path, int nthreads) : mf(path) {
+    if (!mf.ok) return;
+    bool gz = mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
+    if (!gz) {
+      data = mf.data;
+      n = mf.n;
+      ok = true;
+      return;
+    }
+    int64_t size, mtime;
+    if (fq_cache_key(path, &size, &mtime)) {
+      std::lock_guard<std::mutex> lk(g_bgzf_cache.mu);
+      if (g_bgzf_cache.path == path && g_bgzf_cache.size == size
+          && g_bgzf_cache.mtime_ns == mtime && g_bgzf_cache.buf) {
+        buf = g_bgzf_cache.buf;
+        data = buf->data();
+        n = (int64_t)buf->size();
+        ok = true;
+        return;
+      }
+    }
+    BgzfIndex ix = bgzf_index(mf.data, mf.n);
+    if (!ix.ok) return;                       // plain gzip -> serial path
+    auto b = std::make_shared<std::vector<uint8_t>>(
+        (size_t)ix.uoff.back());
+    if (bgzf_inflate_all(mf.data, ix, b->data(),
+                         std::max(nthreads, 1)) != 0)
+      return;                                 // corrupt -> serial (clean error)
+    buf = b;
+    data = buf->data();
+    n = (int64_t)buf->size();
+    ok = true;
+    if (fq_cache_key(path, &size, &mtime)) {
+      std::lock_guard<std::mutex> lk(g_bgzf_cache.mu);
+      g_bgzf_cache.path = path;
+      g_bgzf_cache.size = size;
+      g_bgzf_cache.mtime_ns = mtime;
+      g_bgzf_cache.buf = buf;
+    }
+  }
+};
+
 // Slice boundaries: starts[t] is a record start ('>' at line start) or 0;
 // starts.back() == n.  Strictly increasing, <= want+1 entries.
 std::vector<int64_t> split_fasta_slices(const uint8_t* d, int64_t n,
@@ -768,6 +930,28 @@ void* ingest_open(const char* path, int64_t start_off) {
   return open_handle(path, start_off);
 }
 
+// Release the BGZF decompressed-buffer cache (the two-pass API calls
+// this after the parse pass so a corpus-sized buffer never outlives
+// the parse).
+void bgzf_cache_clear() {
+  std::lock_guard<std::mutex> lk(g_bgzf_cache.mu);
+  g_bgzf_cache.path.clear();
+  g_bgzf_cache.size = -1;
+  g_bgzf_cache.mtime_ns = -1;
+  g_bgzf_cache.buf.reset();
+}
+
+// Total UNCOMPRESSED size of a BGZF file from its block headers alone
+// (~18 bytes touched per ~64 KB block); -1 if the file is not BGZF.
+// Python's whole-file fast-path gate uses this to admit BGZF inputs.
+int64_t bgzf_usize(const char* path) {
+  MappedFile mf(path);
+  if (!mf.ok || mf.n < 2 || mf.data[0] != 0x1f || mf.data[1] != 0x8b)
+    return -1;
+  BgzfIndex ix = bgzf_index(mf.data, mf.n);
+  return ix.ok ? ix.uoff.back() : -1;
+}
+
 void ingest_close(void* h) {
   IngestHandle* ih = (IngestHandle*)h;
   if (ih) { gzclose(ih->g); delete ih; }
@@ -833,15 +1017,14 @@ int fasta_parse(const char* path, int allow_ambiguous,
 int fasta_scan_mt(const char* path, int allow_ambiguous, int nthreads,
                   int64_t* n_records, int64_t* total_bases,
                   char* err, int64_t errcap) {
-  MappedFile mf(path);
-  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
-  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+  if (nthreads > 16) nthreads = 16;
+  FileData fd(path, nthreads);
+  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
     return fasta_scan(path, allow_ambiguous, n_records, total_bases,
                       err, errcap);
-  if (nthreads > 16) nthreads = 16;
-  auto starts = split_fasta_slices(mf.data, mf.n, nthreads);
+  auto starts = split_fasta_slices(fd.data, fd.n, nthreads);
   std::vector<SliceResult> res;
-  int rc = mt_scan_slices(mf.data, starts, allow_ambiguous, res, err, errcap);
+  int rc = mt_scan_slices(fd.data, starts, allow_ambiguous, res, err, errcap);
   if (rc != 0) return rc;
   int64_t nrec = 0, nbase = 0;
   for (const auto& r : res) { nrec += r.nrec; nbase += r.nbase; }
@@ -855,18 +1038,17 @@ int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
                    int64_t* offsets, int64_t offsets_cap,
                    int64_t* n_records, int64_t* total_bases,
                    char* err, int64_t errcap) {
-  MappedFile mf(path);
-  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
-  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+  if (nthreads > 16) nthreads = 16;
+  FileData fd(path, nthreads);
+  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
     return fasta_parse(path, allow_ambiguous, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);
-  if (nthreads > 16) nthreads = 16;
-  auto starts = split_fasta_slices(mf.data, mf.n, nthreads);
+  auto starts = split_fasta_slices(fd.data, fd.n, nthreads);
   int T = (int)starts.size() - 1;
   // phase A: per-slice sizes (parallel scan), then exclusive prefix sums
   std::vector<SliceResult> res;
-  int rc = mt_scan_slices(mf.data, starts, allow_ambiguous, res, err, errcap);
+  int rc = mt_scan_slices(fd.data, starts, allow_ambiguous, res, err, errcap);
   if (rc != 0) return rc;
   std::vector<int64_t> rec_off(T + 1, 0), base_off(T + 1, 0);
   for (int t = 0; t < T; ++t) {
@@ -884,7 +1066,7 @@ int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
   ths.reserve(T);
   for (int t = 0; t < T; ++t) {
     ths.emplace_back([&, t] {
-      MemHandle mh{mf.data + starts[t], starts[t + 1] - starts[t], starts[t]};
+      MemHandle mh{fd.data + starts[t], starts[t + 1] - starts[t], starts[t]};
       Buffers b{codes + base_off[t], res[t].nbase,
                 offsets + rec_off[t], res[t].nrec + 1,
                 /*write_sentinel=*/false};
@@ -953,13 +1135,12 @@ int fastq_parse(const char* path, int allow_ambiguous, int min_qual,
 int fastq_scan_mt(const char* path, int allow_ambiguous, int nthreads,
                   int64_t* n_records, int64_t* total_bases,
                   char* err, int64_t errcap) {
-  MappedFile mf(path);
-  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
-  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+  if (nthreads > 16) nthreads = 16;
+  FileData fd(path, nthreads);
+  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
     return fastq_scan(path, allow_ambiguous, n_records, total_bases,
                       err, errcap);
-  if (nthreads > 16) nthreads = 16;
-  FqSplit sp = fq_split_cached(path, mf.data, mf.n, nthreads);
+  FqSplit sp = fq_split_cached(path, fd.data, fd.n, nthreads);
   if (!sp.strict)
     return fastq_scan(path, allow_ambiguous, n_records, total_bases,
                       err, errcap);
@@ -983,14 +1164,13 @@ int fastq_parse_mt(const char* path, int allow_ambiguous, int min_qual,
                    int64_t* offsets, int64_t offsets_cap,
                    int64_t* n_records, int64_t* total_bases,
                    char* err, int64_t errcap) {
-  MappedFile mf(path);
-  bool gz = mf.ok && mf.n >= 2 && mf.data[0] == 0x1f && mf.data[1] == 0x8b;
-  if (!mf.ok || gz || nthreads <= 1 || mf.n < (4 << 20))
+  if (nthreads > 16) nthreads = 16;
+  FileData fd(path, nthreads);
+  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
     return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);
-  if (nthreads > 16) nthreads = 16;
-  FqSplit sp = fq_split_cached(path, mf.data, mf.n, nthreads);
+  FqSplit sp = fq_split_cached(path, fd.data, fd.n, nthreads);
   if (!sp.strict)
     return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
@@ -1011,7 +1191,7 @@ int fastq_parse_mt(const char* path, int allow_ambiguous, int min_qual,
   ths.reserve(T);
   for (int t = 0; t < T; ++t) {
     ths.emplace_back([&, t] {
-      MemHandle mh{mf.data + sp.starts[t], sp.starts[t + 1] - sp.starts[t],
+      MemHandle mh{fd.data + sp.starts[t], sp.starts[t + 1] - sp.starts[t],
                    sp.starts[t]};
       Buffers b{codes + base_off[t], sp.bases[t],
                 offsets + rec_off[t], sp.recs[t] + 1,
