@@ -11,7 +11,10 @@
 // All readers go through zlib's gzFile, which transparently handles BOTH
 // plain and gzip-compressed inputs (passthrough mode for plain files) —
 // no decompress-to-temp-file round trip.  Offsets/cursors are always
-// UNCOMPRESSED byte positions.
+// UNCOMPRESSED byte positions.  BGZF inputs (blocked gzip) are special-
+// cased everywhere: the MT whole-file parsers and the chunked handle
+// both inflate their independent blocks IN PARALLEL (BgzfStream /
+// FileData below); plain gzip remains a serial inflate stream.
 //
 // Chunked ingest (bounded memory for arbitrarily large corpora): an
 // IngestHandle keeps the file open across calls; each *_chunk call
@@ -117,8 +120,11 @@ inline bool translate_run(const uint8_t* src, int64_t run, uint8_t* dst) {
   return bad != 0;
 }
 
+struct BgzfStream;   // block-parallel BGZF reader (defined below)
+
 struct IngestHandle {
   gzFile g = nullptr;
+  BgzfStream* bz = nullptr;  // set instead of g for BGZF inputs
   int64_t fpos = 0;         // uncompressed bytes CONSUMED by the parser
   uint8_t buf[kBlock];
   size_t off = 0, len = 0;  // unconsumed window buf[off, len)
@@ -126,27 +132,8 @@ struct IngestHandle {
 
   // Current unconsumed block (refilling from the file when drained).
   // Returns number of bytes at *p; 0 = EOF, -1 = read error.
-  int64_t peek(const uint8_t** p) {
-    if (off == len) {
-      int got = gzread(g, buf, (unsigned)kBlock);
-      if (got < 0) { read_err = true; return -1; }
-      if (got == 0) {
-        // a TRUNCATED gzip member also reads as 0 (and gzeof() even
-        // reports true) — only gzerror distinguishes a clean
-        // end-of-stream; silent partial corpora are data loss
-        int errnum = Z_OK;
-        gzerror(g, &errnum);
-        if (errnum != Z_OK && errnum != Z_STREAM_END) {
-          read_err = true;
-          return -1;
-        }
-        return 0;
-      }
-      off = 0; len = (size_t)got;
-    }
-    *p = buf + off;
-    return (int64_t)(len - off);
-  }
+  // Defined after BgzfStream (the BGZF branch needs its layout).
+  int64_t peek(const uint8_t** p);
   void consume(int64_t n) { off += (size_t)n; fpos += n; }
 };
 
@@ -388,17 +375,7 @@ int fastq_walk(H* h, int allow_ambiguous, int64_t max_bases,
   return rc;
 }
 
-IngestHandle* open_handle(const char* path, int64_t start_off) {
-  IngestHandle* h = new IngestHandle();
-  h->g = gzopen(path, "rb");
-  if (!h->g) { delete h; return nullptr; }
-  gzbuffer(h->g, 1 << 18);
-  if (start_off > 0 && gzseek(h->g, (z_off_t)start_off, SEEK_SET) < 0) {
-    gzclose(h->g); delete h; return nullptr;
-  }
-  h->fpos = start_off;
-  return h;
-}
+IngestHandle* open_handle(const char* path, int64_t start_off);
 
 // ---- multithreaded whole-file FASTA parse ---------------------------------
 //
@@ -606,6 +583,127 @@ struct FileData {
     }
   }
 };
+
+// Block-parallel BGZF reader for the CHUNKED ingest handle: the
+// compressed file stays mmapped; each refill inflates the next run of
+// blocks (~8 MB uncompressed) across threads, so streaming two-pass
+// runs over BGZF corpora decompress at N-core speed with bounded
+// memory.  Resume: an uncompressed start offset maps to (block,
+// in-block skip) through the header index.
+struct BgzfStream {
+  MappedFile mf;
+  BgzfIndex ix;
+  size_t next = 0;              // next block to inflate
+  int64_t skip = 0;             // bytes to drop from the first refill
+  std::vector<uint8_t> win;     // current decompressed window
+  int nthreads;
+  bool ok = false;
+
+  BgzfStream(const char* path, int64_t start_uoff, int nth)
+      : mf(path), nthreads(std::max(nth, 1)) {
+    if (!mf.ok || mf.n < 2 || mf.data[0] != 0x1f || mf.data[1] != 0x8b)
+      return;
+    ix = bgzf_index(mf.data, mf.n);
+    if (!ix.ok) return;
+    if (start_uoff > ix.uoff.back()) return;     // past EOF
+    // first block whose END is past the start offset
+    size_t nb = ix.coff.size() - 1;
+    while (next < nb && ix.uoff[next + 1] <= start_uoff) ++next;
+    skip = start_uoff - ix.uoff[next];           // < first block's usize
+    ok = true;
+  }
+
+  // Inflate the next run of blocks into `win`; returns bytes available
+  // (0 = EOF, -1 = corrupt).
+  int64_t refill() {
+    size_t nb = ix.coff.size() - 1;
+    if (next >= nb) return 0;
+    size_t last = next;
+    const int64_t target = 8 << 20;
+    while (last < nb && ix.uoff[last] - ix.uoff[next] < target) ++last;
+    BgzfIndex sub;
+    sub.coff.assign(ix.coff.begin() + next, ix.coff.begin() + last + 1);
+    sub.uoff.assign(ix.uoff.begin() + next, ix.uoff.begin() + last + 1);
+    int64_t base = sub.uoff[0];
+    for (auto& u : sub.uoff) u -= base;
+    win.resize((size_t)sub.uoff.back());
+    if (!win.empty()
+        && bgzf_inflate_all(mf.data, sub, win.data(), nthreads) != 0)
+      return -1;
+    next = last;
+    if (skip > 0) {
+      win.erase(win.begin(), win.begin() + (size_t)skip);
+      skip = 0;
+    }
+    return (int64_t)win.size();
+  }
+};
+
+int64_t IngestHandle::peek(const uint8_t** p) {
+  if (bz) {
+    while (off == len) {
+      int64_t got = bz->refill();
+      if (got < 0) { read_err = true; return -1; }
+      if (got == 0) return 0;
+      off = 0;
+      len = (size_t)got;            // window lives in bz->win
+    }
+    *p = bz->win.data() + off;
+    return (int64_t)(len - off);
+  }
+  if (off == len) {
+    int got = gzread(g, buf, (unsigned)kBlock);
+    if (got < 0) { read_err = true; return -1; }
+    if (got == 0) {
+      // a TRUNCATED gzip member also reads as 0 (and gzeof() even
+      // reports true) — only gzerror distinguishes a clean
+      // end-of-stream; silent partial corpora are data loss
+      int errnum = Z_OK;
+      gzerror(g, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) {
+        read_err = true;
+        return -1;
+      }
+      return 0;
+    }
+    off = 0; len = (size_t)got;
+  }
+  *p = buf + off;
+  return (int64_t)(len - off);
+}
+
+int ingest_threads() {
+  const char* env = getenv("KMER_TPU_PARSE_THREADS");
+  if (env && env[0]) {
+    int v = atoi(env);
+    if (v >= 1) return v;
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  return (int)std::min(hw ? hw : 1u, 8u);
+}
+
+IngestHandle* open_handle(const char* path, int64_t start_off) {
+  IngestHandle* h = new IngestHandle();
+  // BGZF inputs get the block-parallel stream (bounded window, resume
+  // by uncompressed offset); everything else the serial gzFile
+  {
+    auto* bz = new BgzfStream(path, start_off, ingest_threads());
+    if (bz->ok) {
+      h->bz = bz;
+      h->fpos = start_off;
+      return h;
+    }
+    delete bz;
+  }
+  h->g = gzopen(path, "rb");
+  if (!h->g) { delete h; return nullptr; }
+  gzbuffer(h->g, 1 << 18);
+  if (start_off > 0 && gzseek(h->g, (z_off_t)start_off, SEEK_SET) < 0) {
+    gzclose(h->g); delete h; return nullptr;
+  }
+  h->fpos = start_off;
+  return h;
+}
 
 // Slice boundaries: starts[t] is a record start ('>' at line start) or 0;
 // starts.back() == n.  Strictly increasing, <= want+1 entries.
@@ -954,7 +1052,11 @@ int64_t bgzf_usize(const char* path) {
 
 void ingest_close(void* h) {
   IngestHandle* ih = (IngestHandle*)h;
-  if (ih) { gzclose(ih->g); delete ih; }
+  if (ih) {
+    if (ih->g) gzclose(ih->g);
+    delete ih->bz;
+    delete ih;
+  }
 }
 
 // Resume cursor: only meaningful right after a successful *_chunk call
