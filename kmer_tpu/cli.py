@@ -23,6 +23,9 @@ def _add_common(p):
                    help="input FASTA/FASTQ file(s), auto-detected")
     p.add_argument("--batch-reads", type=int, default=2048)
     p.add_argument("--max-read-len", type=int, default=256)
+    p.add_argument("--threads", type=int, default=None,
+                   help="host parser threads (MT whole-file parse + "
+                        "BGZF block inflate; default: up to 8 cores)")
     p.add_argument("--stats", action="store_true",
                    help="JSONL per-batch stats on stderr")
     p.add_argument("--profile-dir", default=None,
@@ -106,7 +109,10 @@ def main(argv: list[str] | None = None) -> int:
                                      "HyperLogLog on the MXU) without "
                                      "building a table")
     _add_common(pe)
-    pe.add_argument("-k", type=int, default=21)
+    pe.add_argument("-k", type=int, action="append", default=None,
+                    help="k value; repeatable (-k 17 -k 21 -k 31): all "
+                         "ks are sketched in ONE ingest pass, ntCard-"
+                         "style (default: 21)")
     pe.add_argument("--canonical", action="store_true")
     pe.add_argument("--skip-invalid", action="store_true")
     pe.add_argument("--min-qual", type=int, default=0)
@@ -154,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--error-rate", type=float, default=0.0)
 
     args = ap.parse_args(argv)
+    if getattr(args, "threads", None):
+        import os
+        os.environ["KMER_TPU_PARSE_THREADS"] = str(args.threads)
     try:
         return _dispatch(args)
     except (ValueError, OSError, EOFError) as e:
@@ -269,17 +278,20 @@ def _dispatch(args) -> int:
 
     if args.cmd == "card":
         from .config import KmerConfig
-        from .pipeline.sketch import estimate_distinct_files
-        cfg = KmerConfig(k=args.k, canonical=args.canonical,
+        from .pipeline.sketch import estimate_distinct_multi_k
+        ks = args.k or [21]
+        cfg = KmerConfig(k=max(ks), canonical=args.canonical,
                          batch_reads=args.batch_reads,
-                         max_read_len=max(args.max_read_len, args.k),
+                         max_read_len=max(args.max_read_len, max(ks)),
                          skip_invalid=(args.skip_invalid
                                        or args.min_qual > 0),
                          min_qual=args.min_qual, stats=args.stats)
-        est, total = estimate_distinct_files(args.fasta, cfg,
-                                             b=args.buckets_log2)
-        sys.stdout.write(f"distinct_estimate\t{round(est)}\n"
-                         f"total_kmers\t{total}\n")
+        res = estimate_distinct_multi_k(args.fasta, ks, cfg,
+                                        b=args.buckets_log2)
+        for kk, (est, total) in zip(ks, res):
+            prefix = f"k={kk}\t" if len(ks) > 1 else ""
+            sys.stdout.write(f"{prefix}distinct_estimate\t{round(est)}\n"
+                             f"{prefix}total_kmers\t{total}\n")
         return 0
 
     if args.cmd == "parity":

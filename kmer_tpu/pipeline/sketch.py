@@ -27,12 +27,32 @@ def estimate_distinct_files(paths, cfg: KmerConfig | None = None, *,
     ~3.3%).  Ingest is chunked (bounded host memory); the sketch is
     accumulated on device."""
     cfg = cfg or KmerConfig(**cfg_kw)
+    [(est, total)] = estimate_distinct_multi_k(paths, [cfg.k], cfg, b=b)
+    return est, total
+
+
+def estimate_distinct_multi_k(paths, ks, cfg: KmerConfig | None = None,
+                              *, b: int = 10, **cfg_kw):
+    """ntCard-style MULTI-K estimation in one ingest pass: each batch
+    is parsed/shipped once and sketched at every k (the ingest and H2D
+    work — the expensive part on a fast chip — is amortized across all
+    k values).  Returns [(estimate, total_kmers)] aligned with `ks`.
+    cfg.max_read_len must accommodate max(ks)."""
+    cfg = cfg or KmerConfig(**cfg_kw)
     if cfg.gapped:
         raise ValueError("estimation applies to contiguous k-mers")
+    ks = list(ks)
+    if not ks or any(kk < 1 for kk in ks):
+        raise ValueError(f"bad k list {ks}")
+    if cfg.max_read_len < max(ks):
+        raise ValueError(f"max_read_len={cfg.max_read_len} < k={max(ks)}")
     if isinstance(paths, str):
         paths = [paths]
-    hist = jnp.zeros((1 << (b + 5),), jnp.int32)
-    total = 0
+    hists = {kk: jnp.zeros((1 << (b + 5),), jnp.int32) for kk in ks}
+    totals = {kk: 0 for kk in ks}
+    # windows are segmented for the LARGEST k (overlap max(ks)-1) so
+    # every k's extraction is exact with one batching
+    overlap = max(ks) - 1
     for p in paths:
         for codes, offsets, _cur in iter_parse_chunks(
                 p, max_bases=cfg.ingest_chunk_bases or (256 << 20),
@@ -40,18 +60,23 @@ def estimate_distinct_files(paths, cfg: KmerConfig | None = None, *,
             for batch in iter_batches(codes, offsets,
                                       batch_reads=cfg.batch_reads,
                                       max_len=cfg.max_read_len,
-                                      overlap=cfg.overlap):
-                hist = hll_step(jnp.asarray(batch.codes),
-                                jnp.asarray(batch.lengths),
-                                jnp.asarray(batch.start_limits),
-                                hist, k=cfg.k, canonical=cfg.canonical,
-                                b=b, mask_ambiguous=cfg.skip_invalid)
-                total += int(np.maximum(
-                    np.minimum(batch.lengths, batch.start_limits
-                               + cfg.k - 1) - cfg.k + 1, 0).sum())
-    h = np.asarray(hist)
-    hashed = int(h.sum())     # valid windows actually sketched
-    if not cfg.skip_invalid:
-        # no masking: the sketch must have seen every extractable window
-        assert hashed == total, (hashed, total)
-    return estimate_from_histogram(h, b), hashed
+                                      overlap=overlap):
+                jc = jnp.asarray(batch.codes)
+                jl = jnp.asarray(batch.lengths)
+                jlim = jnp.asarray(batch.start_limits)
+                for kk in ks:
+                    hists[kk] = hll_step(jc, jl, jlim, hists[kk], k=kk,
+                                         canonical=cfg.canonical, b=b,
+                                         mask_ambiguous=cfg.skip_invalid)
+                    totals[kk] += int(np.maximum(
+                        np.minimum(batch.lengths, batch.start_limits
+                                   + kk - 1) - kk + 1, 0).sum())
+    out = []
+    for kk in ks:
+        h = np.asarray(hists[kk])
+        hashed = int(h.sum())     # valid windows actually sketched
+        if not cfg.skip_invalid:
+            # no masking: the sketch saw every extractable window
+            assert hashed == totals[kk], (kk, hashed, totals[kk])
+        out.append((estimate_from_histogram(h, b), hashed))
+    return out

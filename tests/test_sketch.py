@@ -148,3 +148,35 @@ def test_histo_two_pass_cli(tmp_path, capsys):
     assert main(args + ["--two-pass", "--spill-dir",
                         str(tmp_path / "sp"), "--partitions", "4"]) == 0
     assert capsys.readouterr().out == in_mem
+
+
+def test_multi_k_one_pass_equals_per_k(tmp_path):
+    """Multi-k sketching in one ingest pass must produce the SAME
+    histograms (hence estimates and totals) as separate single-k runs
+    — segmentation at overlap max(ks)-1 keeps every smaller-k window
+    owned exactly once."""
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.sketch import (estimate_distinct_files,
+                                          estimate_distinct_multi_k)
+    p = tmp_path / "mk.fasta"
+    # read length > max_read_len so records split with seams
+    p.write_text(genome_reads_fasta(60, 300, genome_len=4000, seed=13))
+    cfg = KmerConfig(k=31, canonical=True, batch_reads=16,
+                     max_read_len=128)
+    ks = [11, 21, 31]
+    multi = estimate_distinct_multi_k(str(p), ks, cfg, b=9)
+    for kk, got in zip(ks, multi):
+        want = estimate_distinct_files(str(p), cfg.replace(k=kk), b=9)
+        assert got == want, kk
+
+
+def test_card_cli_multi_k(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import genome_reads_fasta
+    p = tmp_path / "ck.fasta"
+    p.write_text(genome_reads_fasta(40, 90, genome_len=2000, seed=14))
+    assert main(["card", str(p), "-k", "11", "-k", "21",
+                 "--batch-reads", "16", "--max-read-len", "96"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 4 and out[0].startswith("k=11\t")
+    assert out[2].startswith("k=21\t")
