@@ -36,8 +36,8 @@ CANONICAL = True
 B = 32768         # reads per batch (grouped sort keeps per-key cost flat; 32k amortizes best)
 L = 150           # read length (BASELINE.json config 2 shape)
 WARMUP = 150      # executable-promotion warmup (forced)
-NBLOCKS = 12      # timing windows per metric; report the best one
-BLOCK_ITERS = 100
+NBLOCKS = 8       # timed windows per metric; the best one wins
+BIG_ITERS = 1600
 
 
 def log(msg):
@@ -95,13 +95,19 @@ def main():
 
     kmers_per_step = B * (L - K + 1)
 
-    # The shared attachment suffers multi-x interference bursts (r3:
-    # identical configs measured 0.29-0.86 ms within one process), so a
-    # single timing window under-reports the chip by up to 3x.  Each
-    # metric therefore times NBLOCKS chained windows and reports the
-    # BEST one — still elision-proof (the chain runs through every
-    # block; the readback forces it), and it matches quiet-session
-    # single-window numbers.
+    # Two corrections on top of the chained/forced pattern (r3, see
+    # docs/DESIGN.md "Measurement integrity"):
+    # 1. BIG timed blocks.  A block costs s*N + C where C is a
+    #    ~15-40 ms fixed pipeline-fill + readback round trip on this
+    #    tunneled attachment — at N=100 that inflates a 0.19 ms step to
+    #    ~0.4.  N=1600 bounds the inflation at C/N <= ~8% (a
+    #    two-block-size DIFFERENCE would cancel C exactly, but min-of-
+    #    diffs is biased fast under the nonstationary interference —
+    #    a slow small block + fast big block fakes a tiny step).
+    # 2. BEST of NBLOCKS repetitions, busy-spaced: interference phases
+    #    last minutes, and the spacing must be WORK, never sleep — an
+    #    idle chip downclocks and every subsequent window reads ~1.5x
+    #    slow (measured 0.39 vs 0.244 ms, same minutes).
     def measure(step, state, label, spread_s: float = 0.0):
         t0 = time.perf_counter()
         state = step(state)
@@ -111,22 +117,27 @@ def main():
         for _ in range(WARMUP):
             state = step(state)
         _ = np.asarray(state[0, :8])
+
+        def block(n):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state = step(state)
+            _ = np.asarray(state[0, :8])   # depends on the whole chain
+            return time.perf_counter() - t0
+
         best = float("inf")
         for b in range(NBLOCKS):
             if spread_s and b:
-                # interference phases last minutes — spacing the windows
-                # out is what lets one land in a quiet phase
-                time.sleep(spread_s)
-            t0 = time.perf_counter()
-            for _ in range(BLOCK_ITERS):
-                state = step(state)
-            _ = np.asarray(state[0, :8])   # depends on the whole chain
-            best = min(best, (time.perf_counter() - t0) / BLOCK_ITERS)
+                t0 = time.perf_counter()
+                while time.perf_counter() - t0 < spread_s:
+                    block(200)
+            best = min(best, block(BIG_ITERS) / BIG_ITERS)
         return best
 
-    dt_step = measure(step_chained, codes, f"k={K}", spread_s=12.0)
+    dt_step = measure(step_chained, codes, f"k={K}", spread_s=6.0)
     kmers_per_sec = kmers_per_step / dt_step
-    log(f"k={K}: best {BLOCK_ITERS}-step window of {NBLOCKS}: "
+    log(f"k={K}: best {BIG_ITERS}-step window of {NBLOCKS}: "
         f"{dt_step * 1e3:.2f} ms/step x {kmers_per_step} kmers "
         f"= {kmers_per_sec / 1e9:.2f} B kmers/s")
 
