@@ -29,7 +29,7 @@ from kmer_tpu.pipeline.count import count_step_sort  # noqa: E402
 B, L = 32768, 150
 KS = [int(a) for a in sys.argv[1:]] or [33, 45, 63]
 REPS = int(os.environ.get("AB_REPS", "3"))
-ITERS = int(os.environ.get("AB_ITERS", "200"))
+ITERS = int(os.environ.get("AB_ITERS", "1600"))
 WARMUP = int(os.environ.get("AB_WARMUP", "150"))
 
 

@@ -27,7 +27,10 @@ from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T  # noqa: E40
 B, L = 32768, 150
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 21
 REPS = int(os.environ.get("AB_REPS", "3"))
-ITERS = int(os.environ.get("AB_ITERS", "200"))
+# BIG timed blocks: a block costs s*N + C with C ~ 15-40 ms fixed
+# (pipeline fill + readback RTT); N=1600 bounds the inflation at ~8%
+# (docs/DESIGN.md r3 "Measurement corrections")
+ITERS = int(os.environ.get("AB_ITERS", "1600"))
 WARMUP = int(os.environ.get("AB_WARMUP", "150"))
 
 VARIANTS = [
