@@ -279,7 +279,7 @@ def _dispatch(args) -> int:
     if args.cmd == "card":
         from .config import KmerConfig
         from .pipeline.sketch import estimate_distinct_multi_k
-        ks = args.k or [21]
+        ks = list(dict.fromkeys(args.k or [21]))
         cfg = KmerConfig(k=max(ks), canonical=args.canonical,
                          batch_reads=args.batch_reads,
                          max_read_len=max(args.max_read_len, max(ks)),

@@ -461,7 +461,10 @@ BgzfIndex bgzf_index(const uint8_t* d, int64_t n) {
       }
       p += 4 + slen;
     }
-    if (bsize < 28 || c + bsize > n) return ix;
+    // bsize must cover header(12+xlen) + >=1 byte cdata + crc + isize;
+    // anything less would make csize negative (cast to a huge uInt for
+    // zlib) and re-parse mid-header bytes as the next block
+    if (bsize < 12 + xlen + 8 + 1 || c + bsize > n) return ix;
     ix.coff.push_back(c);
     ix.uoff.push_back(u);
     u += (int64_t)(d[c + bsize - 4]) | ((int64_t)d[c + bsize - 3] << 8)
@@ -1120,8 +1123,12 @@ int fasta_scan_mt(const char* path, int allow_ambiguous, int nthreads,
                   int64_t* n_records, int64_t* total_bases,
                   char* err, int64_t errcap) {
   if (nthreads > 16) nthreads = 16;
+  if (nthreads <= 1)        // before FileData: its BGZF inflate is the
+                            // work the serial fallback would redo
+    return fasta_scan(path, allow_ambiguous, n_records, total_bases,
+                      err, errcap);
   FileData fd(path, nthreads);
-  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
+  if (!fd.ok || fd.n < (4 << 20))
     return fasta_scan(path, allow_ambiguous, n_records, total_bases,
                       err, errcap);
   auto starts = split_fasta_slices(fd.data, fd.n, nthreads);
@@ -1141,8 +1148,12 @@ int fasta_parse_mt(const char* path, int allow_ambiguous, int nthreads,
                    int64_t* n_records, int64_t* total_bases,
                    char* err, int64_t errcap) {
   if (nthreads > 16) nthreads = 16;
+  if (nthreads <= 1)
+    return fasta_parse(path, allow_ambiguous, codes, codes_cap,
+                       offsets, offsets_cap, n_records, total_bases,
+                       err, errcap);
   FileData fd(path, nthreads);
-  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
+  if (!fd.ok || fd.n < (4 << 20))
     return fasta_parse(path, allow_ambiguous, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);
@@ -1238,8 +1249,11 @@ int fastq_scan_mt(const char* path, int allow_ambiguous, int nthreads,
                   int64_t* n_records, int64_t* total_bases,
                   char* err, int64_t errcap) {
   if (nthreads > 16) nthreads = 16;
+  if (nthreads <= 1)
+    return fastq_scan(path, allow_ambiguous, n_records, total_bases,
+                      err, errcap);
   FileData fd(path, nthreads);
-  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
+  if (!fd.ok || fd.n < (4 << 20))
     return fastq_scan(path, allow_ambiguous, n_records, total_bases,
                       err, errcap);
   FqSplit sp = fq_split_cached(path, fd.data, fd.n, nthreads);
@@ -1267,8 +1281,12 @@ int fastq_parse_mt(const char* path, int allow_ambiguous, int min_qual,
                    int64_t* n_records, int64_t* total_bases,
                    char* err, int64_t errcap) {
   if (nthreads > 16) nthreads = 16;
+  if (nthreads <= 1)
+    return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
+                       offsets, offsets_cap, n_records, total_bases,
+                       err, errcap);
   FileData fd(path, nthreads);
-  if (!fd.ok || nthreads <= 1 || fd.n < (4 << 20))
+  if (!fd.ok || fd.n < (4 << 20))
     return fastq_parse(path, allow_ambiguous, min_qual, codes, codes_cap,
                        offsets, offsets_cap, n_records, total_bases,
                        err, errcap);

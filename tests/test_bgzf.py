@@ -140,3 +140,27 @@ def test_bgzf_corrupt_block_clean_error(tmp_path):
     p2.write_bytes(bytes(bad2))
     with pytest.raises(ValueError):
         fasta.detect_format(str(p2))
+
+
+def test_bgzf_undersized_bsize_rejected(tmp_path):
+    """A block whose BC bsize is smaller than its own header must be
+    rejected by the indexer (negative csize would hand zlib a ~4 GB
+    avail_in over the mmap) — the file then reads as plain gzip, whose
+    serial path reports the corruption cleanly."""
+    _needs_native()
+    import ctypes
+    import struct
+    import zlib
+    lib = fasta._load_native()
+    # header claims xlen=40 but bsize covers less than header+crc+isize
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = c.compress(b"ACGT") + c.flush()
+    xlen = 40
+    bsize = 12 + xlen          # < 12 + xlen + 8 + 1
+    header = struct.pack("<4BIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, xlen)
+    sub = struct.pack("<BBHH", ord("B"), ord("C"), 2, bsize - 1)
+    blob = header + sub + b"\x00" * (xlen - len(sub)) + cdata
+    blob += struct.pack("<II", zlib.crc32(b"ACGT"), 4)
+    p = tmp_path / "evil.bgz"
+    p.write_bytes(blob)
+    assert lib.bgzf_usize(str(p).encode()) == -1

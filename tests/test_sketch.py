@@ -180,3 +180,20 @@ def test_card_cli_multi_k(tmp_path, capsys):
     out = capsys.readouterr().out.splitlines()
     assert len(out) == 4 and out[0].startswith("k=11\t")
     assert out[2].startswith("k=21\t")
+
+
+def test_card_duplicate_k_and_bad_b(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.sketch import estimate_distinct_multi_k
+    p = tmp_path / "dk.fasta"
+    p.write_text(genome_reads_fasta(20, 60, genome_len=1000, seed=15))
+    cfg = KmerConfig(k=11, batch_reads=8, max_read_len=64)
+    # duplicates dedupe instead of double-accumulating the total
+    [(e1, t1)] = estimate_distinct_multi_k(str(p), [11, 11], cfg, b=8)
+    [(e2, t2)] = estimate_distinct_multi_k(str(p), [11], cfg, b=8)
+    assert (e1, t1) == (e2, t2)
+    # out-of-range precision is a clean CLI error, not a traceback
+    assert main(["card", str(p), "-k", "11", "--buckets-log2", "12",
+                 "--batch-reads", "8", "--max-read-len", "64"]) == 1
+    assert "buckets_log2" in capsys.readouterr().err
