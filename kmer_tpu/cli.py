@@ -133,11 +133,12 @@ def main(argv: list[str] | None = None) -> int:
     pt = sub.add_parser("tools", help="set operations on saved tables "
                                       "(KMC-tools style)")
     pt.add_argument("op", choices=["union", "intersect", "subtract",
-                                   "kmers-subtract"],
+                                   "kmers-subtract", "compare"],
                     help="union: sum counts; intersect: keys in both, "
                          "min counts; subtract: count difference, <=0 "
                          "dropped; kmers-subtract: drop keys present "
-                         "in B")
+                         "in B; compare: Jaccard/containment summary "
+                         "(JSON, no table output)")
     pt.add_argument("table_a", help="KmerTable .npz (operand A)")
     pt.add_argument("table_b", help="KmerTable .npz (operand B)")
     pt.add_argument("-o", "--out-npz", default=None,
@@ -318,6 +319,10 @@ def _dispatch(args) -> int:
         b = KmerTable.load(args.table_b)
         if a.k != b.k:
             raise ValueError(f"table k mismatch: {a.k} vs {b.k}")
+        if args.op == "compare":
+            import json
+            sys.stdout.write(json.dumps(a.compare(b)) + "\n")
+            return 0
         if args.op == "union":
             t = a.union(b)
         elif args.op == "intersect":

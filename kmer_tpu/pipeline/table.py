@@ -233,6 +233,26 @@ class KmerTable:
         keep = new > 0
         return KmerTable(self.k, self.keys[keep], new[keep])
 
+    def compare(self, other: "KmerTable") -> dict:
+        """Similarity summary of two tables (Mash/sourmash-style, but
+        exact): Jaccard index and per-side containment over DISTINCT
+        keys, plus shared/total tallies.  One _probe pass."""
+        assert self.k == other.k
+        na, nb = self.num_distinct, other.num_distinct
+        if na == 0 or nb == 0:
+            inter = 0
+        else:
+            hit, _ = self._probe(other)
+            inter = int(hit.sum())
+        union = na + nb - inter
+        return {
+            "k": self.k,
+            "distinct_a": na, "distinct_b": nb, "distinct_shared": inter,
+            "jaccard": inter / union if union else 1.0,
+            "containment_a_in_b": inter / na if na else 1.0,
+            "containment_b_in_a": inter / nb if nb else 1.0,
+        }
+
     def filter_min_count(self, min_count: int) -> "KmerTable":
         """Drop k-mers with count < min_count (error-kmer cutoff)."""
         return self.filter_count_range(min_count)

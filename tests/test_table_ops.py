@@ -112,3 +112,30 @@ def test_cli_tools_roundtrip(tmp_path, capsys):
     pc = tmp_path / "c.npz"
     c.save(pc)
     assert main(["tools", "union", str(pa), str(pc)]) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_compare_jaccard_containment(seed):
+    da, db, a, b = _rand_tables(seed=seed)
+    got = a.compare(b)
+    inter = len(set(da) & set(db))
+    union = len(set(da) | set(db))
+    assert got["distinct_shared"] == inter
+    assert got["jaccard"] == pytest.approx(inter / union)
+    assert got["containment_a_in_b"] == pytest.approx(inter / len(da))
+    assert got["containment_b_in_a"] == pytest.approx(inter / len(db))
+    # symmetric in the jaccard sense
+    assert b.compare(a)["jaccard"] == pytest.approx(got["jaccard"])
+    e = KmerTable.empty(7)
+    assert a.compare(e)["jaccard"] == 0.0
+
+
+def test_cli_tools_compare(tmp_path, capsys):
+    import json
+    from kmer_tpu.cli import main
+    da, db, a, b = _rand_tables(seed=6)
+    pa, pb = tmp_path / "a.npz", tmp_path / "b.npz"
+    a.save(pa), b.save(pb)
+    assert main(["tools", "compare", str(pa), str(pb)]) == 0
+    got = json.loads(capsys.readouterr().out)
+    assert got == a.compare(b)
