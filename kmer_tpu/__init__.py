@@ -10,14 +10,17 @@ jax.sharding + shard_map collectives.
 from .config import KmerConfig
 from .pipeline.count import count_codes, count_fasta, count_files
 from .pipeline.parity import parity_dump, parity_md5, SAMPLE_FASTA_MD5
+from .pipeline.sketch import (estimate_distinct_files,
+                              estimate_distinct_multi_k)
 from .pipeline.streaming import StreamingCounter, stream_count_fasta
 from .pipeline.table import KmerTable
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "KmerConfig", "KmerTable",
     "count_fasta", "count_files", "count_codes",
+    "estimate_distinct_files", "estimate_distinct_multi_k",
     "StreamingCounter", "stream_count_fasta",
     "parity_dump", "parity_md5", "SAMPLE_FASTA_MD5",
 ]
