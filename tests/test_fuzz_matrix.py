@@ -34,9 +34,14 @@ def test_fuzz_config_matrix(tmp_path, trial):
     p = tmp_path / f"fz{trial}.fasta"
     p.write_text(text)
 
-    k = int(rng.choice([4, 7, 11, 15, 16, 21, 27, 31, 33]))
+    k = int(rng.choice([4, 7, 11, 15, 16, 21, 27, 31, 33, 45, 63]))
     canonical = bool(rng.random() < 0.5)
     compact = bool(rng.random() < 0.4)
+    # sometimes ship the corpus BGZF-compressed (block-parallel ingest)
+    if rng.random() < 0.3:
+        from kmer_tpu.io.bgzf import write_bgzf
+        p = tmp_path / f"fz{trial}.fasta.bgz"
+        write_bgzf(str(p), text, block=int(rng.choice([512, 4096])))
     cfg = KmerConfig(
         k=k,
         canonical=canonical,
@@ -79,4 +84,50 @@ def test_fuzz_gapped_matrix(tmp_path, trial):
     table = count_fasta(str(p), cfg)
     want = Counter(oracle.oracle_gapped_lines(
         reads, l_len=l_len, r_len=r_len, c_min=c_min, c_max=c_max))
+    assert table.to_dict() == dict(want), cfg
+
+
+def _random_fastq(rng, n_reads):
+    lines = []
+    reads, quals = [], []
+    for i in range(n_reads):
+        ln = int(rng.integers(1, 90))
+        s = "".join("ACGT"[c] for c in rng.integers(0, 4, ln))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(0, 41, ln))
+        reads.append(s)
+        quals.append(q)
+        lines += [f"@r{i}", s, "+", q]
+    return reads, quals, "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_fastq_minqual_matrix(tmp_path, trial):
+    """FASTQ x min_qual x (plain | bgzf) x config fuzz vs the masked
+    oracle — the quality filter composed with every ingest path."""
+    from kmer_tpu.io.bgzf import write_bgzf
+    from kmer_tpu.utils.oracle import mask_low_quality
+    rng = np.random.default_rng(5000 + trial)
+    reads, quals, text = _random_fastq(rng, int(rng.integers(3, 20)))
+    if rng.random() < 0.5:
+        p = tmp_path / f"fq{trial}.fastq.bgz"
+        write_bgzf(str(p), text, block=int(rng.choice([512, 8192])))
+    else:
+        p = tmp_path / f"fq{trial}.fastq"
+        p.write_text(text)
+    k = int(rng.choice([5, 9, 15, 21, 31]))
+    mq = int(rng.choice([0, 5, 15, 30]))
+    canonical = bool(rng.random() < 0.5)
+    cfg = KmerConfig(
+        k=k, canonical=canonical, skip_invalid=True, min_qual=mq,
+        compact=bool(rng.random() < 0.3),
+        packed_transfer=bool(rng.random() < 0.5),
+        sort_group_keys=int(rng.choice([0, 64, 256])),
+        batch_reads=int(rng.choice([2, 8, 32])),
+        max_read_len=int(rng.choice([max(k, 32), 128])),
+        ingest_chunk_bases=int(rng.choice([0, 131, 1 << 20])),
+    )
+    table = count_fasta(str(p), cfg)
+    masked = [mask_low_quality(s, q, mq) for s, q in zip(reads, quals)]
+    want = oracle.oracle_count(masked, k, canonical=canonical,
+                               skip_invalid=True)
     assert table.to_dict() == dict(want), cfg
