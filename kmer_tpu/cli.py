@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--compact", action="store_true",
                     help="on-device compaction: device->host transfer "
                          "scales with distinct k-mers (sort mode)")
+    pc.add_argument("--seed-mask", default=None,
+                    help="spaced seed: 0/1 match mask (e.g. 1101011); "
+                         "the key is the bases at the '1' offsets per "
+                         "window (-k is then ignored; canonical needs "
+                         "a palindromic mask)")
     pc.add_argument("--gapped", action="store_true",
                     help="count gapped L+R chunks (the reference's "
                          "window semantics, main.rs:63-79) instead of "
@@ -175,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
 def _dispatch(args) -> int:
     if args.cmd == "count":
         from .config import KmerConfig
+        if args.gapped and args.seed_mask:
+            raise ValueError("--seed-mask and --gapped are exclusive")
         if args.gapped:
             if args.canonical:
                 raise ValueError("--canonical applies to contiguous "
@@ -191,12 +198,14 @@ def _dispatch(args) -> int:
                              min_qual=args.min_qual,
                              compact=args.compact)
         else:
+            span = len(args.seed_mask) if args.seed_mask else args.k
             cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
                              batch_reads=args.batch_reads,
-                             max_read_len=max(args.max_read_len, args.k),
+                             max_read_len=max(args.max_read_len, span),
                              partitions=args.partitions, stats=args.stats,
                              skip_invalid=skip_invalid,
                              min_qual=args.min_qual,
+                             seed_mask=args.seed_mask,
                              compact=args.compact)
         from .utils.profiling import trace
         if args.compact and (args.two_pass or args.multihost):

@@ -68,6 +68,13 @@ class KmerConfig:
     # mode / jellyfish --min-qual-char).  Requires skip_invalid (the
     # masked code rides the same path as N); ignored for FASTA input.
     min_qual: int = 0
+    # spaced seed: a 0/1 match mask (e.g. "1101011"); the key per
+    # window of span len(mask) is the bases at the '1' offsets
+    # (PatternHunter-style).  Runs as extra zeroed bands of the MXU
+    # banded-matmul extraction on TPU; sort mode, contiguous reads.
+    # canonical requires a palindromic mask (strand-min is otherwise
+    # undefined for spaced keys).
+    seed_mask: str | None = None
     # observability
     stats: bool = False                     # per-batch JSONL stats to stderr
 
@@ -103,10 +110,32 @@ class KmerConfig:
             raise ValueError("min_qual masks bases to the ambiguous "
                              "code; set skip_invalid=True (CLI: "
                              "--min-qual implies --skip-invalid)")
+        if self.seed_mask is not None:
+            from .ops.extract import (parse_seed_mask,
+                                      seed_mask_palindromic)
+            pos = parse_seed_mask(self.seed_mask)   # raises on bad mask
+            if len(pos) > 63:
+                raise ValueError("seed mask selects more than 63 bases")
+            if self.canonical and not seed_mask_palindromic(self.seed_mask):
+                raise ValueError("canonical spaced seeds need a "
+                                 f"palindromic mask, got {self.seed_mask!r}")
+            if self.gapped:
+                raise ValueError("seed_mask and gapped are exclusive")
+            if self.effective_mode != "sort":
+                raise ValueError("seed_mask requires sort mode")
+            if self.compact:
+                raise ValueError("seed_mask does not support compact "
+                                 "(yet)")
+            if self.max_read_len < len(self.seed_mask):
+                raise ValueError(
+                    f"max_read_len={self.max_read_len} < seed span "
+                    f"{len(self.seed_mask)}")
 
     @property
     def window_span(self) -> int:
         """Longest window the extractor needs in one batch row."""
+        if self.seed_mask is not None:
+            return len(self.seed_mask)
         return self.c_max if self.gapped else self.k
 
     @property
@@ -124,7 +153,7 @@ class KmerConfig:
         4^k layout materializes."""
         if self.mode != "auto":
             return self.mode
-        if self.compact:
+        if self.compact or self.seed_mask is not None:
             return "sort"
         return "dense" if (self.k <= 8 and not self.gapped) else "sort"
 

@@ -78,6 +78,77 @@ def kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
     return words, valid
 
 
+def parse_seed_mask(mask: str) -> tuple[int, ...]:
+    """Validate a spaced-seed mask string ('1'=match, '0'=don't-care)
+    and return the tuple of match offsets.  Must start and end with
+    '1' (leading/trailing don't-cares would just shift windows)."""
+    if not mask or set(mask) - {"0", "1"}:
+        raise ValueError(f"seed mask must be nonempty 0/1, got {mask!r}")
+    if mask[0] != "1" or mask[-1] != "1":
+        raise ValueError("seed mask must start and end with '1'")
+    return tuple(i for i, ch in enumerate(mask) if ch == "1")
+
+
+def seed_mask_palindromic(mask: str) -> bool:
+    """Canonical (strand-min) spaced keys are well-defined only when
+    the mask equals its reverse: the reverse complement of a window
+    then selects the same positions."""
+    return mask == mask[::-1]
+
+
+def spaced_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, mask: str,
+                 *, limits: jnp.ndarray | None = None,
+                 sentinel: bool = True, mask_ambiguous: bool = False,
+                 canonical: bool = False):
+    """All SPACED-SEED keys of every read: per window of span
+    len(mask), the key is the concatenation of the bases at the
+    mask's '1' offsets (n_bases = popcount) — the standard spaced-seed
+    semantics (cf. PatternHunter / spaced-seed counters).  Don't-care
+    positions are ignored entirely, including for ambiguity masking.
+
+    Same contract as kmer_lanes; P = L - span + 1.  canonical=True
+    requires a palindromic mask (seed_mask_palindromic)."""
+    positions = parse_seed_mask(mask)
+    span, kk = len(mask), len(positions)
+    if canonical and not seed_mask_palindromic(mask):
+        raise ValueError("canonical spaced seeds need a palindromic "
+                         f"mask, got {mask!r}")
+    B, L = codes.shape
+    assert L >= span, f"batch width {L} < seed span {span}"
+    P = L - span + 1
+    W = words_per_key(kk)
+    c32 = codes.astype(jnp.uint32)
+    words = [jnp.zeros((B, P), dtype=jnp.uint32) for _ in range(W)]
+    rwords = ([jnp.zeros((B, P), dtype=jnp.uint32) for _ in range(W)]
+              if canonical else None)
+    amb = jnp.zeros((B, P), bool) if mask_ambiguous else None
+    for i, j in enumerate(positions):
+        sl = lax.dynamic_slice_in_dim(c32, j, P, axis=1)
+        if mask_ambiguous:
+            amb = amb | (sl >= 4)
+            sl = sl & jnp.uint32(3)
+        bitpos = 2 * (kk - 1 - i)
+        wi = W - 1 - bitpos // 32
+        words[wi] = words[wi] | (sl << jnp.uint32(bitpos % 32))
+        if canonical:
+            # reverse complement selects the mirrored offsets, which a
+            # palindromic mask maps back onto `positions`: base at
+            # selected index i lands at rc index kk-1-i, complemented
+            rbit = 2 * i
+            rwi = W - 1 - rbit // 32
+            rwords[rwi] = rwords[rwi] | ((sl ^ jnp.uint32(3))
+                                         << jnp.uint32(rbit % 32))
+    if canonical:
+        from .canonical import lex_min
+        words = lex_min(words, rwords)
+    valid = _valid_mask(B, P, lengths, span, limits)
+    if mask_ambiguous:
+        valid = valid & ~amb
+    if sentinel:
+        words = _apply_sentinel(words, valid)
+    return words, valid
+
+
 def rc_kmer_lanes(codes: jnp.ndarray, lengths: jnp.ndarray, k: int,
                   *, limits: jnp.ndarray | None = None, sentinel: bool = True,
                   mask_ambiguous: bool = False):

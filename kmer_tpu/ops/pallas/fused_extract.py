@@ -109,17 +109,19 @@ _MXU_SUB = 12          # bases per MXU subword: 4^12 - 1 = 2^24 - 1 is the
 
 def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
              seg: int = 4, block_lanes: int = 256,
-             budget_bytes: int = 24 * 1024 * 1024) -> bool:
+             budget_bytes: int = 24 * 1024 * 1024,
+             span: int | None = None) -> bool:
     """Whether the MXU extraction's VMEM-resident operands (the stacked
     bf16 weight matrix + the f32 matmul accumulator) fit a conservative
     budget for this (k, L).  Both grow with n_blk * R ~ O(k/12 * L), so
     long reads at large k must fall back (callers pick doubling for
     W <= 2, the XLA path otherwise)."""
-    P = L - k + 1
+    span = span or k          # spaced seeds: window span > n_bases
+    P = L - span + 1
     if P < 1 or k > 63:
         return False
     P_pad = -(-P // seg) * seg
-    L_pad = P_pad + k - 1
+    L_pad = P_pad + span - 1
     R = -(-P_pad // 16) * 16
     n_sub = -(-k // _MXU_SUB)
     n_blk = ((2 * n_sub if canonical else n_sub)
@@ -167,7 +169,8 @@ def select_fused_extract(k: int, L: int, canonical: bool,
 
 
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
-                 mask_ambiguous: bool):
+                 mask_ambiguous: bool,
+                 positions: tuple[int, ...] | None = None):
     """Host-built banded weight matrix for the MXU extraction path.
 
     Row block m (height R = P_pad rounded up to 16, the bf16 sublane
@@ -181,8 +184,17 @@ def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
     complement).  mask_ambiguous appends one all-ones band: the matmul
     of the (code >= 4) indicator counts ambiguous bases per window.
 
+    SPACED SEEDS ride the same algebra for free: `positions` maps the
+    key's selected index i to source offset positions[i] (contiguous
+    k-mers are positions = 0..k-1), so don't-care bases simply have no
+    band — including in the ambiguity indicator, which is the correct
+    spaced semantics (an N at a don't-care never poisons the window).
+
     Returns (weights float32 (n_blocks * R, L_pad), R, n_sub)."""
     import numpy as np
+    if positions is None:
+        positions = tuple(range(k))
+    assert len(positions) == k, (len(positions), k)
     R = -(-P_pad // 16) * 16    # bf16 sublane tile height: slices of the
                                 # weight matrix stay aligned at 16
     n_sub = -(-k // _MXU_SUB)
@@ -199,13 +211,13 @@ def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
 
     blocks = []
     for m in range(n_sub):
-        blocks.append(band(lambda q: k - 1 - q))      # forward value
+        blocks.append(band(lambda q: positions[k - 1 - q]))  # forward
     if canonical:
         for m in range(n_sub):
-            blocks.append(band(lambda q: q))          # reversed value S
+            blocks.append(band(lambda q: positions[q]))      # reversed S
     if mask_ambiguous:
         W = np.zeros((R, L_pad), np.float32)
-        for j in range(k):
+        for j in positions:
             cols = rows + j
             ok = cols < L_pad
             W[rows[ok], cols[ok]] = 1.0
@@ -318,7 +330,8 @@ def _doubling_repacked(c, k: int, P_pad: int, n_words: int,
 def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             P_pad: int, seg: int, n_words: int, canonical: bool,
             mask_ambiguous: bool, algo: str = "sort",
-            extract_algo: str = "slicesum"):
+            extract_algo: str = "slicesum", span: int | None = None):
+    span = span or k           # spaced seeds: window span > n_bases
     if extract_algo == "mxu":
         w_ref, out_refs = rest[0], rest[1:]
     else:
@@ -372,7 +385,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             take_rc = rtop < ftop
         ftop = jnp.where(take_rc, rtop, ftop)
     pos = lax.broadcasted_iota(jnp.int32, shape, 0)
-    valid = (pos < P) & (pos <= len_ref[:] - k) & (pos < lim_ref[:])
+    valid = (pos < P) & (pos <= len_ref[:] - span) & (pos < lim_ref[:])
     if mask_ambiguous:
         valid = valid & ~amb
     sent = jnp.uint32(SENTINEL)
@@ -416,6 +429,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                           block_lanes: int = BLOCK_LANES,
                           algo: str | None = None,
                           extract: str | None = None,
+                          positions: tuple[int, ...] | None = None,
                           interpret: bool = False):
     """(L, B) uint8 transposed codes -> (repacked_words_flat, counts_flat).
 
@@ -434,13 +448,20 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     """
     import os
     L, B = codes_t.shape
-    P = L - k + 1
-    assert P >= 1, (L, k)
+    span = (positions[-1] + 1) if positions else k
+    if positions is not None:
+        assert len(positions) == k and positions[0] == 0, positions
+    P = L - span + 1
+    assert P >= 1, (L, span)
     assert seg >= 2 and (seg & (seg - 1)) == 0, seg
     W = words_per_key(k)
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "auto")
-    if extract_algo == "auto":
+    if positions is not None:
+        # spaced seeds exist only in the banded-matmul formulation
+        # (doubling/slicesum assume contiguous windows)
+        extract_algo = "mxu"
+    elif extract_algo == "auto":
         extract_algo = select_fused_extract(k, L, canonical,
                                             mask_ambiguous)
         if extract_algo is None:
@@ -452,7 +473,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     else:
         assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg
-    L_pad = P_pad + k - 1
+    L_pad = P_pad + span - 1
     # small batches: shrink the lane block to the 128-lane tile multiple
     # covering B instead of padding way past it
     block_lanes = min(block_lanes, -(-B // 128) * 128)
@@ -490,7 +511,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     operands = [codes_t, len2, lim2]
     if extract_algo == "mxu":
         wmat, _R, _ = _mxu_weights(k, P_pad, L_pad, canonical,
-                                   mask_ambiguous)
+                                   mask_ambiguous, positions)
         wj = jnp.asarray(wmat, jnp.bfloat16)
         in_specs.append(pl.BlockSpec(wj.shape, lambda q: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -499,7 +520,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
         functools.partial(_kernel, k=k, P=P, P_pad=P_pad, seg=seg,
                           n_words=W, canonical=canonical,
                           mask_ambiguous=mask_ambiguous, algo=algo,
-                          extract_algo=extract_algo),
+                          extract_algo=extract_algo, span=span),
         grid=(Bp // block_lanes,),
         in_specs=in_specs,
         out_specs=[ospec] * (W + 1),

@@ -159,6 +159,9 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     and host count.  Batches are globally aligned so every process
     dispatches the same number of collective steps.
     """
+    if cfg.seed_mask is not None:
+        raise ValueError("seed_mask is not supported by the multihost "
+                         "driver (yet)")
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -137,6 +137,54 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
     return count_ops.sort_count(words)
 
 
+@partial(jax.jit, static_argnames=("positions", "canonical",
+                                   "mask_ambiguous", "group_keys",
+                                   "packed_width"))
+def spaced_step_sort(codes, lengths, limits, *, positions: tuple,
+                     canonical: bool, mask_ambiguous: bool = False,
+                     group_keys: int = 0, packed_width: int = 0):
+    """One device batch of SPACED-SEED keys (ops/extract.spaced_lanes
+    semantics): (sorted words, is_start, counts), same contracts as
+    count_step_sort.  positions = the mask's '1' offsets (static).
+
+    TPU default: the fused single-kernel step with the banded-matmul
+    extraction — a spaced seed is just zeroed bands of the same weight
+    matrix, so the don't-care positions cost nothing.  Off-TPU / unfit:
+    XLA slice-sum over the selected offsets + grouped count."""
+    if packed_width:
+        from ..ops.encode import unpack_codes_u32
+        codes = unpack_codes_u32(codes, packed_width)
+    import os
+    from ..ops.extract import spaced_lanes
+    from ..ops.pallas.fused_extract import mxu_fits
+    kk = len(positions)
+    span = positions[-1] + 1
+    step_backend = os.environ.get("KMER_TPU_STEP", "auto")
+    fits = mxu_fits(kk, codes.shape[-1], canonical, mask_ambiguous,
+                    span=span)
+    use_fused = (group_keys > 0 and fits
+                 and (step_backend == "fused" or
+                      (step_backend == "auto"
+                       and jax.default_backend() == "tpu")))
+    if use_fused:
+        from ..ops.pallas.fused_extract import fused_extract_count_T
+        seg = int(os.environ.get("KMER_TPU_T_M", "2"))
+        rflat, counts = fused_extract_count_T(
+            codes.T, lengths, limits, kk, canonical=canonical,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            algo="dedup", positions=positions,
+            interpret=jax.default_backend() != "tpu")
+        std = count_ops.unpack_words(rflat, kk)
+        return std, counts > 0, counts
+    mask = "".join("1" if j in positions else "0" for j in range(span))
+    words, valid = spaced_lanes(codes, lengths, mask, limits=limits,
+                                mask_ambiguous=mask_ambiguous,
+                                canonical=canonical)
+    if group_keys > 0:
+        return count_ops.grouped_count(words, valid, kk, group_keys)
+    return count_ops.sort_count(words)
+
+
 @partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
                                    "group_keys", "part_keys",
                                    "packed_width"))
@@ -314,7 +362,12 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     """
     log = stats or StatsLogger(enabled=cfg.stats)
     mode = cfg.effective_mode
-    n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
+    seed_positions = None
+    if cfg.seed_mask is not None:
+        from ..ops.extract import parse_seed_mask
+        seed_positions = parse_seed_mask(cfg.seed_mask)
+    n_bases = (len(seed_positions) if seed_positions
+               else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
     # dense mode, TPU-native split by k (the 4^k output layout is the
     # same either way):
     #   k <= 8   — device-resident table via the MXU one-hot histogram
@@ -418,6 +471,13 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                         jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
                         jnp.asarray(batch.start_limits),
                         k=cfg.k, canonical=cfg.canonical,
+                        mask_ambiguous=cfg.skip_invalid,
+                        group_keys=cfg.sort_group_keys, packed_width=pw)
+                elif seed_positions is not None:
+                    out = spaced_step_sort(
+                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                        jnp.asarray(batch.start_limits),
+                        positions=seed_positions, canonical=cfg.canonical,
                         mask_ambiguous=cfg.skip_invalid,
                         group_keys=cfg.sort_group_keys, packed_width=pw)
                 else:

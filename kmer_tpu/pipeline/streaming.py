@@ -115,6 +115,9 @@ class StreamingCounter:
         order-preserving all_to_all merge) before spilling; the spill
         format and resume semantics are unchanged, so a run can even be
         resumed on a different mesh shape."""
+        if cfg.seed_mask is not None:
+            raise ValueError("seed_mask is not supported by the "
+                             "two-pass streaming driver (yet)")
         self.fasta = fasta
         self.cfg = cfg
         self.dir = spill_dir

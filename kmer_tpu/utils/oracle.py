@@ -59,6 +59,34 @@ def oracle_kmers(seq: str, k: int, canonical: bool = False,
     return out
 
 
+def oracle_spaced(seq: str, mask: str, canonical: bool = False,
+                  skip_invalid: bool = False) -> list[str]:
+    """Spaced-seed keys of one read: the bases at the mask's '1'
+    offsets per window of span len(mask).  Canonical takes the strand
+    min (palindromic masks only — the caller enforces)."""
+    span = len(mask)
+    pos = [i for i, ch in enumerate(mask) if ch == "1"]
+    out = []
+    up = seq.upper()
+    for i in range(len(seq) - span + 1):
+        s = "".join(up[i + j] for j in pos)
+        if skip_invalid and any(b not in "ACGT" for b in s):
+            continue
+        if canonical:
+            s = min(s, revcomp_str(s))
+        out.append(s)
+    return out
+
+
+def oracle_spaced_count(seqs: Iterable[str], mask: str,
+                        canonical: bool = False,
+                        skip_invalid: bool = False) -> Counter:
+    c: Counter = Counter()
+    for seq in seqs:
+        c.update(oracle_spaced(seq, mask, canonical, skip_invalid))
+    return c
+
+
 def oracle_count(seqs: Iterable[str], k: int, canonical: bool = False,
                  skip_invalid: bool = False) -> Counter:
     """(k-mer -> multiplicity) over a read set."""

@@ -136,6 +136,17 @@ def main():
         check("hll estimate within 5 sigma of exact distinct",
               abs(est - n_distinct) / n_distinct < 5 * sigma)
 
+        # 13c. spaced seeds through the fused banded-matmul kernel
+        from kmer_tpu.utils.oracle import oracle_spaced_count
+        smask = "110101011"
+        tsp = count_fasta(corpus, KmerConfig(seed_mask=smask,
+                                             canonical=True,
+                                             batch_reads=8192,
+                                             max_read_len=150))
+        want_sp = dict(oracle_spaced_count(seqs, smask, canonical=True))
+        check("spaced seed (fused mxu) == oracle",
+              tsp.to_dict() == want_sp)
+
         # 13b. AUTO policy default: multi-word k=45 routes to the fused
         # mxu kernel with no env set — the production default path for
         # 32 <= k <= 63 (select_fused_extract)

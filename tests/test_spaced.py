@@ -1,0 +1,136 @@
+"""Spaced-seed counting (PatternHunter-style 0/1 match masks).
+
+Differential contracts: the XLA slice-sum extractor and the fused MXU
+kernel (interpret mode) must both equal the string oracle, across key
+widths, canonical (palindromic masks), skip-invalid, packed transfer,
+and split-read seams."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from kmer_tpu import KmerConfig, count_fasta
+from kmer_tpu.ops.extract import (parse_seed_mask, seed_mask_palindromic,
+                                  spaced_lanes)
+from kmer_tpu.pipeline.table import KmerTable
+from kmer_tpu.utils import oracle
+
+
+def test_parse_seed_mask():
+    assert parse_seed_mask("1101011") == (0, 1, 3, 5, 6)
+    assert seed_mask_palindromic("1101011")
+    assert not seed_mask_palindromic("1101")
+    for bad in ("", "102", "011", "110", "0"):
+        with pytest.raises(ValueError):
+            parse_seed_mask(bad)
+
+
+@pytest.mark.parametrize("mask,canon,amb", [
+    ("1101011", False, False),
+    ("1101011", True, False),         # palindromic -> canonical ok
+    ("11011", True, True),
+    ("1" * 10 + "0" * 5 + "1" * 10, False, False),   # W=2 keys
+    ("110100101011", False, True),    # non-palindromic, masked
+    ("1011101110111011101", True, False),  # wide-ish, palindromic
+])
+def test_spaced_lanes_matches_oracle(mask, canon, amb):
+    rng = np.random.default_rng(hash(mask) % 2**31)
+    B, L = 14, 60
+    hi = 5 if amb else 4
+    codes = rng.integers(0, hi, (B, L), dtype=np.uint8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    words, valid = spaced_lanes(jnp.asarray(codes), jnp.asarray(lengths),
+                                mask, mask_ambiguous=amb, canonical=canon)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    got = KmerTable.from_pairs(len(parse_seed_mask(mask)), ks[v],
+                               np.ones(int(v.sum()), np.int64))
+    seqs = ["".join("ACGTN"[c] for c in row[:ln])
+            for row, ln in zip(codes, lengths)]
+    want = oracle.oracle_spaced_count(seqs, mask, canonical=canon,
+                                      skip_invalid=True)
+    assert got.to_dict() == dict(want)
+
+
+@pytest.mark.parametrize("mask,canon,amb", [
+    ("1101011", True, False),
+    ("11011", False, True),
+    ("1" * 10 + "0" * 5 + "1" * 10, False, False),
+    ("1011101110111011101", True, True),
+])
+def test_spaced_fused_mxu_matches_xla(mask, canon, amb):
+    """The fused kernel's spaced bands (interpret mode) == spaced_lanes
+    as aggregated tables."""
+    from kmer_tpu.ops import count as C
+    from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+    positions = parse_seed_mask(mask)
+    kk = len(positions)
+    rng = np.random.default_rng(len(mask) * 7 + canon + amb)
+    B, L = 48, 64
+    hi = 8 if amb else 4
+    codes = rng.integers(0, hi, (L, B), dtype=np.uint8)
+    lengths = rng.integers(0, L + 1, B).astype(np.int32)
+    limits = rng.integers(0, L + 1, B).astype(np.int32)
+    rflat, counts = fused_extract_count_T(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(limits),
+        kk, canonical=canon, mask_ambiguous=amb, seg=2, block_lanes=128,
+        algo="dedup", positions=positions, interpret=True)
+    std = C.unpack_words(rflat, kk)
+    ks = np.stack([np.asarray(w).reshape(-1) for w in std], 1)
+    cc = np.asarray(counts).reshape(-1)
+    sel = cc > 0
+    got = KmerTable.from_pairs(kk, ks[sel], cc[sel].astype(np.int64))
+    words, valid = spaced_lanes(jnp.asarray(codes.T),
+                                jnp.asarray(lengths), mask,
+                                limits=jnp.asarray(limits),
+                                mask_ambiguous=amb, canonical=canon)
+    kw = np.stack([np.asarray(w).reshape(-1) for w in words], 1)
+    v = np.asarray(valid).reshape(-1)
+    want = KmerTable.from_pairs(kk, kw[v], np.ones(int(v.sum()), np.int64))
+    assert got == want
+
+
+def test_spaced_count_end_to_end(tmp_path):
+    """count_fasta with seed_mask (XLA path on CPU + split reads +
+    packed transfer) == oracle; the fused path is forced too."""
+    import os
+    from kmer_tpu.io.generator import genome_reads_fasta
+    p = tmp_path / "sp.fasta"
+    p.write_text(genome_reads_fasta(60, 200, genome_len=3000, seed=21))
+    mask = "110101011"                       # palindromic
+    cfg = KmerConfig(seed_mask=mask, canonical=True, batch_reads=16,
+                     max_read_len=96, sort_group_keys=64)
+    got = count_fasta(str(p), cfg)
+    want = oracle.oracle_spaced_count(oracle.read_fasta_py(str(p)),
+                                      mask, canonical=True)
+    assert got.to_dict() == dict(want)
+    os.environ["KMER_TPU_STEP"] = "fused"    # mxu kernel, interpret
+    try:
+        got_f = count_fasta(str(p), cfg)
+    finally:
+        del os.environ["KMER_TPU_STEP"]
+    assert got_f == got
+
+
+def test_spaced_cli(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import random_reads_fasta
+    p = tmp_path / "c.fasta"
+    p.write_text(random_reads_fasta(10, 40, seed=3))
+    assert main(["count", str(p), "--seed-mask", "110011",
+                 "--batch-reads", "8", "--max-read-len", "64"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    total = sum(int(ln.split("\t")[1]) for ln in out)
+    assert total == 10 * (40 - 6 + 1)
+    assert all(len(ln.split("\t")[0]) == 4 for ln in out)
+    # config errors are clean
+    assert main(["count", str(p), "--seed-mask", "1101",
+                 "--canonical"]) == 1
+
+
+def test_spaced_streaming_multihost_guarded(tmp_path):
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    cfg = KmerConfig(seed_mask="10101", max_read_len=64)
+    with pytest.raises(ValueError):
+        StreamingCounter(__file__, cfg, str(tmp_path / "sp"))
