@@ -184,7 +184,8 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
                                  canonical: bool, capacity: int,
                                  axis_names=(DATA_AXIS, SEQ_AXIS),
                                  seq_axis: str | None = SEQ_AXIS,
-                                 mask_ambiguous: bool = False):
+                                 mask_ambiguous: bool = False,
+                                 positions: tuple | None = None):
     """shard_map body, FUSED-LOCAL variant: local shapes in, routed
     (std_words..., counts, overflow) PAIRS out.
 
@@ -210,11 +211,12 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     for a in axis_names:
         n_dev *= lax.axis_size(a)
     B, L_loc = codes.shape
+    span = (positions[-1] + 1) if positions else k   # spaced seeds
     if seq_axis is not None and lax.axis_size(seq_axis) > 1:
         # halo so every window is extracted exactly once; ownership and
         # in-read validity become per-shard effective lengths/limits
-        # (the fused kernel's validity test is pos <= len-k & pos < lim)
-        ext = halo_extend(codes, seq_axis, k - 1)
+        # (the fused kernel's validity test is pos <= len-span & pos < lim)
+        ext = halo_extend(codes, seq_axis, span - 1)
         base = lax.axis_index(seq_axis) * L_loc
         len_eff = jnp.clip(lengths.astype(jnp.int32) - base, 0,
                            ext.shape[1])
@@ -228,17 +230,32 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     # extraction with per-lane count 1 (pair routing doesn't care
     # where the pairs come from — aggregation absorbs uncollapsed
     # duplicates)
-    from ..ops.pallas.fused_extract import select_fused_extract
-    fused_extract = select_fused_extract(k, codes_l.shape[1], canonical,
-                                         mask_ambiguous)
+    from ..ops.pallas.fused_extract import mxu_fits, select_fused_extract
+    if positions is not None:
+        fused_extract = ("mxu" if mxu_fits(k, codes_l.shape[1], canonical,
+                                           mask_ambiguous, span=span)
+                         else None)
+    else:
+        fused_extract = select_fused_extract(k, codes_l.shape[1],
+                                             canonical, mask_ambiguous)
     if fused_extract is not None:
         rflat, counts = fused_extract_count_T(
             codes_l.T, lengths_l, limits_l, k, canonical=canonical,
             mask_ambiguous=mask_ambiguous, seg=2, block_lanes=256,
-            algo="dedup", extract=fused_extract,
+            algo="dedup", extract=fused_extract, positions=positions,
             interpret=_jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
         cnt = counts.astype(jnp.uint32)
+    elif positions is not None:
+        from ..ops.extract import spaced_lanes
+        mask = "".join("1" if j in positions else "0"
+                       for j in range(span))
+        words, valid = spaced_lanes(codes_l, lengths_l, mask,
+                                    limits=limits_l,
+                                    mask_ambiguous=mask_ambiguous,
+                                    canonical=canonical)
+        std = [w.reshape(-1) for w in words]
+        cnt = valid.reshape(-1).astype(jnp.uint32)
     else:
         if canonical:
             words, valid = canonical_kmer_lanes(
@@ -264,7 +281,8 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
 def make_distributed_count_pairs(mesh, *, k: int, canonical: bool = False,
                                  capacity: int | None = None,
                                  use_seq: bool | None = None,
-                                 mask_ambiguous: bool = False):
+                                 mask_ambiguous: bool = False,
+                                 seed_mask: str | None = None):
     """jit-compiled fused-local distributed count over `mesh`.
 
     Returns fn(codes, lengths, limits) -> (std_words, counts, overflow);
@@ -281,18 +299,24 @@ def make_distributed_count_pairs(mesh, *, k: int, canonical: bool = False,
         raise ValueError(
             f"use_seq=False on a mesh with seq={n_seq}; build the mesh "
             f"with n_seq=1 instead")
+    positions = None
+    if seed_mask is not None:
+        from ..ops.extract import parse_seed_mask
+        positions = parse_seed_mask(seed_mask)
+        k = len(positions)            # key width = popcount
+    span = (positions[-1] + 1) if positions else k
 
     def fn(codes, lengths, limits):
         B_loc, L_loc = codes.shape
         cap = capacity
         if cap is None:
-            n_lanes = B_loc * (L_loc if use_seq else L_loc - k + 1)
+            n_lanes = B_loc * (L_loc if use_seq else L_loc - span + 1)
             cap = route_capacity(n_lanes, n_dev)
         return count_step_distributed_pairs(
             codes, lengths, limits, k=k, canonical=canonical, capacity=cap,
             axis_names=(DATA_AXIS, SEQ_AXIS),
             seq_axis=SEQ_AXIS if use_seq else None,
-            mask_ambiguous=mask_ambiguous)
+            mask_ambiguous=mask_ambiguous, positions=positions)
 
     shard = jax.shard_map(
         fn, mesh=mesh,

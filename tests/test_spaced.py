@@ -134,3 +134,29 @@ def test_spaced_streaming_multihost_guarded(tmp_path):
     cfg = KmerConfig(seed_mask="10101", max_read_len=64)
     with pytest.raises(ValueError):
         StreamingCounter(__file__, cfg, str(tmp_path / "sp"))
+
+
+@pytest.mark.parametrize("n_data,n_seq", [(1, 1), (4, 1), (2, 2), (4, 2)])
+def test_spaced_distributed_pairs(n_data, n_seq):
+    """Spaced seeds through the fused-local pair-routing path: table
+    bit-identical to the oracle across mesh shapes (incl. sequence
+    sharding with the span-1 halo)."""
+    from kmer_tpu.ops.encode import BASE_ORDER, encode_seq
+    from kmer_tpu.parallel import distributed, mesh as mesh_lib
+    mask = "110101011"                 # palindromic, span 9, k=6
+    rng = np.random.default_rng(n_data * 10 + n_seq)
+    B, L = 4 * n_data, 32 * n_seq
+    seqs = ["".join(BASE_ORDER[c] for c in rng.integers(0, 4, L))
+            for _ in range(B)]
+    codes = np.stack([encode_seq(s) for s in seqs])
+    lengths = np.full((B,), L, np.int32)
+    limits = np.full((B,), L, np.int32)
+    m = mesh_lib.make_mesh(n_data, n_seq)
+    fn = distributed.make_distributed_count_pairs(
+        m, k=6, canonical=True, seed_mask=mask)   # k overridden by mask
+    pw, pc, over = fn(jnp.asarray(codes), jnp.asarray(lengths),
+                      jnp.asarray(limits))
+    assert not bool(over)
+    got = KmerTable.from_routed_pairs(6, pw, pc)
+    want = oracle.oracle_spaced_count(seqs, mask, canonical=True)
+    assert got.to_dict() == dict(want)
