@@ -170,6 +170,9 @@ def pairs_eligible(cfg) -> bool:
     import os
     if os.environ.get("KMER_TPU_MULTIHOST_STEP", "pairs") == "legacy":
         return False
+    if getattr(cfg, "seed_mask", None) is not None:
+        return True      # the pairs step handles spaced seeds (fused
+        # mxu when it fits, XLA spaced slice-sum otherwise)
     if cfg.gapped:
         nb = cfg.l_len + cfg.r_len
         return (max(cfg.l_len, cfg.r_len) <= 31 and (2 * nb) % 32 != 0

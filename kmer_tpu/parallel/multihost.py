@@ -159,9 +159,6 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     and host count.  Batches are globally aligned so every process
     dispatches the same number of collective steps.
     """
-    if cfg.seed_mask is not None:
-        raise ValueError("seed_mask is not supported by the multihost "
-                         "driver (yet)")
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -212,6 +209,9 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
     # runs the single-kernel fused step instead of two flat sorts);
     # policy shared with streaming (distributed.pairs_eligible)
     use_pairs = distributed.pairs_eligible(cfg)
+    if cfg.seed_mask is not None and not use_pairs:
+        raise ValueError("spaced seeds need the pairs step; unset "
+                         "KMER_TPU_MULTIHOST_STEP=legacy")
 
     def build_fn():
         if cfg.gapped and use_pairs:
@@ -227,7 +227,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
         if use_pairs:
             return distributed.make_distributed_count_pairs(
                 mesh, k=cfg.k, canonical=cfg.canonical,
-                capacity=capacity[0], mask_ambiguous=cfg.skip_invalid)
+                capacity=capacity[0], mask_ambiguous=cfg.skip_invalid,
+                seed_mask=cfg.seed_mask)
         return distributed.make_distributed_count(
             mesh, k=cfg.k, canonical=cfg.canonical, capacity=capacity[0],
             mask_ambiguous=cfg.skip_invalid)
@@ -280,7 +281,8 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
             prev = capacity[0] or max(cap_max // 8, 128)
             capacity[0] = min(prev * 2, cap_max)
             fn = build_fn()
-        n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
+        n_bases = (cfg.seed_mask.count("1") if cfg.seed_mask
+                   else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
         if use_pairs:
             words, counts, _ = out
             host_w, host_c = multihost_utils.process_allgather(

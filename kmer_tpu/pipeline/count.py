@@ -543,7 +543,8 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     formats may be mixed — each file is auto-detected)."""
     from ..io.fasta import iter_parse_chunks
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    n_bases = (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k
+    n_bases = (cfg.seed_mask.count("1") if cfg.seed_mask is not None
+               else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
     table: KmerTable | None = None
     seen_any = False
     # per-chunk tables are BUFFERED and bulk-merged (one vectorized

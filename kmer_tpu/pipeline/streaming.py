@@ -115,9 +115,6 @@ class StreamingCounter:
         order-preserving all_to_all merge) before spilling; the spill
         format and resume semantics are unchanged, so a run can even be
         resumed on a different mesh shape."""
-        if cfg.seed_mask is not None:
-            raise ValueError("seed_mask is not supported by the "
-                             "two-pass streaming driver (yet)")
         self.fasta = fasta
         self.cfg = cfg
         self.dir = spill_dir
@@ -126,6 +123,10 @@ class StreamingCounter:
         self.W = words_per_key(self._n_bases)
         self.mesh = mesh
         self._dist_fn = None
+        if mesh is not None and cfg.seed_mask is not None:
+            raise ValueError("seed_mask + mesh streaming is not wired "
+                             "(use the single-device streaming driver "
+                             "or make_distributed_count_pairs directly)")
         if mesh is not None:
             from ..parallel import distributed
             from ..parallel.mesh import DATA_AXIS
@@ -177,6 +178,8 @@ class StreamingCounter:
 
     @property
     def _n_bases(self) -> int:
+        if self.cfg.seed_mask is not None:
+            return self.cfg.seed_mask.count("1")
         return (self.cfg.l_len + self.cfg.r_len) if self.cfg.gapped else self.cfg.k
 
     def _fingerprint(self) -> dict:
@@ -189,6 +192,7 @@ class StreamingCounter:
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
             "skip_invalid": c.skip_invalid, "min_qual": c.min_qual,
+            "seed_mask": c.seed_mask,
             "l_len": c.l_len, "r_len": c.r_len,
             "c_min": c.c_min, "c_max": c.c_max,
             # chunk boundaries are deterministic given this; a changed
@@ -288,6 +292,16 @@ class StreamingCounter:
                 jnp.asarray(batch.start_limits),
                 c_min=cfg.c_min, c_max=cfg.c_max,
                 l_len=cfg.l_len, r_len=cfg.r_len,
+                mask_ambiguous=cfg.skip_invalid,
+                group_keys=cfg.sort_group_keys, packed_width=pw)
+        elif cfg.seed_mask is not None:
+            from ..ops.extract import parse_seed_mask
+            from .count import spaced_step_sort
+            s, is_start, counts = spaced_step_sort(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits),
+                positions=parse_seed_mask(cfg.seed_mask),
+                canonical=cfg.canonical,
                 mask_ambiguous=cfg.skip_invalid,
                 group_keys=cfg.sort_group_keys, packed_width=pw)
         else:

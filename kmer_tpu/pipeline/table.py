@@ -140,7 +140,13 @@ class KmerTable:
         rows), and W > 2 keys lexsort ceil(W/2) fused columns instead
         of W."""
         W = words_per_key(k)
-        keys = np.asarray(keys, dtype=np.uint32).reshape(-1, W)
+        keys = np.asarray(keys, dtype=np.uint32)
+        if keys.ndim == 2 and keys.shape[0] and keys.shape[1] != W:
+            # a silent reshape would merge/split adjacent keys — this is
+            # always a caller passing the wrong n_bases
+            raise ValueError(f"key width {keys.shape[1]} != {W} words "
+                             f"for {k} bases")
+        keys = keys.reshape(-1, W)
         counts = np.asarray(counts, dtype=np.int64)
         if len(counts) == 0:
             return KmerTable.empty(k)

@@ -129,11 +129,18 @@ def test_spaced_cli(tmp_path, capsys):
                  "--canonical"]) == 1
 
 
-def test_spaced_streaming_multihost_guarded(tmp_path):
+def test_spaced_mesh_streaming_guarded(tmp_path):
+    """seed_mask + mesh-attached streaming is the one unwired combo —
+    it must refuse loudly, never silently count contiguous k-mers."""
+    import jax
+    from kmer_tpu.parallel import mesh as mesh_lib
     from kmer_tpu.pipeline.streaming import StreamingCounter
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
     cfg = KmerConfig(seed_mask="10101", max_read_len=64)
     with pytest.raises(ValueError):
-        StreamingCounter(__file__, cfg, str(tmp_path / "sp"))
+        StreamingCounter(__file__, cfg, str(tmp_path / "sp"),
+                         mesh=mesh_lib.make_mesh(2, 1))
 
 
 @pytest.mark.parametrize("n_data,n_seq", [(1, 1), (4, 1), (2, 2), (4, 2)])
@@ -160,3 +167,41 @@ def test_spaced_distributed_pairs(n_data, n_seq):
     got = KmerTable.from_routed_pairs(6, pw, pc)
     want = oracle.oracle_spaced_count(seqs, mask, canonical=True)
     assert got.to_dict() == dict(want)
+
+
+def test_spaced_two_pass_streaming(tmp_path):
+    """seed_mask through the two-pass spill driver == in-memory, with
+    an interruption-resume in the middle."""
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    p = tmp_path / "s2p.fasta"
+    p.write_text(genome_reads_fasta(50, 120, genome_len=2500, seed=31))
+    mask = "1101011"
+    cfg = KmerConfig(seed_mask=mask, canonical=True, batch_reads=8,
+                     max_read_len=64, sort_group_keys=64, partitions=4,
+                     ingest_chunk_bases=1 << 12)
+    want = count_fasta(str(p), cfg)
+    sc = StreamingCounter(str(p), cfg, str(tmp_path / "sp"))
+    sc.run_pass1(max_batches=2)        # interrupt + resume
+    sc = StreamingCounter(str(p), cfg, str(tmp_path / "sp"))
+    sc.run()
+    assert sc.final_table() == want
+    assert want.to_dict() == dict(oracle.oracle_spaced_count(
+        oracle.read_fasta_py(str(p)), mask, canonical=True))
+
+
+def test_spaced_multihost_single_process(tmp_path):
+    """count_fasta_multihost with seed_mask (1-process degenerate form
+    over the 8-device mesh) == the single-host pipeline."""
+    import jax
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.parallel.multihost import count_fasta_multihost
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    p = tmp_path / "smh.fasta"
+    p.write_text(genome_reads_fasta(40, 90, genome_len=2000, seed=33))
+    mask = "110101011"
+    cfg = KmerConfig(seed_mask=mask, canonical=True, batch_reads=8,
+                     max_read_len=96)
+    got = count_fasta_multihost(str(p), cfg)
+    assert got == count_fasta(str(p), cfg)
