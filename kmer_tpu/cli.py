@@ -125,6 +125,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="HLL precision b: 2^b buckets, relative error "
                          "~1.04/sqrt(2^b) (default 10: ~3.3%%)")
 
+    pd = sub.add_parser("dump", help="dump a saved table (.npz) as "
+                                     "sorted kmer\\tcount TSV "
+                                     "(kmc_dump-style)")
+    pd.add_argument("table", help="KmerTable .npz path")
+    pd.add_argument("--min-count", type=int, default=1)
+    pd.add_argument("--max-count", type=int, default=None)
+    pd.add_argument("--histo", action="store_true",
+                    help="print the multiplicity spectrum instead")
+    pd.add_argument("--top", type=int, default=None,
+                    help="print only the N most frequent k-mers")
+
     pq = sub.add_parser("query", help="look up k-mer counts in a saved "
                                       "table (.npz from count --out-npz)")
     pq.add_argument("table", help="KmerTable .npz path")
@@ -320,6 +331,21 @@ def _dispatch(args) -> int:
         counts = table.get_many(kmers, canonical=args.canonical)
         for km, c in zip(kmers, counts.tolist()):
             sys.stdout.write(f"{km}\t{c}\n")
+        return 0
+
+    if args.cmd == "dump":
+        from .pipeline.table import KmerTable
+        t = KmerTable.load(args.table)
+        if args.min_count > 1 or args.max_count is not None:
+            t = t.filter_count_range(args.min_count, args.max_count)
+        if args.histo:
+            for mult, ndis in sorted(t.multiplicity_histogram().items()):
+                sys.stdout.write(f"{mult}\t{ndis}\n")
+        elif args.top is not None:
+            for km, cnt in t.top(args.top):
+                sys.stdout.write(f"{km}\t{cnt}\n")
+        else:
+            t.write_tsv(sys.stdout)
         return 0
 
     if args.cmd == "tools":

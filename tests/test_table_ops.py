@@ -139,3 +139,27 @@ def test_cli_tools_compare(tmp_path, capsys):
     assert main(["tools", "compare", str(pa), str(pb)]) == 0
     got = json.loads(capsys.readouterr().out)
     assert got == a.compare(b)
+
+
+def test_cli_dump(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    da, _, a, _ = _rand_tables(seed=8)
+    pa = tmp_path / "a.npz"
+    a.save(pa)
+    assert main(["dump", str(pa)]) == 0
+    out = capsys.readouterr().out
+    got = {ln.split("\t")[0]: int(ln.split("\t")[1])
+           for ln in out.splitlines()}
+    assert got == a.to_dict()
+    assert main(["dump", str(pa), "--histo"]) == 0
+    h = dict(tuple(map(int, ln.split("\t")))
+             for ln in capsys.readouterr().out.splitlines())
+    assert h == a.multiplicity_histogram()
+    assert main(["dump", str(pa), "--top", "3"]) == 0
+    top = capsys.readouterr().out.splitlines()
+    assert len(top) == 3
+    assert [tuple(ln.split("\t")) for ln in top] == \
+        [(km, str(c)) for km, c in a.top(3)]
+    assert main(["dump", str(pa), "--min-count", "25"]) == 0
+    got2 = capsys.readouterr().out.splitlines()
+    assert len(got2) == a.filter_min_count(25).num_distinct
