@@ -27,7 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DENSE_MXU_K_MAX = 8          # 4^8 = 65536 bins = (256, 256)
-_TILE_ROWS = 8               # (8, 128) index tile -> T = 1024 keys/step
+_TILE_ROWS = 32              # (32, 128) index tile -> T = 4096 keys/step
+                             # (r3 clean-block sweep at 4^8 bins:
+                             # 8/16/32/64 rows = 12.6/11.8/10.7/10.5 ms
+                             # per 4.7 M keys — bigger matmuls amortize
+                             # the one-hot build; 64 is marginal and
+                             # doubles the VMEM intermediates)
 
 
 def _hist_kernel(idx_ref, valid_ref, out_ref, acc_ref, *,
