@@ -131,3 +131,31 @@ def test_fuzz_fastq_minqual_matrix(tmp_path, trial):
     want = oracle.oracle_count(masked, k, canonical=canonical,
                                skip_invalid=True)
     assert table.to_dict() == dict(want), cfg
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_spaced_matrix(tmp_path, trial):
+    """Random masks x random corpora x config fuzz vs the spaced
+    string oracle (XLA path; the fused kernel is pinned separately)."""
+    rng = np.random.default_rng(9000 + trial)
+    reads = _random_corpus(rng)
+    text = "".join(f">r{i}\n{s}\n" for i, s in enumerate(reads))
+    p = tmp_path / f"sz{trial}.fasta"
+    p.write_text(text)
+    # random mask: 1 + random 0/1 middle + 1; palindromize half the time
+    mid = "".join(rng.choice(["0", "1"], size=int(rng.integers(0, 12))))
+    mask = "1" + mid + "1"
+    canonical = bool(rng.random() < 0.5)
+    if canonical:
+        mask = mask + mask[::-1]        # force palindromic
+    cfg = KmerConfig(
+        seed_mask=mask, canonical=canonical,
+        packed_transfer=bool(rng.random() < 0.7),
+        sort_group_keys=int(rng.choice([0, 64, 256])),
+        batch_reads=int(rng.choice([2, 8, 32])),
+        max_read_len=int(rng.choice([max(len(mask), 24), 160])),
+        ingest_chunk_bases=int(rng.choice([0, 131, 1 << 20])),
+    )
+    table = count_fasta(str(p), cfg)
+    want = oracle.oracle_spaced_count(reads, mask, canonical=canonical)
+    assert table.to_dict() == dict(want), (mask, cfg)
