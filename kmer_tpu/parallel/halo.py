@@ -10,7 +10,6 @@ that START inside its span, so every window is extracted exactly once
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
