@@ -132,6 +132,16 @@ class KmerConfig:
                     f"{len(self.seed_mask)}")
 
     @property
+    def n_bases(self) -> int:
+        """Bases per key (= key width): seed-mask popcount, gapped
+        l+r, or k.  THE single source — every driver derives its table
+        width from here (a drifting local copy once silently merged
+        adjacent keys through a from_pairs reshape)."""
+        if self.seed_mask is not None:
+            return self.seed_mask.count("1")
+        return (self.l_len + self.r_len) if self.gapped else self.k
+
+    @property
     def window_span(self) -> int:
         """Longest window the extractor needs in one batch row."""
         if self.seed_mask is not None:

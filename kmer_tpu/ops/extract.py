@@ -89,6 +89,13 @@ def parse_seed_mask(mask: str) -> tuple[int, ...]:
     return tuple(i for i, ch in enumerate(mask) if ch == "1")
 
 
+def mask_from_positions(positions) -> str:
+    """Inverse of parse_seed_mask (span = positions[-1] + 1)."""
+    span = positions[-1] + 1
+    sel = set(positions)
+    return "".join("1" if j in sel else "0" for j in range(span))
+
+
 def seed_mask_palindromic(mask: str) -> bool:
     """Canonical (strand-min) spaced keys are well-defined only when
     the mask equals its reverse: the reverse complement of a window

@@ -250,10 +250,9 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
         std = count_ops.unpack_words(rflat, k)
         cnt = counts.astype(jnp.uint32)
     elif positions is not None:
-        from ..ops.extract import spaced_lanes
-        mask = "".join("1" if j in positions else "0"
-                       for j in range(span))
-        words, valid = spaced_lanes(codes_l, lengths_l, mask,
+        from ..ops.extract import mask_from_positions, spaced_lanes
+        words, valid = spaced_lanes(codes_l, lengths_l,
+                                    mask_from_positions(positions),
                                     limits=limits_l,
                                     mask_ambiguous=mask_ambiguous,
                                     canonical=canonical)

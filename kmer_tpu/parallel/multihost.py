@@ -281,8 +281,7 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
             prev = capacity[0] or max(cap_max // 8, 128)
             capacity[0] = min(prev * 2, cap_max)
             fn = build_fn()
-        n_bases = (cfg.seed_mask.count("1") if cfg.seed_mask
-                   else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
+        n_bases = cfg.n_bases
         if use_pairs:
             words, counts, _ = out
             host_w, host_c = multihost_utils.process_allgather(

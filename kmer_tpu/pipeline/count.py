@@ -176,8 +176,10 @@ def spaced_step_sort(codes, lengths, limits, *, positions: tuple,
             interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, kk)
         return std, counts > 0, counts
-    mask = "".join("1" if j in positions else "0" for j in range(span))
-    words, valid = spaced_lanes(codes, lengths, mask, limits=limits,
+    from ..ops.extract import mask_from_positions
+    words, valid = spaced_lanes(codes, lengths,
+                                mask_from_positions(positions),
+                                limits=limits,
                                 mask_ambiguous=mask_ambiguous,
                                 canonical=canonical)
     if group_keys > 0:
@@ -366,8 +368,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     if cfg.seed_mask is not None:
         from ..ops.extract import parse_seed_mask
         seed_positions = parse_seed_mask(cfg.seed_mask)
-    n_bases = (len(seed_positions) if seed_positions
-               else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
+    n_bases = cfg.n_bases
     # dense mode, TPU-native split by k (the 4^k output layout is the
     # same either way):
     #   k <= 8   — device-resident table via the MXU one-hot histogram
@@ -543,8 +544,7 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     formats may be mixed — each file is auto-detected)."""
     from ..io.fasta import iter_parse_chunks
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
-    n_bases = (cfg.seed_mask.count("1") if cfg.seed_mask is not None
-               else (cfg.l_len + cfg.r_len) if cfg.gapped else cfg.k)
+    n_bases = cfg.n_bases
     table: KmerTable | None = None
     seen_any = False
     # per-chunk tables are BUFFERED and bulk-merged (one vectorized

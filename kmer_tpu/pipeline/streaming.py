@@ -178,9 +178,7 @@ class StreamingCounter:
 
     @property
     def _n_bases(self) -> int:
-        if self.cfg.seed_mask is not None:
-            return self.cfg.seed_mask.count("1")
-        return (self.cfg.l_len + self.cfg.r_len) if self.cfg.gapped else self.cfg.k
+        return self.cfg.n_bases
 
     def _fingerprint(self) -> dict:
         c = self.cfg
