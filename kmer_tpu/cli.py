@@ -121,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--canonical", action="store_true")
     pe.add_argument("--skip-invalid", action="store_true")
     pe.add_argument("--min-qual", type=int, default=0)
+    pe.add_argument("--seed-mask", default=None,
+                    help="estimate distinct SPACED keys (0/1 mask; "
+                         "-k is then ignored)")
     pe.add_argument("--buckets-log2", type=int, default=10,
                     help="HLL precision b: 2^b buckets, relative error "
                          "~1.04/sqrt(2^b) (default 10: ~3.3%%)")
@@ -301,11 +304,13 @@ def _dispatch(args) -> int:
         from .config import KmerConfig
         from .pipeline.sketch import estimate_distinct_multi_k
         ks = list(dict.fromkeys(args.k or [21]))
+        span = len(args.seed_mask) if args.seed_mask else max(ks)
         cfg = KmerConfig(k=max(ks), canonical=args.canonical,
                          batch_reads=args.batch_reads,
-                         max_read_len=max(args.max_read_len, max(ks)),
+                         max_read_len=max(args.max_read_len, span),
                          skip_invalid=(args.skip_invalid
                                        or args.min_qual > 0),
+                         seed_mask=args.seed_mask,
                          min_qual=args.min_qual, stats=args.stats)
         res = estimate_distinct_multi_k(args.fasta, ks, cfg,
                                         b=args.buckets_log2)

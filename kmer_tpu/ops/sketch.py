@@ -96,20 +96,27 @@ def hll_classes(words, valid, b: int):
 
 
 @partial(jax.jit, static_argnames=("k", "canonical", "mask_ambiguous",
-                                   "b", "packed_width"))
+                                   "b", "packed_width", "positions"))
 def hll_step(codes, lengths, limits, hist, *, k: int, canonical: bool,
              b: int = 10, mask_ambiguous: bool = False,
-             packed_width: int = 0):
+             packed_width: int = 0, positions: tuple | None = None):
     """One device batch of the estimator: extract + hash + class
     histogram, ACCUMULATED into `hist` ((2^(b+5),) int32, carried on
-    device across batches — D2H happens once per corpus)."""
+    device across batches — D2H happens once per corpus).  positions:
+    spaced-seed match offsets (keys = bases at those offsets; k is
+    then the popcount)."""
     if packed_width:
         from .encode import unpack_codes_u32
         codes = unpack_codes_u32(codes, packed_width)
     from .canonical import canonical_kmer_lanes
-    from .extract import kmer_lanes
+    from .extract import kmer_lanes, mask_from_positions, spaced_lanes
     from .pallas.histogram import index_histogram_mxu
-    if canonical:
+    if positions is not None:
+        words, valid = spaced_lanes(codes, lengths,
+                                    mask_from_positions(positions),
+                                    limits=limits, canonical=canonical,
+                                    mask_ambiguous=mask_ambiguous)
+    elif canonical:
         words, valid = canonical_kmer_lanes(codes, lengths, k, limits=limits,
                                             mask_ambiguous=mask_ambiguous)
     else:

@@ -44,19 +44,26 @@ def estimate_distinct_multi_k(paths, ks, cfg: KmerConfig | None = None,
     if not 1 <= b <= 11:
         raise ValueError(f"buckets_log2 must be in [1, 11] (class width "
                          f"b+5 <= 16 bits), got {b}")
+    positions = seed_span = None
+    if cfg.seed_mask is not None:
+        from ..ops.extract import parse_seed_mask
+        positions = parse_seed_mask(cfg.seed_mask)
+        seed_span = len(cfg.seed_mask)
+        ks = [len(positions)]         # key width = popcount; one "k"
     ks = list(dict.fromkeys(ks))      # dedupe: a repeated k would
     # double-accumulate its shared histogram entry
     if not ks or any(kk < 1 for kk in ks):
         raise ValueError(f"bad k list {ks}")
-    if cfg.max_read_len < max(ks):
-        raise ValueError(f"max_read_len={cfg.max_read_len} < k={max(ks)}")
+    if cfg.max_read_len < (seed_span or max(ks)):
+        raise ValueError(f"max_read_len={cfg.max_read_len} < window "
+                         f"span {seed_span or max(ks)}")
     if isinstance(paths, str):
         paths = [paths]
     hists = {kk: jnp.zeros((1 << (b + 5),), jnp.int32) for kk in ks}
     totals = {kk: 0 for kk in ks}
-    # windows are segmented for the LARGEST k (overlap max(ks)-1) so
+    # windows are segmented for the LARGEST window (overlap span-1) so
     # every k's extraction is exact with one batching
-    overlap = max(ks) - 1
+    overlap = (seed_span or max(ks)) - 1
     # 2-bit packed H2D (4x smaller) exactly as the count pipeline
     packed = cfg.packed_transfer and not cfg.skip_invalid
     for p in paths:
@@ -71,13 +78,15 @@ def estimate_distinct_multi_k(paths, ks, cfg: KmerConfig | None = None,
                 jl = jnp.asarray(batch.lengths)
                 jlim = jnp.asarray(batch.start_limits)
                 for kk in ks:
+                    span = seed_span or kk
                     hists[kk] = hll_step(jc, jl, jlim, hists[kk], k=kk,
                                          canonical=cfg.canonical, b=b,
                                          mask_ambiguous=cfg.skip_invalid,
-                                         packed_width=batch.packed_width)
+                                         packed_width=batch.packed_width,
+                                         positions=positions)
                     totals[kk] += int(np.maximum(
                         np.minimum(batch.lengths, batch.start_limits
-                                   + kk - 1) - kk + 1, 0).sum())
+                                   + span - 1) - span + 1, 0).sum())
     out = []
     for kk in ks:
         h = np.asarray(hists[kk])

@@ -197,3 +197,21 @@ def test_card_duplicate_k_and_bad_b(tmp_path, capsys):
     assert main(["card", str(p), "-k", "11", "--buckets-log2", "12",
                  "--batch-reads", "8", "--max-read-len", "64"]) == 1
     assert "buckets_log2" in capsys.readouterr().err
+
+
+def test_card_spaced_seed(tmp_path):
+    """Distinct estimation over spaced keys: total equals the exact
+    spaced window count and the estimate tracks the exact distinct."""
+    from kmer_tpu import count_fasta
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.sketch import estimate_distinct_multi_k
+    p = tmp_path / "cs.fasta"
+    p.write_text(genome_reads_fasta(200, 100, genome_len=4000, seed=17))
+    mask = "110101011"
+    cfg = KmerConfig(seed_mask=mask, canonical=True, batch_reads=32,
+                     max_read_len=128)
+    [(est, total)] = estimate_distinct_multi_k(str(p), [21], cfg, b=10)
+    exact = count_fasta(str(p), cfg)
+    assert total == exact.total
+    sigma = 1.04 / np.sqrt(1 << 10)
+    assert abs(est - exact.num_distinct) / exact.num_distinct < 5 * sigma
