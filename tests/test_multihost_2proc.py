@@ -34,6 +34,10 @@ gt = count_fasta_multihost(fasta, KmerConfig(
     batch_reads=8, max_read_len=96,
     ingest_chunk_bases=512))   # force multi-chunk bounded ingest
 gt.save(f"{outdir}/g{pid}.npz")
+st = count_fasta_multihost(fasta, KmerConfig(
+    seed_mask="1101011", canonical=True, batch_reads=8,
+    max_read_len=96))
+st.save(f"{outdir}/s{pid}.npz")
 """
 
 
@@ -85,3 +89,11 @@ def test_two_process_table_bit_identical():
             batch_reads=8, max_read_len=96))
         assert g0 == g1
         assert g0 == gref
+        # spaced seeds over the same two processes
+        s0 = KmerTable.load(os.path.join(d, "s0.npz"))
+        s1 = KmerTable.load(os.path.join(d, "s1.npz"))
+        sref = count_fasta(fasta, KmerConfig(
+            seed_mask="1101011", canonical=True, batch_reads=8,
+            max_read_len=96))
+        assert s0 == s1
+        assert s0 == sref
