@@ -92,7 +92,7 @@ def main():
         hi, lo = hl
         is_start, counts = count_ops.run_lengths([hi, lo])
         # non-foldable feedback
-        return hi.at[0].set(counts[1] % jnp.uint32(2048)), lo
+        return hi.at[0].set((counts[1] % 2048).astype(jnp.uint32)), lo
 
     s = sort_step((hi0, lo0))
     run_chained("run_lengths", rl_step, s,
