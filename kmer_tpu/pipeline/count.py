@@ -411,15 +411,33 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # possible duplicate keys, so even a single part must be aggregated
     grouped = mode == "sort" and cfg.sort_group_keys > 0
 
-    def flush(final: bool = False) -> None:
+    # flush merges run on a single background thread so the multi-second
+    # from_pairs (numpy releases the GIL for sort/gather) overlaps the
+    # device pipeline and per-batch D2H instead of stalling it; at most
+    # one merge is in flight, harvested before the next flush (and at
+    # the end), so memory stays bounded at ~one merged table + the
+    # accumulating parts.  Tables are aggregation-order-independent, so
+    # the result is bit-identical to the synchronous schedule.
+    import concurrent.futures as _cf
+    merge_pool = _cf.ThreadPoolExecutor(max_workers=1)
+    merge_inflight: list = []       # [] or [Future[(table, n_in)]]
+
+    def _do_merge(snapshot):
+        n_in = sum(len(p.counts) for p in snapshot)
+        merged = KmerTable.from_pairs(
+            n_bases,
+            np.concatenate([p.keys for p in snapshot], axis=0),
+            np.concatenate([p.counts for p in snapshot]))
+        return merged, n_in
+
+    aggregated_ids: set = set()     # parts that are already sorted-unique
+
+    def _harvest() -> None:
         nonlocal parts, buffered, flush_pairs
-        if len(parts) > 1 or (final and grouped and parts):
-            n_in = sum(len(p.counts) for p in parts)
-            merged = KmerTable.from_pairs(
-                n_bases,
-                np.concatenate([p.keys for p in parts], axis=0),
-                np.concatenate([p.counts for p in parts]))
-            if not final and merged.num_distinct > 0.75 * n_in:
+        if merge_inflight:
+            merged, n_in = merge_inflight.pop().result()
+            aggregated_ids.add(id(merged))
+            if merged.num_distinct > 0.75 * n_in:
                 # unique-heavy stream: merging barely compacted, and the
                 # merged table would be RE-sorted by every later flush
                 # (O(total^2) across the run).  A non-compacting flush
@@ -428,8 +446,26 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 # x2 (measured: the x2 schedule's extra mid-run merge
                 # cost 14 s on a 24 M-distinct corpus)
                 flush_pairs *= 4
-            parts = [merged]
-        buffered = parts[0].num_distinct if parts else 0
+            parts.insert(0, merged)
+            buffered += merged.num_distinct
+
+    def flush(final: bool = False) -> None:
+        nonlocal parts, buffered
+        _harvest()
+        if final:
+            need = (len(parts) > 1
+                    or (grouped and parts
+                        and id(parts[0]) not in aggregated_ids))
+            if need:
+                merged, _ = _do_merge(parts)
+                parts = [merged]
+            buffered = parts[0].num_distinct if parts else 0
+            merge_pool.shutdown(wait=False)
+            return
+        if len(parts) > 1:
+            merge_inflight.append(merge_pool.submit(_do_merge, parts))
+            parts = []
+            buffered = 0
 
     # 2-bit packed H2D transfer: 4x smaller batches (the ambiguity code
     # needs 3 bits, so skip-invalid mode falls back to u8 rows)
