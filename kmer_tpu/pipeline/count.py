@@ -595,16 +595,21 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     flush_pairs = 8 << 20
 
     def flush() -> None:
-        nonlocal parts, buffered, table
+        nonlocal parts, buffered, table, flush_pairs
         if parts:
             if table is None and len(parts) == 1:
                 table = parts[0]        # single-chunk fast path: no re-sort
             else:
                 allp = ([table] if table is not None else []) + parts
+                n_in = sum(len(t.counts) for t in allp)
                 table = KmerTable.from_pairs(
                     n_bases,
                     np.concatenate([t.keys for t in allp], axis=0),
                     np.concatenate([t.counts for t in allp]))
+                if table.num_distinct > 0.75 * n_in:
+                    # non-compacting merge: frees no memory, so back
+                    # off hard (same schedule as count_codes)
+                    flush_pairs *= 4
             parts = []
         buffered = 0
 
