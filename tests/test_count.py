@@ -467,3 +467,21 @@ def test_compact_config_validation():
         KmerConfig(k=120, compact=True)
     with pytest.raises(ValueError, match="sort"):
         KmerConfig(k=8, mode="dense", compact=True)
+
+
+def test_very_wide_keys_k101(tmp_path):
+    """k=101 (W=7 words): the general XLA path has no key-width cap —
+    exact vs the string oracle, canonical, with a compact variant
+    (records cap at 7 key words = 111 bases)."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.utils import oracle
+    p = tmp_path / "wide.fasta"
+    p.write_text(genome_reads_fasta(20, 150, genome_len=2000, seed=41))
+    cfg = KmerConfig(k=101, canonical=True, batch_reads=8,
+                     max_read_len=128, sort_group_keys=64)
+    got = count_fasta(str(p), cfg)
+    want = oracle.oracle_count(oracle.read_fasta_py(str(p)), 101,
+                               canonical=True)
+    assert got.to_dict() == dict(want)
+    assert count_fasta(str(p), cfg.replace(compact=True)) == got
