@@ -34,6 +34,9 @@ def _add_common(p):
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kmer_tpu", description=__doc__)
+    from . import __version__
+    ap.add_argument("--version", action="version",
+                    version=f"kmer-tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     pc = sub.add_parser("count", help="count k-mers")
