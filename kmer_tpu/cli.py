@@ -4,12 +4,14 @@ The reference has no CLI at all in the binary (hard-coded path,
 main.rs:44) and a single positional arg in test.py (test.py:15-18).
 Subcommands:
 
-  count     FASTA -> sorted "kmer\\tcount" TSV on stdout
-  histo     k-mer multiplicity spectrum
+  count     FASTA/FASTQ -> sorted "kmer\\tcount" TSV on stdout
+  histo     k-mer multiplicity spectrum (streaming with --two-pass)
+  card      estimate DISTINCT k-mers (HyperLogLog on the MXU)
   parity    FASTA -> the reference's exact sorted chunk dump on stdout
+  dump      saved table (.npz) -> TSV / spectrum / top-N
   query     look up counts in a saved table (.npz)
-  tools     set operations on saved tables (union/intersect/subtract)
-  generate  seeded random FASTA corpora (reference-style or uniform reads)
+  tools     set ops on saved tables (union/intersect/subtract/compare)
+  generate  seeded random FASTA/FASTQ corpora
 """
 
 from __future__ import annotations
