@@ -613,11 +613,14 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
             parts = []
         buffered = 0
 
+    from ..utils.stats import prefetch_iter
     for p in paths:
         if cfg.ingest_chunk_bases > 0:
-            chunks = iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
-                                       allow_ambiguous=cfg.skip_invalid,
-                                       min_qual=cfg.min_qual)
+            # parse chunk i+1 (native, GIL-released) while chunk i counts
+            chunks = prefetch_iter(
+                iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
+                                  allow_ambiguous=cfg.skip_invalid,
+                                  min_qual=cfg.min_qual))
         else:
             codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid,
                                         min_qual=cfg.min_qual)

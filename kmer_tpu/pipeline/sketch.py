@@ -66,10 +66,11 @@ def estimate_distinct_multi_k(paths, ks, cfg: KmerConfig | None = None,
     overlap = (seed_span or max(ks)) - 1
     # 2-bit packed H2D (4x smaller) exactly as the count pipeline
     packed = cfg.packed_transfer and not cfg.skip_invalid
+    from ..utils.stats import prefetch_iter
     for p in paths:
-        for codes, offsets, _cur in iter_parse_chunks(
+        for codes, offsets, _cur in prefetch_iter(iter_parse_chunks(
                 p, max_bases=cfg.ingest_chunk_bases or (256 << 20),
-                allow_ambiguous=cfg.skip_invalid, min_qual=cfg.min_qual):
+                allow_ambiguous=cfg.skip_invalid, min_qual=cfg.min_qual)):
             for batch in iter_batches(codes, offsets,
                                       batch_reads=cfg.batch_reads,
                                       max_len=cfg.max_read_len,

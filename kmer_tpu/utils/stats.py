@@ -37,3 +37,34 @@ class Timer:
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self.t0
         return False
+
+
+def prefetch_iter(it, depth: int = 1):
+    """Run `it` on a background thread, keeping up to `depth` items
+    ready: the native chunk parser (a ctypes call — releases the GIL)
+    then overlaps the consumer's device/count work.  Exceptions
+    propagate at the matching yield point; the generator must be
+    consumed or closed (the thread exits with it)."""
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    DONE, ERR = object(), object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:      # noqa: BLE001 — re-raised below
+            q.put((ERR, e))
+            return
+        q.put(DONE)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item

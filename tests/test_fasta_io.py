@@ -327,3 +327,24 @@ def test_parse_mt_error_is_first_in_file(tmp_path, monkeypatch):
     with pytest.raises(InvalidBaseError) as ei:
         parse_fasta_native(str(bad))
     assert f"file offset {early}" in str(ei.value)
+
+
+def test_prefetch_iter_order_and_errors():
+    from kmer_tpu.utils.stats import prefetch_iter
+    assert list(prefetch_iter(iter(range(20)), depth=3)) == list(range(20))
+    assert list(prefetch_iter(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("mid-stream")
+    it = prefetch_iter(boom())
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest
+    with pytest.raises(ValueError, match="mid-stream"):
+        next(it)
+    # tuple items pass through untouched (the chunk iterator yields
+    # 3-tuples — the error sentinel must not swallow them)
+    triple = [(1, 2, 3), (4, 5, 6)]
+    assert list(prefetch_iter(iter(triple))) == triple
