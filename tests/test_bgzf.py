@@ -164,3 +164,24 @@ def test_bgzf_undersized_bsize_rejected(tmp_path):
     p = tmp_path / "evil.bgz"
     p.write_bytes(blob)
     assert lib.bgzf_usize(str(p).encode()) == -1
+
+
+def test_bgzf_two_pass_streaming_resume(tmp_path):
+    """Two-pass streaming over a BGZF corpus: BgzfStream resume
+    cursors (uncompressed offsets -> block + in-block skip) must
+    reproduce the in-memory table bit-exactly across an interrupted
+    run."""
+    _needs_native()
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    text = genome_reads_fasta(120, 100, genome_len=2500, seed=44)
+    bgz = tmp_path / "tp.fasta.bgz"
+    write_bgzf(str(bgz), text, block=2048)
+    cfg = KmerConfig(k=21, canonical=True, batch_reads=8,
+                     max_read_len=128, partitions=4,
+                     ingest_chunk_bases=1 << 12)
+    want = count_fasta(str(bgz), cfg)
+    sc = StreamingCounter(str(bgz), cfg, str(tmp_path / "sp"))
+    sc.run_pass1(max_batches=3)          # interrupt mid-pass-1
+    sc = StreamingCounter(str(bgz), cfg, str(tmp_path / "sp"))
+    sc.run()
+    assert sc.final_table() == want
