@@ -164,7 +164,10 @@ def main(argv: list[str] | None = None) -> int:
                          "in B; compare: Jaccard/containment summary "
                          "(JSON, no table output)")
     pt.add_argument("table_a", help="KmerTable .npz (operand A)")
-    pt.add_argument("table_b", help="KmerTable .npz (operand B)")
+    pt.add_argument("table_b", nargs="+",
+                    help="KmerTable .npz operand(s); union folds ALL "
+                         "of them (merge per-shard outputs in one go), "
+                         "the other ops take exactly one B")
     pt.add_argument("-o", "--out-npz", default=None,
                     help="save the result as .npz (default: TSV on "
                          "stdout only)")
@@ -361,15 +364,24 @@ def _dispatch(args) -> int:
     if args.cmd == "tools":
         from .pipeline.table import KmerTable
         a = KmerTable.load(args.table_a)
-        b = KmerTable.load(args.table_b)
-        if a.k != b.k:
-            raise ValueError(f"table k mismatch: {a.k} vs {b.k}")
+        bs = [KmerTable.load(p) for p in args.table_b]
+        for p, t in zip(args.table_b, bs):
+            if a.k != t.k:
+                raise ValueError(f"table k mismatch: {a.k} vs {t.k} "
+                                 f"({p})")
+        if args.op != "union" and len(bs) != 1:
+            raise ValueError(f"{args.op} takes exactly one B table")
+        b = bs[0]
         if args.op == "compare":
             import json
             sys.stdout.write(json.dumps(a.compare(b)) + "\n")
             return 0
         if args.op == "union":
-            t = a.union(b)
+            import numpy as np
+            allt = [a] + bs
+            t = KmerTable.from_pairs(
+                a.k, np.concatenate([x.keys for x in allt], axis=0),
+                np.concatenate([x.counts for x in allt]))
         elif args.op == "intersect":
             t = a.intersect(b)
         elif args.op == "subtract":

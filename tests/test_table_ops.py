@@ -163,3 +163,20 @@ def test_cli_dump(tmp_path, capsys):
     assert main(["dump", str(pa), "--min-count", "25"]) == 0
     got2 = capsys.readouterr().out.splitlines()
     assert len(got2) == a.filter_min_count(25).num_distinct
+
+
+def test_cli_tools_union_many(tmp_path, capsys):
+    from kmer_tpu.cli import main
+    da, db, a, b = _rand_tables(seed=9)
+    dc, _, c, _ = _rand_tables(seed=10)
+    for name, t in (("a", a), ("b", b), ("c", c)):
+        t.save(tmp_path / f"{name}.npz")
+    out = tmp_path / "u.npz"
+    assert main(["tools", "union", str(tmp_path / "a.npz"),
+                 str(tmp_path / "b.npz"), str(tmp_path / "c.npz"),
+                 "-o", str(out)]) == 0
+    assert KmerTable.load(str(out)) == a.union(b).union(c)
+    capsys.readouterr()
+    # non-union ops reject multiple B tables
+    assert main(["tools", "intersect", str(tmp_path / "a.npz"),
+                 str(tmp_path / "b.npz"), str(tmp_path / "c.npz")]) == 1
