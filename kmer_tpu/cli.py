@@ -34,6 +34,73 @@ def _add_common(p):
                    help="capture a jax.profiler trace into this directory")
 
 
+def _add_kmer_flags(p):
+    """The counting-config surface, shared by `count` and `histo` so the
+    spectrum of any countable config (quality-filtered FASTQ, spaced
+    seeds, gapped chunks) can be produced (VERDICT r3 #6)."""
+    p.add_argument("-k", type=int, default=21)
+    p.add_argument("--canonical", action="store_true")
+    p.add_argument("--skip-invalid", action="store_true",
+                   help="accept N/IUPAC bases and drop windows containing "
+                        "them (default: error, the reference's contract)")
+    p.add_argument("--min-qual", type=int, default=0,
+                   help="FASTQ only: mask bases below this Phred+33 "
+                        "quality and drop windows containing them "
+                        "(implies --skip-invalid)")
+    p.add_argument("--compact", action="store_true",
+                   help="on-device compaction: device->host transfer "
+                        "scales with distinct k-mers (sort mode)")
+    p.add_argument("--seed-mask", default=None,
+                   help="spaced seed: 0/1 match mask (e.g. 1101011); "
+                        "the key is the bases at the '1' offsets per "
+                        "window (-k is then ignored; canonical needs "
+                        "a palindromic mask)")
+    p.add_argument("--gapped", action="store_true",
+                   help="gapped L+R chunks (the reference's window "
+                        "semantics, main.rs:63-79) instead of "
+                        "contiguous k-mers; -k is then ignored")
+    p.add_argument("--l-len", type=int, default=27,
+                   help="gapped left window length")
+    p.add_argument("--r-len", type=int, default=27,
+                   help="gapped right window length")
+    p.add_argument("--c-min", type=int, default=80,
+                   help="gapped minimum chunk span")
+    p.add_argument("--c-max", type=int, default=140,
+                   help="gapped maximum chunk span")
+
+
+def _build_cfg(args):
+    """KmerConfig from the shared _add_kmer_flags surface (one builder
+    for count and histo — the configs can never drift)."""
+    from .config import KmerConfig
+    if args.gapped and args.seed_mask:
+        raise ValueError("--seed-mask and --gapped are exclusive")
+    if args.gapped and args.canonical:
+        raise ValueError("--canonical applies to contiguous "
+                         "k-mers (gapped chunks have no "
+                         "reverse-complement contract)")
+    skip_invalid = args.skip_invalid or args.min_qual > 0
+    mode = getattr(args, "mode", "auto")
+    if args.gapped:
+        return KmerConfig(gapped=True, l_len=args.l_len, r_len=args.r_len,
+                          c_min=args.c_min, c_max=args.c_max,
+                          batch_reads=args.batch_reads,
+                          max_read_len=max(args.max_read_len, args.c_max),
+                          partitions=args.partitions, stats=args.stats,
+                          skip_invalid=skip_invalid,
+                          min_qual=args.min_qual,
+                          compact=args.compact)
+    span = len(args.seed_mask) if args.seed_mask else args.k
+    return KmerConfig(k=args.k, canonical=args.canonical, mode=mode,
+                      batch_reads=args.batch_reads,
+                      max_read_len=max(args.max_read_len, span),
+                      partitions=args.partitions, stats=args.stats,
+                      skip_invalid=skip_invalid,
+                      min_qual=args.min_qual,
+                      seed_mask=args.seed_mask,
+                      compact=args.compact)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="kmer_tpu", description=__doc__)
     from . import __version__
@@ -43,41 +110,13 @@ def main(argv: list[str] | None = None) -> int:
 
     pc = sub.add_parser("count", help="count k-mers")
     _add_common(pc)
-    pc.add_argument("-k", type=int, default=21)
-    pc.add_argument("--canonical", action="store_true")
+    _add_kmer_flags(pc)
     pc.add_argument("--mode", choices=["auto", "dense", "sort"], default="auto")
-    pc.add_argument("--skip-invalid", action="store_true",
-                    help="accept N/IUPAC bases and drop windows containing "
-                         "them (default: error, the reference's contract)")
-    pc.add_argument("--min-qual", type=int, default=0,
-                    help="FASTQ only: mask bases below this Phred+33 "
-                         "quality and drop windows containing them "
-                         "(implies --skip-invalid)")
     pc.add_argument("--min-count", type=int, default=1,
                     help="suppress k-mers with count below this")
     pc.add_argument("--max-count", type=int, default=None,
                     help="suppress k-mers with count above this "
                          "(repeat cutoff, KMC's -cx)")
-    pc.add_argument("--compact", action="store_true",
-                    help="on-device compaction: device->host transfer "
-                         "scales with distinct k-mers (sort mode)")
-    pc.add_argument("--seed-mask", default=None,
-                    help="spaced seed: 0/1 match mask (e.g. 1101011); "
-                         "the key is the bases at the '1' offsets per "
-                         "window (-k is then ignored; canonical needs "
-                         "a palindromic mask)")
-    pc.add_argument("--gapped", action="store_true",
-                    help="count gapped L+R chunks (the reference's "
-                         "window semantics, main.rs:63-79) instead of "
-                         "contiguous k-mers; -k is then ignored")
-    pc.add_argument("--l-len", type=int, default=27,
-                    help="gapped left window length")
-    pc.add_argument("--r-len", type=int, default=27,
-                    help="gapped right window length")
-    pc.add_argument("--c-min", type=int, default=80,
-                    help="gapped minimum chunk span")
-    pc.add_argument("--c-max", type=int, default=140,
-                    help="gapped maximum chunk span")
     pc.add_argument("--out-npz", default=None,
                     help="also save the table as a .npz (KmerTable.load)")
     pc.add_argument("--two-pass", action="store_true",
@@ -106,8 +145,7 @@ def main(argv: list[str] | None = None) -> int:
     ph = sub.add_parser("histo", help="k-mer multiplicity spectrum "
                                       "(count\\tnum_distinct per line)")
     _add_common(ph)
-    ph.add_argument("-k", type=int, default=21)
-    ph.add_argument("--canonical", action="store_true")
+    _add_kmer_flags(ph)
     ph.add_argument("--two-pass", action="store_true",
                     help="streaming spectrum for corpora whose table "
                          "exceeds host memory (requires --spill-dir)")
@@ -128,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--min-qual", type=int, default=0)
     pe.add_argument("--seed-mask", default=None,
                     help="estimate distinct SPACED keys (0/1 mask; "
-                         "-k is then ignored)")
+                         "exclusive with -k)")
     pe.add_argument("--buckets-log2", type=int, default=10,
                     help="HLL precision b: 2^b buckets, relative error "
                          "~1.04/sqrt(2^b) (default 10: ~3.3%%)")
@@ -201,34 +239,7 @@ def main(argv: list[str] | None = None) -> int:
 
 def _dispatch(args) -> int:
     if args.cmd == "count":
-        from .config import KmerConfig
-        if args.gapped and args.seed_mask:
-            raise ValueError("--seed-mask and --gapped are exclusive")
-        if args.gapped:
-            if args.canonical:
-                raise ValueError("--canonical applies to contiguous "
-                                 "k-mers (gapped chunks have no "
-                                 "reverse-complement contract)")
-        skip_invalid = args.skip_invalid or args.min_qual > 0
-        if args.gapped:
-            cfg = KmerConfig(gapped=True, l_len=args.l_len, r_len=args.r_len,
-                             c_min=args.c_min, c_max=args.c_max,
-                             batch_reads=args.batch_reads,
-                             max_read_len=max(args.max_read_len, args.c_max),
-                             partitions=args.partitions, stats=args.stats,
-                             skip_invalid=skip_invalid,
-                             min_qual=args.min_qual,
-                             compact=args.compact)
-        else:
-            span = len(args.seed_mask) if args.seed_mask else args.k
-            cfg = KmerConfig(k=args.k, canonical=args.canonical, mode=args.mode,
-                             batch_reads=args.batch_reads,
-                             max_read_len=max(args.max_read_len, span),
-                             partitions=args.partitions, stats=args.stats,
-                             skip_invalid=skip_invalid,
-                             min_qual=args.min_qual,
-                             seed_mask=args.seed_mask,
-                             compact=args.compact)
+        cfg = _build_cfg(args)
         from .utils.profiling import trace
         if args.compact and (args.two_pass or args.multihost):
             raise ValueError("--compact applies to the single-host "
@@ -286,12 +297,11 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "histo":
-        from .config import KmerConfig
-        cfg = KmerConfig(k=args.k, canonical=args.canonical,
-                         batch_reads=args.batch_reads,
-                         max_read_len=max(args.max_read_len, args.k),
-                         partitions=args.partitions, stats=args.stats)
+        cfg = _build_cfg(args)
         if args.two_pass:
+            if args.compact:
+                raise ValueError("--compact applies to the single-host "
+                                 "in-memory pipeline (not --two-pass)")
             if not args.spill_dir:
                 raise ValueError("--two-pass requires --spill-dir")
             if len(args.fasta) != 1:
@@ -311,6 +321,13 @@ def _dispatch(args) -> int:
     if args.cmd == "card":
         from .config import KmerConfig
         from .pipeline.sketch import estimate_distinct_multi_k
+        if args.seed_mask and args.k:
+            # the estimator returns ONE spaced result; zipping it
+            # against user ks would mislabel it as k=<first> and drop
+            # the rest
+            raise ValueError("--seed-mask selects its own key width "
+                             "(the mask popcount); -k cannot be "
+                             "combined with it")
         ks = list(dict.fromkeys(args.k or [21]))
         span = len(args.seed_mask) if args.seed_mask else max(ks)
         cfg = KmerConfig(k=max(ks), canonical=args.canonical,

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 _RHO_SLOTS = 32           # class = bucket * 32 + min(rho, 31)
+# per-cell saturation cap for the accumulated class histogram (see
+# hll_step); a cell at the cap means "sum no longer equals windows"
+HIST_CAP = np.int32(1 << 30)
 
 
 def _u32(x, np_mode: bool):
@@ -126,7 +129,13 @@ def hll_step(codes, lengths, limits, hist, *, k: int, canonical: bool,
                          valid.reshape(-1), b)
     hb = index_histogram_mxu(cls, v, b + 5,
                              interpret=jax.default_backend() != "tpu")
-    return hist + hb
+    # saturate far below int32 wrap (a (bucket, rho) cell would wrap —
+    # and read as UNOCCUPIED — once its windows approach 2^31 in a long
+    # corpus): occupancy, all the estimator needs, only requires > 0,
+    # and an unsaturated histogram still sums exactly for the
+    # strict-mode totals cross-check.  hb per batch << 2^30 lanes, so
+    # hist + hb cannot overflow before the clamp.
+    return jnp.minimum(hist + hb, HIST_CAP)
 
 
 def registers_from_histogram(hist: np.ndarray, b: int) -> np.ndarray:

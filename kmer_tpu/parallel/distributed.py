@@ -303,7 +303,14 @@ def make_distributed_count_pairs(mesh, *, k: int, canonical: bool = False,
             f"with n_seq=1 instead")
     positions = None
     if seed_mask is not None:
-        from ..ops.extract import parse_seed_mask
+        from ..ops.extract import parse_seed_mask, seed_mask_palindromic
+        if canonical and not seed_mask_palindromic(seed_mask):
+            # the KmerConfig guard is bypassed for direct API users;
+            # without this the MXU path would silently canonicalize the
+            # EXTRACTED key (not true strand-min spaced semantics) while
+            # the XLA fallback raises — same inputs, different behavior
+            raise ValueError("canonical spaced seeds need a palindromic "
+                             f"mask, got {seed_mask!r}")
         positions = parse_seed_mask(seed_mask)
         k = len(positions)            # key width = popcount
     span = (positions[-1] + 1) if positions else k

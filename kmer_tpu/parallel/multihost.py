@@ -293,4 +293,7 @@ def count_fasta_multihost(path: str, cfg=None, **cfg_kw):
                 (tuple(sw), is_start, counts), tiled=True)
             part = KmerTable.from_device_runs(n_bases, *host)
         table = part if table is None else table.merge(part)
-    return table if table is not None else KmerTable.empty(cfg.k)
+    # cfg.n_bases, NOT cfg.k: gapped (l+r) and spaced (popcount) configs
+    # have a different key width — KmerTable.empty(cfg.k) would build a
+    # wrong-width table (VERDICT r3 #8)
+    return table if table is not None else KmerTable.empty(cfg.n_bases)

@@ -88,12 +88,23 @@ def estimate_distinct_multi_k(paths, ks, cfg: KmerConfig | None = None,
                     totals[kk] += int(np.maximum(
                         np.minimum(batch.lengths, batch.start_limits
                                    + span - 1) - span + 1, 0).sum())
+    from ..ops.sketch import HIST_CAP
     out = []
     for kk in ks:
         h = np.asarray(hists[kk])
         hashed = int(h.sum())     # valid windows actually sketched
-        if not cfg.skip_invalid:
-            # no masking: the sketch saw every extractable window
-            assert hashed == totals[kk], (kk, hashed, totals[kk])
-        out.append((estimate_from_histogram(h, b), hashed))
+        saturated = bool((h >= HIST_CAP).any())
+        if not cfg.skip_invalid and not saturated:
+            # no masking and no cell at the saturation cap: the sketch
+            # saw every extractable window, so the sums must agree — a
+            # real error (not an assert: it must survive python -O)
+            if hashed != totals[kk]:
+                raise RuntimeError(
+                    f"HLL histogram lost windows at k={kk}: sketched "
+                    f"{hashed} != extracted {totals[kk]} — please report")
+        # strict mode knows the exact total host-side; skip_invalid mode
+        # reports the sketched count (undercounts only past ~2^30
+        # windows PER CELL, i.e. never in practice)
+        total = totals[kk] if not cfg.skip_invalid else hashed
+        out.append((estimate_from_histogram(h, b), total))
     return out

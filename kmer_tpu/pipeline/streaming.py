@@ -123,10 +123,6 @@ class StreamingCounter:
         self.W = words_per_key(self._n_bases)
         self.mesh = mesh
         self._dist_fn = None
-        if mesh is not None and cfg.seed_mask is not None:
-            raise ValueError("seed_mask + mesh streaming is not wired "
-                             "(use the single-device streaming driver "
-                             "or make_distributed_count_pairs directly)")
         if mesh is not None:
             from ..parallel import distributed
             from ..parallel.mesh import DATA_AXIS
@@ -145,6 +141,11 @@ class StreamingCounter:
             # with the multihost driver, distributed.pairs_eligible)
             use_pairs = distributed.pairs_eligible(cfg)
             self._dist_pairs = use_pairs
+            if cfg.seed_mask is not None and not use_pairs:
+                # the sorted-stream step has no spaced extraction; same
+                # guard as the multihost driver
+                raise ValueError("spaced seeds need the pairs step; "
+                                 "unset KMER_TPU_MULTIHOST_STEP=legacy")
 
             def _build_dist(capacity=None):
                 if cfg.gapped and use_pairs:
@@ -163,7 +164,8 @@ class StreamingCounter:
                     return distributed.make_distributed_count_pairs(
                         mesh, k=cfg.k, canonical=cfg.canonical,
                         capacity=capacity,
-                        mask_ambiguous=cfg.skip_invalid)
+                        mask_ambiguous=cfg.skip_invalid,
+                        seed_mask=cfg.seed_mask)
                 return distributed.make_distributed_count(
                     mesh, k=cfg.k, canonical=cfg.canonical,
                     capacity=capacity,

@@ -43,28 +43,51 @@ def prefetch_iter(it, depth: int = 1):
     """Run `it` on a background thread, keeping up to `depth` items
     ready: the native chunk parser (a ctypes call — releases the GIL)
     then overlaps the consumer's device/count work.  Exceptions
-    propagate at the matching yield point; the generator must be
-    consumed or closed (the thread exits with it)."""
+    propagate at the matching yield point.  If the consumer abandons or
+    closes this generator, the worker notices via a cancellation event
+    (its q.put polls instead of blocking forever), closes the inner
+    iterator (releasing parsed-chunk buffers and the native ingest
+    handle), and exits — up to depth+1 chunks can otherwise stay pinned
+    indefinitely."""
     import queue
     import threading
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     DONE, ERR = object(), object()
+    cancel = threading.Event()
+
+    def put(item) -> bool:
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for item in it:
-                q.put(item)
-        except BaseException as e:      # noqa: BLE001 — re-raised below
-            q.put((ERR, e))
-            return
-        q.put(DONE)
+            try:
+                for item in it:
+                    if not put(item):
+                        return            # consumer gone
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put((ERR, e))
+                return
+            put(DONE)
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()                   # run the inner finally NOW
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+                raise item[1]
+            yield item
+    finally:
+        cancel.set()

@@ -147,3 +147,62 @@ def test_cli_gapped_count(tmp_path, capsys):
     # --canonical contradicts gapped chunks: clean error
     rc = main(["count", str(fa), "--gapped", "--canonical"])
     assert rc == 1
+
+
+def test_histo_full_config_surface(tmp_path, capsys):
+    """histo shares count's config surface (VERDICT r3 #6): the
+    spectrum of a quality-filtered FASTQ and of a spaced-seed key set,
+    each vs the oracle."""
+    from collections import Counter
+
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import genome_reads_fasta, random_reads_fastq
+    from kmer_tpu.utils import oracle
+
+    def spectrum(counter):
+        return dict(Counter(counter.values()))
+
+    # quality-filtered FASTQ spectrum
+    fq = tmp_path / "q.fastq"
+    fq.write_text(random_reads_fastq(12, 60, seed=5, qual_range=(5, 40)))
+    rc = main(["histo", str(fq), "-k", "9", "--min-qual", "20",
+               "--batch-reads", "8", "--max-read-len", "64"])
+    assert rc == 0
+    got = {int(a): int(b) for a, b in
+           (ln.split("\t") for ln in capsys.readouterr().out.splitlines())}
+    want = spectrum(oracle.oracle_count(
+        oracle.read_fastq_py(str(fq), min_qual=20), 9, skip_invalid=True))
+    assert got == want
+
+    # spaced-seed spectrum (palindromic mask + canonical)
+    fa = tmp_path / "g.fasta"
+    fa.write_text(genome_reads_fasta(30, 100, genome_len=1500, seed=6))
+    rc = main(["histo", str(fa), "--seed-mask", "110101011", "--canonical",
+               "--batch-reads", "8", "--max-read-len", "128"])
+    assert rc == 0
+    got = {int(a): int(b) for a, b in
+           (ln.split("\t") for ln in capsys.readouterr().out.splitlines())}
+    want = spectrum(oracle.oracle_spaced_count(
+        oracle.read_fasta_py(str(fa)), "110101011", canonical=True))
+    assert got == want
+
+    # gapped spectrum rides the same builder
+    rc = main(["histo", str(fa), "--gapped", "--c-min", "60", "--c-max",
+               "64", "--batch-reads", "8", "--max-read-len", "512"])
+    assert rc == 0
+    got = {int(a): int(b) for a, b in
+           (ln.split("\t") for ln in capsys.readouterr().out.splitlines())}
+    want = spectrum(Counter(oracle.oracle_gapped_lines(
+        oracle.read_fasta_py(str(fa)), c_min=60, c_max=64)))
+    assert got == want
+
+
+def test_card_seed_mask_k_conflict(tmp_path):
+    """card --seed-mask with explicit -k is a clean error (the spaced
+    estimate would otherwise print mislabeled as k=<first>)."""
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import random_reads_fasta
+    p = tmp_path / "c.fasta"
+    p.write_text(random_reads_fasta(5, 40, seed=7))
+    assert main(["card", str(p), "-k", "5", "-k", "7",
+                 "--seed-mask", "101"]) == 1

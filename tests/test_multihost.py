@@ -76,3 +76,25 @@ def test_iter_host_batches_chunked_equals_slice():
                 np.testing.assert_array_equal(gb.lengths, wb.lengths)
                 np.testing.assert_array_equal(gb.start_limits,
                                               wb.start_limits)
+
+
+def test_multihost_empty_input_key_width(tmp_path):
+    """Empty corpus through the multihost driver: the table must carry
+    the CONFIG's key width (cfg.n_bases — gapped l+r, spaced popcount),
+    not k (VERDICT r3 #8: a k-wide empty table would corrupt any
+    subsequent merge via a from_pairs reshape)."""
+    from kmer_tpu import KmerConfig
+    from kmer_tpu.ops.encode import words_per_key
+    from kmer_tpu.parallel.multihost import count_fasta_multihost
+    fa = tmp_path / "empty.fasta"
+    fa.write_text("")
+    for cfg in (
+        KmerConfig(gapped=True, c_min=60, c_max=64, batch_reads=8,
+                   max_read_len=64),
+        KmerConfig(seed_mask="110101011", batch_reads=8, max_read_len=64),
+        KmerConfig(k=21, batch_reads=8, max_read_len=64),
+    ):
+        t = count_fasta_multihost(str(fa), cfg)
+        assert t.num_distinct == 0
+        assert t.k == cfg.n_bases
+        assert t.keys.shape == (0, words_per_key(cfg.n_bases))

@@ -133,18 +133,32 @@ def test_spaced_cli(tmp_path, capsys):
                  "--canonical"]) == 1
 
 
-def test_spaced_mesh_streaming_guarded(tmp_path):
-    """seed_mask + mesh-attached streaming is the one unwired combo —
-    it must refuse loudly, never silently count contiguous k-mers."""
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_spaced_mesh_streaming(tmp_path, shape):
+    """seed_mask through the mesh-attached StreamingCounter (the last
+    feature x execution-path combo, VERDICT r3 #3): bit-identical to
+    single-device spaced streaming across mesh shapes."""
     import jax
+    from kmer_tpu.io.generator import genome_reads_fasta
     from kmer_tpu.parallel import mesh as mesh_lib
-    from kmer_tpu.pipeline.streaming import StreamingCounter
-    if len(jax.devices()) < 2:
+    from kmer_tpu.pipeline.streaming import StreamingCounter, \
+        stream_count_fasta
+    if len(jax.devices()) < shape[0] * shape[1]:
         pytest.skip("needs the multi-device CPU mesh")
-    cfg = KmerConfig(seed_mask="10101", max_read_len=64)
-    with pytest.raises(ValueError):
-        StreamingCounter(__file__, cfg, str(tmp_path / "sp"),
-                         mesh=mesh_lib.make_mesh(2, 1))
+    p = tmp_path / "sp.fasta"
+    p.write_text(genome_reads_fasta(48, 120, genome_len=2000, seed=33))
+    cfg = KmerConfig(seed_mask="110101011", canonical=True,
+                     batch_reads=16, max_read_len=64, partitions=4)
+    want = stream_count_fasta(str(p), cfg, spill_dir=str(tmp_path / "s1"))
+    sc = StreamingCounter(str(p), cfg,
+                          str(tmp_path / f"sm{shape[0]}x{shape[1]}"),
+                          mesh=mesh_lib.make_mesh(*shape))
+    sc.run()
+    assert sc.final_table() == want
+    # and the table is the oracle's
+    want_o = oracle.oracle_spaced_count(oracle.read_fasta_py(str(p)),
+                                        "110101011", canonical=True)
+    assert sc.final_table().to_dict() == dict(want_o)
 
 
 @pytest.mark.parametrize("n_data,n_seq", [(1, 1), (4, 1), (2, 2), (4, 2)])
