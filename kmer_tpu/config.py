@@ -155,17 +155,23 @@ class KmerConfig:
 
     @property
     def effective_mode(self) -> str:
-        """auto: dense where the MXU one-hot histogram applies (k <= 8,
-        device-resident table), else sort.  Explicit dense for k = 9..12
-        runs the hybrid path (device grouped sort-count + host np.add.at
-        dense accumulation, pipeline/count.py) at ~sort-mode speed; the
-        two modes produce identical tables, differing only in where the
+        """auto: dense where the MXU one-hot histogram applies (k <= 8)
+        AND the D2H link is slow enough that its device-resident table
+        pays for the ~75x-per-key device cost (utils.linkspeed — probe
+        or KMER_TPU_D2H_GBPS env; the probe never runs at config
+        construction).  Explicit dense for k = 9..12 runs the hybrid
+        path (device grouped sort-count + host np.add.at dense
+        accumulation, pipeline/count.py) at ~sort-mode speed; the two
+        modes produce identical tables, differing only in where the
         4^k layout materializes."""
         if self.mode != "auto":
             return self.mode
         if self.compact or self.seed_mask is not None:
             return "sort"
-        return "dense" if (self.k <= 8 and not self.gapped) else "sort"
+        if self.k <= 8 and not self.gapped:
+            from .utils.linkspeed import dense_auto_ok
+            return "dense" if dense_auto_ok() else "sort"
+        return "sort"
 
     def replace(self, **kw) -> "KmerConfig":
         return dataclasses.replace(self, **kw)

@@ -485,3 +485,21 @@ def test_very_wide_keys_k101(tmp_path):
                                canonical=True)
     assert got.to_dict() == dict(want)
     assert count_fasta(str(p), cfg.replace(compact=True)) == got
+
+
+def test_auto_mode_link_aware(monkeypatch):
+    """auto routes k<=8 to dense only when the D2H link is slower than
+    the breakeven (VERDICT r3 #7): dense's device-resident table trades
+    ~75x per-key device time for O(4^k)-once readback, which only pays
+    on slow links."""
+    cfg = KmerConfig(k=8)
+    monkeypatch.setenv("KMER_TPU_D2H_GBPS", "0.15")   # tunneled rig
+    assert cfg.effective_mode == "dense"
+    monkeypatch.setenv("KMER_TPU_D2H_GBPS", "50")     # PCIe host
+    assert cfg.effective_mode == "sort"
+    assert KmerConfig(k=9).effective_mode == "sort"   # never dense
+    monkeypatch.delenv("KMER_TPU_D2H_GBPS")
+    # CPU backend (this suite): "D2H" is a host memcpy -> never slow
+    assert cfg.effective_mode == "sort"
+    # explicit modes are untouched by the probe
+    assert KmerConfig(k=8, mode="dense").effective_mode == "dense"
