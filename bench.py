@@ -207,6 +207,47 @@ def main():
     log(f"gapped 27+27 c80..140: {dtg * 1e3:.2f} ms/step, "
         f"{gap_rate / 1e9:.2f} B chunks/s")
 
+    # end-to-end corpus run (VERDICT r3 #5): ingest -> H2D -> device
+    # steps -> D2H -> host merge, recorded per round next to the
+    # device-step headline.  CAVEAT (docs/DESIGN.md "Host pipeline and
+    # the transfer wall"): this attachment's D2H is ~0.15 GB/s through
+    # a tunnel, so the number is transfer-bound and swings with tunnel
+    # phases — it documents the product pipeline on THIS rig, not the
+    # chip.  KMER_TPU_BENCH_E2E_READS overrides the corpus size.
+    import tempfile
+
+    from kmer_tpu.io.generator import genome_reads_fasta
+    from kmer_tpu.pipeline.count import count_fasta
+    n_reads = int(os.environ.get("KMER_TPU_BENCH_E2E_READS", "10000"))
+    e2e = None
+    if n_reads > 0:
+        with tempfile.TemporaryDirectory() as d:
+            fa = os.path.join(d, "bench.fasta")
+            with open(fa, "w") as f:
+                f.write(genome_reads_fasta(n_reads, L,
+                                           genome_len=1_000_000, seed=1))
+            t0 = time.perf_counter()
+            table = count_fasta(fa, cfg.replace(canonical=True))
+            e2e_s = time.perf_counter() - t0
+        total_bases = n_reads * L
+        total_kmers = n_reads * (L - K + 1)
+        W = words_per_key(K)
+        # packed H2D (2 bits/base) + per-lane key words and i8 count
+        bytes_moved = total_bases // 4 + total_kmers * (4 * W + 1)
+        e2e = {
+            "reads": n_reads,
+            "seconds": round(e2e_s, 3),
+            "reads_per_sec": round(n_reads / e2e_s),
+            "bases_per_sec": round(total_bases / e2e_s),
+            "kmers_per_sec": round(total_kmers / e2e_s),
+            "distinct": table.num_distinct,
+            "bytes_moved_est": bytes_moved,
+            "caveat": "tunnel-bound D2H (~0.15 GB/s on this rig)",
+        }
+        log(f"end-to-end: {n_reads} reads in {e2e_s:.1f}s = "
+            f"{n_reads / e2e_s:.0f} reads/s "
+            f"({total_bases / e2e_s / 1e6:.1f} MB bases/s)")
+
     print(json.dumps({
         "metric": f"canonical k={K} count throughput (1 chip, sort mode)",
         "value": round(kmers_per_sec),
@@ -220,6 +261,9 @@ def main():
         "kmers_per_sec_k45": round(k45_rate),
         # the reference's own gapped workload (sorted 54-mer chunks)
         "gapped_chunks_per_sec": round(gap_rate),
+        # full-pipeline corpus run (ingest -> H2D -> step -> D2H ->
+        # host merge); tunnel-bound on this rig, see DESIGN
+        "end_to_end": e2e,
     }))
 
 

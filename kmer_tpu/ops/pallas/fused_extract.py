@@ -105,29 +105,44 @@ _MXU_SUB = 12          # bases per MXU subword: 4^12 - 1 = 2^24 - 1 is the
                        # largest window value exactly representable in the
                        # f32 accumulator (and every 4^j weight is a power
                        # of two, exact in bfloat16)
+_MXU_SUB8 = 4          # bases per s8 MXU subword: weights 1/4/16/64 all
+                       # fit int8 and the s32 accumulator is exact by
+                       # construction — the s8xs8->s32 path has NO float
+                       # conversions at all (VERDICT r3 #1a): codes feed
+                       # the systolic array as int8 and chunks come out
+                       # s32 -> u32 (a bitcast), killing the per-tile
+                       # i32->f32->bf16 in / f32->i32->u32 out chains of
+                       # the f32 path.  More, narrower chunks (8-bit LE)
+                       # mean a few extra u32 stitch ops and 3x the MXU
+                       # rows — but int8 MXU throughput is 2x bf16 and
+                       # the array was mostly idle.
 
 
 def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
              seg: int = 4, block_lanes: int = 256,
              budget_bytes: int = 24 * 1024 * 1024,
-             span: int | None = None) -> bool:
+             span: int | None = None, sub: int = _MXU_SUB) -> bool:
     """Whether the MXU extraction's VMEM-resident operands (the stacked
-    bf16 weight matrix + the f32 matmul accumulator) fit a conservative
-    budget for this (k, L).  Both grow with n_blk * R ~ O(k/12 * L), so
-    long reads at large k must fall back (callers pick doubling for
-    W <= 2, the XLA path otherwise)."""
+    weight matrix + the matmul accumulator) fit a conservative budget
+    for this (k, L).  Both grow with n_blk * R ~ O(k/sub * L), so long
+    reads at large k must fall back (callers pick doubling for W <= 2,
+    the XLA path otherwise).  sub selects the backend geometry: 12-base
+    bf16 subwords (weights 2 B/elem, 16-row tiles) or 4-base s8
+    subwords (1 B/elem, 32-row tiles, 3x the blocks)."""
     span = span or k          # spaced seeds: window span > n_bases
     P = L - span + 1
     if P < 1 or k > 63:
         return False
     P_pad = -(-P // seg) * seg
     L_pad = P_pad + span - 1
-    R = -(-P_pad // 16) * 16
-    n_sub = -(-k // _MXU_SUB)
+    row_align = 32 if sub == _MXU_SUB8 else 16
+    wbytes = 1 if sub == _MXU_SUB8 else 2
+    R = -(-P_pad // row_align) * row_align
+    n_sub = -(-k // sub)
     n_blk = ((2 * n_sub if canonical else n_sub)
              + (1 if mask_ambiguous else 0))
     rows = n_blk * R
-    return rows * (L_pad * 2 + block_lanes * 4) <= budget_bytes
+    return rows * (L_pad * wbytes + block_lanes * 4) <= budget_bytes
 
 
 def select_fused_extract(k: int, L: int, canonical: bool,
@@ -150,7 +165,8 @@ def select_fused_extract(k: int, L: int, canonical: bool,
                       0.270 vs 0.285 — r3 alternated sweeps), and it
                       covers the s==0 widths k=16/32/48; unfit falls
                       back to doubling (W <= 2) / XLA (wide keys).
-      mxu             mxu wherever it fits; doubling downgrade for
+      mxu / mxu8      force the f32 / all-integer s8 banded-matmul
+                      variant wherever it fits; doubling downgrade for
                       W <= 2; None otherwise.
       doubling /      force (W <= 2 only; None otherwise — the escape
       slicesum        hatch back to the XLA path for wide keys).
@@ -158,27 +174,31 @@ def select_fused_extract(k: int, L: int, canonical: bool,
     import os
     req = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto")
     base = words_per_key(k) <= 2 and 2 * k != 32
-    fits = mxu_fits(k, L, canonical, mask_ambiguous)
-    if req == "mxu":
-        return "mxu" if fits else ("doubling" if base else None)
+    if req in ("mxu", "mxu8"):
+        sub = _MXU_SUB8 if req == "mxu8" else _MXU_SUB
+        if mxu_fits(k, L, canonical, mask_ambiguous, sub=sub):
+            return req
+        return "doubling" if base else None
     if req in ("doubling", "slicesum"):
         return req if base else None
     if words_per_key(k) == 1:
         return "doubling"
+    fits = mxu_fits(k, L, canonical, mask_ambiguous)
     return "mxu" if fits else ("doubling" if base else None)
 
 
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
                  mask_ambiguous: bool,
-                 positions: tuple[int, ...] | None = None):
+                 positions: tuple[int, ...] | None = None,
+                 sub: int = _MXU_SUB):
     """Host-built banded weight matrix for the MXU extraction path.
 
-    Row block m (height R = P_pad rounded up to 16, the bf16 sublane
-    tile, so in-kernel slices stay aligned) holds
-    W[p, p+j] = 4^(q-12m) for significance
-    q = k-1-j in [12m, 12m+12): the matmul W @ codes yields, per output
-    row p, the m-th 24-bit little-endian chunk of the forward window
-    value sum_j codes[p+j] * 4^(k-1-j).  Canonical adds the
+    Row block m (height R = P_pad rounded up to the sublane tile — 16
+    for bf16, 32 for int8 — so in-kernel slices stay aligned) holds
+    W[p, p+j] = 4^(q-sub*m) for significance
+    q = k-1-j in [sub*m, sub*m+sub): the matmul W @ codes yields, per
+    output row p, the m-th 2*sub-bit little-endian chunk of the forward
+    window value sum_j codes[p+j] * 4^(k-1-j).  Canonical adds the
     REVERSE-weighted blocks (S = sum_j c[p+j] * 4^j; the reverse
     complement is then ~S in 2k bits, since all-3s minus a base is its
     complement).  mask_ambiguous appends one all-ones band: the matmul
@@ -190,23 +210,28 @@ def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
     band — including in the ambiguity indicator, which is the correct
     spaced semantics (an N at a don't-care never poisons the window).
 
+    sub=_MXU_SUB (12): bf16 weights, f32 accumulation (both exact: all
+    weights are powers of two <= 4^11, chunks < 2^24).
+    sub=_MXU_SUB8 (4): int8 weights 1/4/16/64, s32 accumulation — the
+    all-integer variant (chunks < 2^8).
+
     Returns (weights float32 (n_blocks * R, L_pad), R, n_sub)."""
     import numpy as np
     if positions is None:
         positions = tuple(range(k))
     assert len(positions) == k, (len(positions), k)
-    R = -(-P_pad // 16) * 16    # bf16 sublane tile height: slices of the
-                                # weight matrix stay aligned at 16
-    n_sub = -(-k // _MXU_SUB)
+    row_align = 32 if sub == _MXU_SUB8 else 16
+    R = -(-P_pad // row_align) * row_align
+    n_sub = -(-k // sub)
     rows = np.arange(P_pad)
 
     def band(sig_to_j):
         W = np.zeros((R, L_pad), np.float32)
-        for q in range(_MXU_SUB * m, min(_MXU_SUB * m + _MXU_SUB, k)):
+        for q in range(sub * m, min(sub * m + sub, k)):
             j = sig_to_j(q)
             cols = rows + j
             ok = cols < L_pad
-            W[rows[ok], cols[ok]] = float(1 << (2 * (q - _MXU_SUB * m)))
+            W[rows[ok], cols[ok]] = float(1 << (2 * (q - sub * m)))
         return W
 
     blocks = []
@@ -225,13 +250,144 @@ def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
     return np.concatenate(blocks, axis=0), R, n_sub
 
 
-def _bits32(chunks, t: int, width: int = 32):
-    """Value bits [t, t+width) as one u32, from little-endian 24-bit
+def _mxu_weights_shared(k: int, P_pad: int, L_pad: int, canonical: bool,
+                        mask_ambiguous: bool, sub: int = _MXU_SUB):
+    """SHARED-BAND weight matrix (r4): every full value chunk is a
+    shifted copy of ONE rolling sub-base value — forward chunk m at
+    window p equals V[p + k - sub*(m+1)] where V[q] = sum_{i<sub}
+    c[q+i] * 4^(sub-1-i), and the reverse-weighted chunks are slices
+    of S[q] = sum_{i<sub} c[q+i] * 4^i.  So the matmul needs ONE band
+    per strand (heights extended by sub*(n_sub-1) rows so every shifted
+    slice is in range) instead of n_sub bands per strand: 2x less MXU
+    work at k=21 canonical, ~3x at k=45 — and the f32->i32->u32 (or
+    s32->u32) conversion runs once per BAND instead of once per CHUNK.
+    Partial top chunks come from the same tables by shift/mask (top w
+    digits of V = `V >> 2*(sub-w)`, low w digits of S = `S & mask`).
+
+    Contiguous windows only (spaced seeds keep the per-chunk bands —
+    their chunks are not shifted copies of each other).
+
+    Returns (weights float32 (rows, L_pad), R_ext, R_amb)."""
+    import numpy as np
+    row_align = 32 if sub == _MXU_SUB8 else 16
+    n_sub = -(-k // sub)
+    P_ext = P_pad + sub * (n_sub - 1)
+    R_ext = -(-P_ext // row_align) * row_align
+    R_amb = -(-P_pad // row_align) * row_align
+    rows = np.arange(P_ext)
+
+    def band(weight_of_i):
+        W = np.zeros((R_ext, L_pad), np.float32)
+        for i in range(sub):
+            cols = rows + i
+            ok = cols < L_pad
+            W[rows[ok], cols[ok]] = float(weight_of_i(i))
+        return W
+
+    blocks = [band(lambda i: 1 << (2 * (sub - 1 - i)))]       # V
+    if canonical:
+        blocks.append(band(lambda i: 1 << (2 * i)))           # S
+    if mask_ambiguous:
+        Wa = np.zeros((R_amb, L_pad), np.float32)
+        ra = np.arange(P_pad)
+        for j in range(k):
+            cols = ra + j
+            ok = cols < L_pad
+            Wa[ra[ok], cols[ok]] = 1.0
+        blocks.append(Wa)
+    return np.concatenate(blocks, axis=0), R_ext, R_amb
+
+
+def _mxu_extract_shared(c, w_ref, k: int, P_pad: int, n_words: int,
+                        canonical: bool, mask_ambiguous: bool,
+                        sub: int = _MXU_SUB):
+    """Shared-band MXU extraction (see _mxu_weights_shared): one rolling
+    value table per strand, chunks as shifted in-VMEM slices, one
+    convert per band.  Returns (repacked word list, amb) with the
+    canonical min already selected."""
+    n_sub = -(-k // sub)
+    cw = 2 * sub
+    row_align = 32 if sub == _MXU_SUB8 else 16
+    P_ext = P_pad + sub * (n_sub - 1)
+    R_ext = -(-P_ext // row_align) * row_align
+    n_band = 2 if canonical else 1
+    cm = (c & jnp.uint32(3)) if mask_ambiguous else c
+    if sub == _MXU_SUB8:
+        cb = cm.astype(jnp.int32).astype(jnp.int8)
+        acc = jnp.dot(w_ref[:n_band * R_ext], cb,
+                      preferred_element_type=jnp.int32)
+
+        def table(b):
+            t = lax.slice_in_dim(acc, b * R_ext, b * R_ext + P_ext, axis=0)
+            return t.astype(jnp.uint32)
+    else:
+        cb = cm.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        acc = jnp.dot(w_ref[:n_band * R_ext], cb,
+                      preferred_element_type=jnp.float32)
+
+        def table(b):
+            t = lax.slice_in_dim(acc, b * R_ext, b * R_ext + P_ext, axis=0)
+            return t.astype(jnp.int32).astype(jnp.uint32)
+
+    w_top = k - sub * (n_sub - 1)         # top chunk width in bases
+    v = table(0)
+    fchunks = []
+    for m in range(n_sub):
+        if m < n_sub - 1 or w_top == sub:
+            off = k - sub * (m + 1)
+            fchunks.append(lax.slice_in_dim(v, off, off + P_pad, axis=0))
+        else:
+            # top partial chunk = V's top w digits (missing LOW digits
+            # near the read end are zero-weighted and shifted out)
+            fchunks.append(lax.slice_in_dim(v, 0, P_pad, axis=0)
+                           >> jnp.uint32(2 * (sub - w_top)))
+    fw = _chunks_to_repacked(fchunks, k, n_words, cw)
+    if canonical:
+        s = table(1)
+        rc_chunks = []
+        for m in range(n_sub):
+            ch = lax.slice_in_dim(s, sub * m, sub * m + P_pad, axis=0)
+            wbits = min(2 * k - cw * m, cw)
+            mask = jnp.uint32((1 << wbits) - 1)
+            # RC = bitwise NOT in wbits; the top partial S chunk carries
+            # garbage digits above wbits (real bases beyond the key) —
+            # (ch ^ mask) & mask clears them
+            rc = ch ^ mask
+            if wbits < cw:
+                rc = rc & mask
+            rc_chunks.append(rc)
+        rw = _chunks_to_repacked(rc_chunks, k, n_words, cw)
+        lt = rw[0] < fw[0]
+        eq = rw[0] == fw[0]
+        for rj, fj in zip(rw[1:], fw[1:]):
+            lt = lt | (eq & (rj < fj))
+            eq = eq & (rj == fj)
+        fw = [jnp.where(lt, rj, fj) for rj, fj in zip(rw, fw)]
+    amb = None
+    if mask_ambiguous:
+        base = n_band * R_ext
+        R_amb = (w_ref.shape[0] - base)
+        wa = lax.slice_in_dim(w_ref[:], base, base + R_amb, axis=0)
+        if sub == _MXU_SUB8:
+            ind = (c >= 4).astype(jnp.int32).astype(jnp.int8)
+            acc_a = jnp.dot(wa, ind, preferred_element_type=jnp.int32)
+            amb = lax.slice_in_dim(acc_a, 0, P_pad, axis=0) > 0
+        else:
+            ind = (c >= 4).astype(jnp.int32).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+            acc_a = jnp.dot(wa, ind, preferred_element_type=jnp.float32)
+            amb = lax.slice_in_dim(acc_a, 0, P_pad, axis=0) > 0.5
+    return fw, amb
+
+
+def _bits32(chunks, t: int, width: int = 32, cw: int = 24):
+    """Value bits [t, t+width) as one u32, from little-endian cw-bit
     chunks.  All shift amounts are static and < 32 (a 32-bit window
-    spans at most 3 chunks); u32 left shifts drop bits >= 32."""
+    spans at most ceil(32/cw)+1 chunks); u32 left shifts drop bits
+    >= 32."""
     out = None
-    for m in range(t // 24, len(chunks)):
-        base = 24 * m
+    for m in range(t // cw, len(chunks)):
+        base = cw * m
         if base >= t + width:
             break
         if base <= t:
@@ -244,8 +400,8 @@ def _bits32(chunks, t: int, width: int = 32):
     return out
 
 
-def _chunks_to_repacked(chunks, k: int, n_words: int):
-    """24-bit LE value chunks -> repacked words (32 key bits per word
+def _chunks_to_repacked(chunks, k: int, n_words: int, cw: int = 24):
+    """cw-bit LE value chunks -> repacked words (32 key bits per word
     from the TOP, s-bit residual last — ops/count.repack_words).  When
     2k is a multiple of 32 (s == 0: k = 16, 32, 48) the residual word
     carries no key bits and is emitted as the all-zero flag payload
@@ -253,14 +409,16 @@ def _chunks_to_repacked(chunks, k: int, n_words: int):
     invalid ones — the kernel's sentinel select provides the latter)."""
     bits = 2 * k
     s = bits - 32 * (n_words - 1)
-    ws = [_bits32(chunks, bits - 32 * (j + 1)) for j in range(n_words - 1)]
-    ws.append(_bits32(chunks, 0, width=s) if s
+    ws = [_bits32(chunks, bits - 32 * (j + 1), cw=cw)
+          for j in range(n_words - 1)]
+    ws.append(_bits32(chunks, 0, width=s, cw=cw) if s
               else jnp.zeros_like(ws[0]))
     return ws
 
 
 def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
-                 canonical: bool, mask_ambiguous: bool):
+                 canonical: bool, mask_ambiguous: bool,
+                 sub: int = _MXU_SUB):
     """MXU extraction: banded matmuls build the key subwords, so the
     O(k) (or O(log k)) sublane-slice shift-or chains become one
     systolic-array pass; the VPU only converts and stitches.  Exact by
@@ -268,34 +426,53 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
     window subvalue < 2^24 (f32-exact).  Works for ANY word count
     (k <= 63) — the doubling path's 64-bit accumulator pair caps it at
     W <= 2, but chunks stitch into arbitrarily many repacked words.
+
+    sub=_MXU_SUB8 is the ALL-INTEGER variant (VERDICT r3 #1a): int8
+    weights 1/4/16/64, codes enter the array as s8 (i32->i8 truncate —
+    values 0..3), chunks come out s32 and BITCAST to u32 — zero float
+    conversions on either side of the matmul, at the cost of 3x the
+    weight blocks (4-base chunks) and a few more u32 stitch terms.
+
     Returns (repacked word list, amb) with the canonical min ALREADY
     selected."""
-    n_sub = -(-k // _MXU_SUB)
+    n_sub = -(-k // sub)
+    cw = 2 * sub                # chunk width in bits
     n_blk = (2 * n_sub if canonical else n_sub) + (1 if mask_ambiguous else 0)
     R = w_ref.shape[0] // n_blk
     n_val = n_blk - (1 if mask_ambiguous else 0)   # value bands only —
     # the amb band multiplies the indicator, not the codes, in its own
     # dot below; including it here would waste 1/n_blk of the MXU work
     cm = (c & jnp.uint32(3)) if mask_ambiguous else c
-    # Mosaic has no u32->f32 convert; i32 hop is exact (codes 0..7)
-    cb = cm.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
-    acc = jnp.dot(w_ref[:n_val * R], cb, preferred_element_type=jnp.float32)
+    if sub == _MXU_SUB8:
+        cb = cm.astype(jnp.int32).astype(jnp.int8)
+        acc = jnp.dot(w_ref[:n_val * R], cb,
+                      preferred_element_type=jnp.int32)
 
-    def chunk(i):
-        s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
-        return s.astype(jnp.int32).astype(jnp.uint32)
+        def chunk(i):
+            s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
+            return s.astype(jnp.uint32)            # s32 -> u32 bitcast
+    else:
+        # Mosaic has no u32->f32 convert; i32 hop is exact (codes 0..7)
+        cb = cm.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        acc = jnp.dot(w_ref[:n_val * R], cb,
+                      preferred_element_type=jnp.float32)
 
-    fw = _chunks_to_repacked([chunk(m) for m in range(n_sub)], k, n_words)
+        def chunk(i):
+            s = lax.slice_in_dim(acc, i * R, i * R + P_pad, axis=0)
+            return s.astype(jnp.int32).astype(jnp.uint32)
+
+    fw = _chunks_to_repacked([chunk(m) for m in range(n_sub)], k,
+                             n_words, cw)
     if canonical:
         # reverse complement = all-3s minus S = bitwise NOT in 2k bits,
         # which is chunk-wise XOR with each chunk's width mask (the
         # chunks partition the bit range — no borrows)
         rc_chunks = []
         for m in range(n_sub):
-            wbits = min(2 * k - 24 * m, 24)
+            wbits = min(2 * k - cw * m, cw)
             rc_chunks.append(chunk(n_sub + m)
                              ^ jnp.uint32((1 << wbits) - 1))
-        rw = _chunks_to_repacked(rc_chunks, k, n_words)
+        rw = _chunks_to_repacked(rc_chunks, k, n_words, cw)
         # lexicographic min over repacked words (word 0 most significant)
         lt = rw[0] < fw[0]
         eq = rw[0] == fw[0]
@@ -305,11 +482,19 @@ def _mxu_extract(c, w_ref, k: int, P_pad: int, n_words: int,
         fw = [jnp.where(lt, rj, fj) for rj, fj in zip(rw, fw)]
     amb = None
     if mask_ambiguous:
-        ind = (c >= 4).astype(jnp.int32).astype(jnp.float32) \
-            .astype(jnp.bfloat16)
-        wa = lax.slice_in_dim(w_ref[:], (n_blk - 1) * R,
-                              (n_blk - 1) * R + P_pad, axis=0)
-        amb = jnp.dot(wa, ind, preferred_element_type=jnp.float32) > 0.5
+        # dot the FULL R-row band (tile-aligned for int8 weights) and
+        # slice the accumulator instead of the weights
+        wa = lax.slice_in_dim(w_ref[:], (n_blk - 1) * R, n_blk * R,
+                              axis=0)
+        if sub == _MXU_SUB8:
+            ind = (c >= 4).astype(jnp.int32).astype(jnp.int8)
+            acc_a = jnp.dot(wa, ind, preferred_element_type=jnp.int32)
+            amb = lax.slice_in_dim(acc_a, 0, P_pad, axis=0) > 0
+        else:
+            ind = (c >= 4).astype(jnp.int32).astype(jnp.float32) \
+                .astype(jnp.bfloat16)
+            acc_a = jnp.dot(wa, ind, preferred_element_type=jnp.float32)
+            amb = lax.slice_in_dim(acc_a, 0, P_pad, axis=0) > 0.5
     return fw, amb
 
 
@@ -332,7 +517,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             mask_ambiguous: bool, algo: str = "sort",
             extract_algo: str = "slicesum", span: int | None = None):
     span = span or k           # spaced seeds: window span > n_bases
-    if extract_algo == "mxu":
+    if extract_algo.startswith("mxu"):
         w_ref, out_refs = rest[0], rest[1:]
     else:
         w_ref, out_refs = None, rest
@@ -341,9 +526,15 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
     shape = (P_pad, bw)
     low = 2 * k - 32 if n_words == 2 else 0          # bits in the bot word
     fwords = None
-    if extract_algo == "mxu":
-        fwords, amb = _mxu_extract(c, w_ref, k, P_pad, n_words,
-                                   canonical, mask_ambiguous)
+    if extract_algo in ("mxus", "mxus8"):
+        fwords, amb = _mxu_extract_shared(
+            c, w_ref, k, P_pad, n_words, canonical, mask_ambiguous,
+            sub=_MXU_SUB8 if extract_algo == "mxus8" else _MXU_SUB)
+        ftop = fbot = None
+    elif extract_algo in ("mxu", "mxu8"):
+        fwords, amb = _mxu_extract(
+            c, w_ref, k, P_pad, n_words, canonical, mask_ambiguous,
+            sub=_MXU_SUB8 if extract_algo == "mxu8" else _MXU_SUB)
         ftop = fbot = None
     elif extract_algo == "doubling":
         ftop, fbot, amb = _doubling_repacked(c, k, P_pad, n_words,
@@ -364,7 +555,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
                 ftop = ftop | (sl << jnp.uint32(fpos - low))
             else:
                 fbot = fbot | (sl << jnp.uint32(fpos))
-    if canonical and extract_algo != "mxu":          # mxu selects in-path
+    if canonical and fwords is None:                 # mxu selects in-path
         # RC from the FORWARD words by pure bit tricks instead of a
         # second k-iteration accumulation (ops/canonical.revcomp_words
         # adapted to the repacked layout): align V to the top of the
@@ -458,9 +649,11 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "auto")
     if positions is not None:
-        # spaced seeds exist only in the banded-matmul formulation
-        # (doubling/slicesum assume contiguous windows)
-        extract_algo = "mxu"
+        # spaced seeds exist only in the per-chunk banded-matmul
+        # formulation (doubling/slicesum assume contiguous windows;
+        # the shared-band tables assume chunks are shifted copies)
+        if extract_algo not in ("mxu", "mxu8"):
+            extract_algo = "mxu"
     elif extract_algo == "auto":
         extract_algo = select_fused_extract(k, L, canonical,
                                             mask_ambiguous)
@@ -468,12 +661,15 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
             raise ValueError(
                 f"no fused extraction backend fits (k={k}, L={L}); "
                 f"use the XLA path")
-    if extract_algo == "mxu":
+    if extract_algo.startswith("mxu"):
         assert k <= 63, (k, "unsupported key width")
     else:
         assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg
     L_pad = P_pad + span - 1
+    # env override for tile-size experiments (KMER_TPU_FUSED_BL)
+    block_lanes = int(os.environ.get("KMER_TPU_FUSED_BL",
+                                     str(block_lanes)))
     # small batches: shrink the lane block to the 128-lane tile multiple
     # covering B instead of padding way past it
     block_lanes = min(block_lanes, -(-B // 128) * 128)
@@ -495,10 +691,13 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((P_pad, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
-    # i8 counts (in-segment runs never exceed seg): 1/4 the count
-    # write traffic in-kernel AND 1/4 the count D2H downstream
+    # i8 counts are the DEFAULT (VERDICT r3 #1b): in-segment runs never
+    # exceed seg, device time measured neutral (VPU-bound step), and
+    # the count plane is 1/4 the write traffic in-kernel AND 1/4 the
+    # count D2H downstream.  KMER_TPU_COUNTS_DTYPE=i32 restores the
+    # full plane; seg > 127 always uses i32.
     cnt_dtype = (jnp.int8 if os.environ.get("KMER_TPU_COUNTS_DTYPE",
-                                            "i32") == "i8" and seg <= 127
+                                            "i8") == "i8" and seg <= 127
                  else jnp.int32)
     out_shapes = ([jax.ShapeDtypeStruct((P_pad, Bp), jnp.uint32)
                    for _ in range(W)]
@@ -509,10 +708,18 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     # 0.27 ms/step vs 0.31 slice-sum, k=31 0.25 vs 0.33)
     in_specs = [cspec, rspec, rspec]
     operands = [codes_t, len2, lim2]
-    if extract_algo == "mxu":
-        wmat, _R, _ = _mxu_weights(k, P_pad, L_pad, canonical,
-                                   mask_ambiguous, positions)
-        wj = jnp.asarray(wmat, jnp.bfloat16)
+    if extract_algo.startswith("mxu"):
+        sub = _MXU_SUB8 if extract_algo.endswith("8") else _MXU_SUB
+        if extract_algo in ("mxus", "mxus8"):
+            wmat, _Re, _Ra = _mxu_weights_shared(k, P_pad, L_pad,
+                                                 canonical,
+                                                 mask_ambiguous, sub=sub)
+        else:
+            wmat, _R, _ = _mxu_weights(k, P_pad, L_pad, canonical,
+                                       mask_ambiguous, positions,
+                                       sub=sub)
+        wj = jnp.asarray(wmat, jnp.int8 if extract_algo.endswith("8")
+                         else jnp.bfloat16)
         in_specs.append(pl.BlockSpec(wj.shape, lambda q: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(wj)

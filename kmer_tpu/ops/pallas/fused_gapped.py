@@ -270,8 +270,10 @@ def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((T_pad, block_lanes), lambda q: (0, q),
                          memory_space=pltpu.VMEM)
+    # i8 counts default — see fused_extract (device-neutral, 4x less
+    # count write + D2H traffic); KMER_TPU_COUNTS_DTYPE=i32 restores
     cnt_dtype = (jnp.int8 if os.environ.get("KMER_TPU_COUNTS_DTYPE",
-                                            "i32") == "i8" and seg <= 127
+                                            "i8") == "i8" and seg <= 127
                  else jnp.int32)
     out_shapes = ([jax.ShapeDtypeStruct((T_pad, Bp), jnp.uint32)
                    for _ in range(n_words)]

@@ -34,14 +34,14 @@ ITERS = int(os.environ.get("AB_ITERS", "1600"))
 WARMUP = int(os.environ.get("AB_WARMUP", "150"))
 
 VARIANTS = [
-    # (name, extract, seg, bl, cnt_dtype)
-    ("doubling s4 bl256 i32", "doubling", 4, 256, "i32"),
-    ("doubling s4 bl256 i8",  "doubling", 4, 256, "i8"),
-    ("doubling s2 bl256 i32", "doubling", 2, 256, "i32"),
-    ("doubling s4 bl512 i32", "doubling", 4, 512, "i32"),
-    ("doubling s4 bl128 i32", "doubling", 4, 128, "i32"),
-    ("mxu      s4 bl256 i32", "mxu",      4, 256, "i32"),
-    ("doubling s2 bl256 i8",  "doubling", 2, 256, "i8"),
+    # (name, extract, seg, bl, cnt_dtype) — r4 matrix: the all-integer
+    # s8 MXU extraction vs the f32 one, i8 vs i32 count planes, tile
+    # sizes (VERDICT r3 #1a/b/c)
+    ("mxu      s2 bl256 i8",  "mxu",      2, 256, "i8"),
+    ("mxu      s2 bl512 i8",  "mxu",      2, 512, "i8"),
+    ("mxu      s2 bl1024 i8", "mxu",      2, 1024, "i8"),
+    ("mxus     s2 bl512 i8",  "mxus",     2, 512, "i8"),
+    ("mxus     s2 bl1024 i8", "mxus",     2, 1024, "i8"),
 ]
 
 

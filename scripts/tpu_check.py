@@ -8,9 +8,13 @@ Covers: parity md5 (CLAUDE.md invariant), hybrid grouped counting
 packed H2D transfer, dense k=12 hybrid, gapped grouped counting.
 
 Prints one PASS/FAIL line per check; exits nonzero on any FAIL.
+Usage: python scripts/tpu_check.py [artifact.json] — writes the
+{device, checks: [{check, pass}], all_pass} evidence artifact the
+judge can read (VERDICT r3 #4: per-round TPUCHECK_r{N}.json).
 """
 
 import hashlib
+import json
 import os
 import sys
 import tempfile
@@ -21,11 +25,13 @@ from kmer_tpu.utils.jaxcache import enable_compilation_cache
 enable_compilation_cache()
 
 OK = True
+RESULTS = []
 
 
 def check(name, cond):
     global OK
     print(f"{'PASS' if cond else 'FAIL'}  {name}", flush=True)
+    RESULTS.append({"check": name, "pass": bool(cond)})
     OK = OK and bool(cond)
 
 
@@ -183,6 +189,41 @@ def main():
         check("pairs 1-dev mesh == oracle",
               not bool(pover) and ptab.to_dict() == want_p)
 
+        # 14-16. the all-integer s8xs8->s32 MXU extraction on real
+        # Mosaic (r4): int8 systolic matmul + s32->u32 bitcast chunks,
+        # contiguous W=2, multi-word W=3, and spaced seeds
+        os.environ["KMER_TPU_FUSED_EXTRACT"] = "mxu8"
+        try:
+            t8 = count_fasta(corpus, cfg)
+            check("mxu8 k=21 canonical == oracle", t8.to_dict() == want)
+            t45_8 = count_fasta(corpus, KmerConfig(k=45, canonical=True,
+                                                   batch_reads=8192,
+                                                   max_read_len=150))
+            check("mxu8 k=45 == oracle", t45_8.to_dict() == want45)
+            tsp8 = count_fasta(corpus, KmerConfig(seed_mask=smask,
+                                                  canonical=True,
+                                                  batch_reads=8192,
+                                                  max_read_len=150))
+            check("mxu8 spaced seed == oracle", tsp8.to_dict() == want_sp)
+        finally:
+            del os.environ["KMER_TPU_FUSED_EXTRACT"]
+
+        # 17. i32 count plane (the i8 default is exercised by every
+        # check above; this pins the escape hatch)
+        os.environ["KMER_TPU_COUNTS_DTYPE"] = "i32"
+        try:
+            t_i32 = count_fasta(corpus, cfg.replace(batch_reads=4096))
+            check("i32 count plane == i8 default", t_i32 == t)
+        finally:
+            del os.environ["KMER_TPU_COUNTS_DTYPE"]
+
+    if len(sys.argv) > 1:
+        import jax as _jax
+        with open(sys.argv[1], "w") as f:
+            json.dump({"device": str(_jax.devices()[0]),
+                       "checks": RESULTS,
+                       "all_pass": OK}, f, indent=1)
+        print(f"# artifact: {sys.argv[1]}", file=sys.stderr)
     sys.exit(0 if OK else 1)
 
 

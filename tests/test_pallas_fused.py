@@ -137,15 +137,17 @@ def test_fused_extract_count_matches_two_stage(k, canon, amb, algo):
     assert got == want
 
 
+@pytest.mark.parametrize("variant", ["mxu", "mxu8", "mxus", "mxus8"])
 @pytest.mark.parametrize("k,canon,amb", [(5, True, True),
                                          (13, False, True),
                                          (21, True, False),
                                          (27, True, True),
                                          (31, True, False)])
-def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
+def test_mxu_extraction_bit_equals_doubling(k, canon, amb, variant):
     """The MXU banded-matmul extraction (subword values as bf16xbf16->
     f32 systolic matmuls — exact because every 4^j weight is a power of
-    two and every <=12-base subvalue < 2^24) must be BIT-IDENTICAL to
+    two and every <=12-base subvalue < 2^24 — or the all-integer
+    s8xs8->s32 variant with 4-base subwords) must be BIT-IDENTICAL to
     the doubling extraction on the raw kernel outputs, across key
     widths, canonical selection, and ambiguity masking."""
     from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
@@ -156,24 +158,26 @@ def test_mxu_extraction_bit_equals_doubling(k, canon, amb):
     lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
     limits = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
     outs = {}
-    for extract in ("doubling", "mxu"):
+    for extract in ("doubling", variant):
         outs[extract] = fused_extract_count_T(
             codes, lengths, limits, k, canonical=canon,
             mask_ambiguous=amb, seg=4, block_lanes=128, algo="dedup",
             extract=extract, interpret=True)
-    for wa, wb in zip(outs["doubling"][0], outs["mxu"][0]):
+    for wa, wb in zip(outs["doubling"][0], outs[variant][0]):
         np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
     np.testing.assert_array_equal(np.asarray(outs["doubling"][1]),
-                                  np.asarray(outs["mxu"][1]))
+                                  np.asarray(outs[variant][1]))
 
 
+@pytest.mark.parametrize("variant", ["mxu", "mxu8", "mxus", "mxus8"])
 @pytest.mark.parametrize("k,canon", [(33, True), (45, False), (63, True),
                                      (16, True), (32, False)])
-def test_mxu_multiword_keys_match_oracle(k, canon):
+def test_mxu_multiword_keys_match_oracle(k, canon, variant):
     """The MXU extractor lifts the fused kernel's W <= 2 cap: k >= 33
     (3- and 4-word repacked keys) and the s == 0 widths (k = 16/32,
     flag-payload residual) must match the XLA extraction oracle as
-    aggregated tables, with sparse ambiguity masking exercised."""
+    aggregated tables, with sparse ambiguity masking exercised —
+    for both the f32 and the all-integer s8 banded-matmul variants."""
     from kmer_tpu.ops.canonical import canonical_kmer_lanes
     from kmer_tpu.ops.extract import kmer_lanes
     from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
@@ -188,7 +192,7 @@ def test_mxu_multiword_keys_match_oracle(k, canon):
     rflat, counts = fused_extract_count_T(
         codes.T, lengths, limits, k, canonical=canon,
         mask_ambiguous=True, seg=4, block_lanes=128, algo="dedup",
-        extract="mxu", interpret=True)
+        extract=variant, interpret=True)
     got = _aggregate(k, C.unpack_words(rflat, k), counts > 0, counts)
     fn = canonical_kmer_lanes if canon else kmer_lanes
     words, valid = fn(codes, lengths, k, limits=limits,
@@ -442,3 +446,28 @@ def test_auto_policy_multiword_end_to_end(tmp_path):
     finally:
         del os.environ["KMER_TPU_FUSED_EXTRACT"]
     assert got == want
+
+
+def test_mxu8_spaced_bit_equals_mxu():
+    """Spaced-seed extraction through the all-integer s8 variant is
+    bit-identical to the f32 banded-matmul variant (same zeroed-band
+    algebra, different accumulator)."""
+    from kmer_tpu.ops.extract import parse_seed_mask
+    from kmer_tpu.ops.pallas.fused_extract import fused_extract_count_T
+    rng = np.random.default_rng(99)
+    B, L = 128, 64
+    mask = "110101011"
+    positions = parse_seed_mask(mask)
+    codes = jnp.asarray(rng.integers(0, 8, (L, B), dtype=np.uint8))
+    lengths = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    limits = jnp.asarray(rng.integers(0, L + 1, B, dtype=np.int32))
+    outs = {}
+    for extract in ("mxu", "mxu8"):
+        outs[extract] = fused_extract_count_T(
+            codes, lengths, limits, len(positions), canonical=True,
+            mask_ambiguous=True, seg=2, block_lanes=128, algo="dedup",
+            extract=extract, positions=positions, interpret=True)
+    for wa, wb in zip(outs["mxu"][0], outs["mxu8"][0]):
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(outs["mxu"][1]),
+                                  np.asarray(outs["mxu8"][1]))
