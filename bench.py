@@ -146,8 +146,19 @@ def main():
     # honest denominator: the fused single-kernel step has NO key
     # round trip, so its speed of light is codes-in + keys/counts-out
     # (the two-stage for_sort_step model would flatter it ~2.3x)
-    rl = Roofline.for_fused_step(B, L, K, words_per_key(K))
+    # count plane bytes must match the kernel's actual output dtype
+    # (i8 default since r4) — an i32 model would flatter the fraction
+    cnt_b = 1 if os.environ.get("KMER_TPU_COUNTS_DTYPE", "i8") == "i8" \
+        else 4
+    rl = Roofline.for_fused_step(B, L, K, words_per_key(K),
+                                 cnt_bytes=cnt_b)
     frac = rl.fraction(dt_step)
+    # r3-comparable companion: the i32-count-plane light (the r4 i8
+    # default shrank the honest denominator from 68 to 53 us — a
+    # FASTER step can show a lower fraction; see DESIGN "kernel-shape
+    # floor")
+    frac_i32 = Roofline.for_fused_step(B, L, K, words_per_key(K),
+                                       cnt_bytes=4).fraction(dt_step)
     log(f"HBM roofline fraction: {frac:.3f} "
         f"(speed-of-light step {rl.seconds_at_roofline() * 1e6:.0f} us)")
 
@@ -256,6 +267,10 @@ def main():
         # honest headline companions (VERDICT r1 #9): achieved fraction
         # of the minimum-HBM-traffic roofline, and the k=31 secondary
         "roofline_fraction": round(frac, 4),
+        # vs the r1-r3 i32-count-plane traffic model (the i8 default
+        # shrank the honest denominator 68->53 us; this keeps rounds
+        # comparable)
+        "roofline_fraction_i32model": round(frac_i32, 4),
         "kmers_per_sec_k31": round(k31_rate),
         # multi-word keys through the fused MXU-extraction default
         "kmers_per_sec_k45": round(k45_rate),

@@ -119,9 +119,10 @@ _MXU_SUB8 = 4          # bases per s8 MXU subword: weights 1/4/16/64 all
 
 
 def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
-             seg: int = 4, block_lanes: int = 256,
+             seg: int = 4, block_lanes: int = 512,
              budget_bytes: int = 24 * 1024 * 1024,
-             span: int | None = None, sub: int = _MXU_SUB) -> bool:
+             span: int | None = None, sub: int = _MXU_SUB,
+             shared: bool = False) -> bool:
     """Whether the MXU extraction's VMEM-resident operands (the stacked
     weight matrix + the matmul accumulator) fit a conservative budget
     for this (k, L).  Both grow with n_blk * R ~ O(k/sub * L), so long
@@ -137,11 +138,19 @@ def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
     L_pad = P_pad + span - 1
     row_align = 32 if sub == _MXU_SUB8 else 16
     wbytes = 1 if sub == _MXU_SUB8 else 2
-    R = -(-P_pad // row_align) * row_align
     n_sub = -(-k // sub)
-    n_blk = ((2 * n_sub if canonical else n_sub)
-             + (1 if mask_ambiguous else 0))
-    rows = n_blk * R
+    if shared:
+        # one rolling-value band per strand (+ the window amb band)
+        P_ext = P_pad + sub * (n_sub - 1)
+        R_ext = -(-P_ext // row_align) * row_align
+        rows = ((2 if canonical else 1) * R_ext
+                + ((-(-P_pad // row_align) * row_align)
+                   if mask_ambiguous else 0))
+    else:
+        R = -(-P_pad // row_align) * row_align
+        n_blk = ((2 * n_sub if canonical else n_sub)
+                 + (1 if mask_ambiguous else 0))
+        rows = n_blk * R
     return rows * (L_pad * wbytes + block_lanes * 4) <= budget_bytes
 
 
@@ -174,17 +183,30 @@ def select_fused_extract(k: int, L: int, canonical: bool,
     import os
     req = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto")
     base = words_per_key(k) <= 2 and 2 * k != 32
-    if req in ("mxu", "mxu8"):
-        sub = _MXU_SUB8 if req == "mxu8" else _MXU_SUB
-        if mxu_fits(k, L, canonical, mask_ambiguous, sub=sub):
+    if req in ("mxu", "mxu8", "mxus", "mxus8"):
+        sub = _MXU_SUB8 if req.endswith("8") else _MXU_SUB
+        if mxu_fits(k, L, canonical, mask_ambiguous, sub=sub,
+                    shared=req.startswith("mxus")):
             return req
         return "doubling" if base else None
     if req in ("doubling", "slicesum"):
         return req if base else None
     if words_per_key(k) == 1:
         return "doubling"
-    fits = mxu_fits(k, L, canonical, mask_ambiguous)
-    return "mxu" if fits else ("doubling" if base else None)
+    if base:
+        # W=2 with a residual word (k=17..31): per-chunk mxu (2 bands/
+        # strand already; the shared tables measured parity-to-slightly-
+        # behind here, r4 sweeps)
+        return ("mxu" if mxu_fits(k, L, canonical, mask_ambiguous)
+                else "doubling")
+    # wide keys (k>=33) and the s==0 widths (k=16/32/48): SHARED-BAND
+    # extraction — one rolling-value band per strand instead of n_sub,
+    # measured ~15% over per-chunk mxu at k=45 (r4 sweeps)
+    if mxu_fits(k, L, canonical, mask_ambiguous, shared=True):
+        return "mxus"
+    if mxu_fits(k, L, canonical, mask_ambiguous):
+        return "mxu"
+    return None
 
 
 def _mxu_weights(k: int, P_pad: int, L_pad: int, canonical: bool,
@@ -536,6 +558,17 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             c, w_ref, k, P_pad, n_words, canonical, mask_ambiguous,
             sub=_MXU_SUB8 if extract_algo == "mxu8" else _MXU_SUB)
         ftop = fbot = None
+    elif extract_algo == "copy":
+        # MEASUREMENT ONLY (scripts/vpu_floor.py): no extraction at
+        # all — pseudo-key words are raw code slices.  Times the
+        # IRREDUCIBLE tile work of this kernel shape: codes in, W key
+        # planes + count plane out, validity test, sentinel select.
+        # Output is NOT a k-mer table.
+        fwords = [lax.slice_in_dim(c, min(j, span - 1),
+                                   min(j, span - 1) + P_pad, axis=0)
+                  for j in range(n_words)]
+        amb = jnp.zeros(shape, bool) if mask_ambiguous else None
+        ftop = fbot = None
     elif extract_algo == "doubling":
         ftop, fbot, amb = _doubling_repacked(c, k, P_pad, n_words,
                                              mask_ambiguous)
@@ -663,7 +696,7 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                 f"use the XLA path")
     if extract_algo.startswith("mxu"):
         assert k <= 63, (k, "unsupported key width")
-    else:
+    elif extract_algo != "copy":
         assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg
     L_pad = P_pad + span - 1

@@ -177,8 +177,8 @@ def pairs_eligible(cfg) -> bool:
         nb = cfg.l_len + cfg.r_len
         return (max(cfg.l_len, cfg.r_len) <= 31 and (2 * nb) % 32 != 0
                 and cfg.max_read_len >= cfg.c_min)
-    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto") in ("auto",
-                                                               "mxu")
+    mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto") in (
+        "auto", "mxu", "mxu8", "mxus", "mxus8")
     return ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
             or (mxu and cfg.k <= 63))
 
@@ -244,7 +244,7 @@ def count_step_distributed_pairs(codes, lengths, limits, *, k: int,
     if fused_extract is not None:
         rflat, counts = fused_extract_count_T(
             codes_l.T, lengths_l, limits_l, k, canonical=canonical,
-            mask_ambiguous=mask_ambiguous, seg=2, block_lanes=256,
+            mask_ambiguous=mask_ambiguous, seg=2, block_lanes=512,
             algo="dedup", extract=fused_extract, positions=positions,
             interpret=_jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)

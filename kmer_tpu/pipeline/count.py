@@ -89,7 +89,7 @@ def count_step_sort(codes, lengths, limits, *, k: int, canonical: bool,
                                  "2" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
-            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=512,
             algo=algo, extract=fused_extract,
             interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, k)
@@ -171,7 +171,7 @@ def spaced_step_sort(codes, lengths, limits, *, positions: tuple,
         seg = int(os.environ.get("KMER_TPU_T_M", "2"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, kk, canonical=canonical,
-            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=512,
             algo="dedup", positions=positions,
             interpret=jax.default_backend() != "tpu")
         std = count_ops.unpack_words(rflat, kk)
@@ -222,7 +222,7 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
                                  "2" if algo == "dedup" else "8"))
         rflat, counts = fused_extract_count_T(
             codes.T, lengths, limits, k, canonical=canonical,
-            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=256,
+            mask_ambiguous=mask_ambiguous, seg=seg, block_lanes=512,
             algo=algo, extract=fused_extract,
             interpret=jax.default_backend() != "tpu")
         return count_ops.compact_from_runs(rflat, counts,

@@ -32,6 +32,12 @@ REPS = int(os.environ.get("AB_REPS", "3"))
 # (docs/DESIGN.md r3 "Measurement corrections")
 ITERS = int(os.environ.get("AB_ITERS", "1600"))
 WARMUP = int(os.environ.get("AB_WARMUP", "150"))
+# per-variant re-warm before EVERY timed block: an executable
+# loses its promoted state while other variants run, and the
+# first ~150 executions of a block then read slow — this was a
+# systematic first-position bias in r4 sweeps (the first variant
+# of the rep loop lost ~0.03-0.05 ms of min consistently)
+REWARM = int(os.environ.get("AB_REWARM", "150"))
 
 VARIANTS = [
     # (name, extract, seg, bl, cnt_dtype) — r4 matrix: the all-integer
@@ -89,6 +95,7 @@ def main():
     best = {}
     for r in range(REPS):
         for name, step in steps:
+            _, s = time_block(step, s, REWARM)      # re-promote, untimed
             dt, s = time_block(step, s, ITERS)
             best[name] = min(best.get(name, 1e9), dt)
             print(f"rep{r} {name:24s} {dt*1e3:8.3f} ms  "

@@ -395,31 +395,35 @@ def test_gapped_fused_compact_end_to_end(tmp_path):
 
 def test_select_fused_extract_policy(monkeypatch):
     """The shared backend policy (select_fused_extract): auto picks
-    doubling for W<=2 keys and mxu for everything else that fits;
+    doubling for W=1, per-chunk mxu for W=2 with a residual word, and
+    the shared-band mxus for wide keys + the s==0 widths (r4 sweeps);
     forced doubling stays the escape hatch to the XLA path for wide
-    keys; a forced-but-unfit mxu downgrades."""
+    keys; a forced-but-unfit variant downgrades."""
     from kmer_tpu.ops.pallas.fused_extract import select_fused_extract
     monkeypatch.delenv("KMER_TPU_FUSED_EXTRACT", raising=False)
     # W=1: doubling (parity within noise, simpler integer path)
     assert select_fused_extract(13, 150, True) == "doubling"
-    # W=2 and up: mxu when it fits (r3 alternated-sweep winner)
+    # W=2 with residual: per-chunk mxu (r3/r4 alternated-sweep winner)
     assert select_fused_extract(21, 150, True) == "mxu"
     assert select_fused_extract(31, 150, True) == "mxu"
     # unfit W<=2 falls back to doubling
     assert select_fused_extract(21, 65536, True) == "doubling"
-    assert select_fused_extract(33, 150, True) == "mxu"
-    assert select_fused_extract(63, 96, True, True) == "mxu"
-    assert select_fused_extract(16, 150, True) == "mxu"
-    assert select_fused_extract(32, 150, True) == "mxu"
+    # wide keys + s==0 widths: shared-band tables (r4: ~15% at k=45)
+    assert select_fused_extract(33, 150, True) == "mxus"
+    assert select_fused_extract(63, 96, True, True) == "mxus"
+    assert select_fused_extract(16, 150, True) == "mxus"
+    assert select_fused_extract(32, 150, True) == "mxus"
     # unfit -> None (XLA fallback)
-    assert select_fused_extract(63, 4096, True, True) is None
+    assert select_fused_extract(63, 8192, True, True) is None
     monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "doubling")
     assert select_fused_extract(21, 150, True) == "doubling"
     assert select_fused_extract(33, 150, True) is None
     monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "mxu")
     assert select_fused_extract(33, 150, True) == "mxu"
     assert select_fused_extract(21, 65536, True) == "doubling"
-    assert select_fused_extract(63, 4096, True, True) is None
+    assert select_fused_extract(63, 8192, True, True) is None
+    monkeypatch.setenv("KMER_TPU_FUSED_EXTRACT", "mxus8")
+    assert select_fused_extract(45, 150, True) == "mxus8"
 
 
 def test_auto_policy_multiword_end_to_end(tmp_path):
