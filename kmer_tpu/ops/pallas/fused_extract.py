@@ -627,6 +627,21 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, k: int, P: int,
             r[:] = w
         out_refs[n_words][:] = valid.astype(out_refs[n_words].dtype)
         return
+    if algo == "packed":
+        # MEASUREMENT ONLY (scripts/vpu_floor.py): same dedup as prod,
+        # but the residual key word (s = 2k-32(W-1) bits) and the
+        # count (<= seg, 2 bits at seg=2) share ONE u16 plane —
+        # 6 B/lane out instead of 9 at W=2.  Probes whether the
+        # kernel-shape floor is store-bandwidth-bound; NOT a table
+        # contract (no consumer decodes it).
+        s_res = 2 * k - 32 * (n_words - 1)
+        sw, cnt = _dedup_runlen(ws, seg, axis=0)
+        for r, w in zip(out_refs[:n_words - 1], sw[:-1]):
+            r[:] = w
+        packed = ((sw[-1] & jnp.uint32((1 << s_res) - 1))
+                  | (cnt.astype(jnp.uint32) << jnp.uint32(s_res)))
+        out_refs[n_words - 1][:] = packed.astype(jnp.uint16)
+        return
     if algo == "dedup":
         # all-pairs in-segment dedup, segmented over the full array:
         # seg-1 full-height passes, no per-segment unroll
@@ -737,8 +752,12 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                   + [jax.ShapeDtypeStruct((P_pad, Bp), cnt_dtype)])
     if algo is None:
         algo = os.environ.get("KMER_TPU_FUSED_ALGO", "sort")
-    # doubling measured the clear winner on v5e (bench.py: k=21
-    # 0.27 ms/step vs 0.31 slice-sum, k=31 0.25 vs 0.33)
+    if algo == "packed":          # measurement-only (see _kernel)
+        # residual key bits + count bits (count <= seg) must fit u16
+        assert 2 * k - 32 * (W - 1) + (seg + 1).bit_length() <= 16, k
+        out_shapes = ([jax.ShapeDtypeStruct((P_pad, Bp), jnp.uint32)
+                       for _ in range(W - 1)]
+                      + [jax.ShapeDtypeStruct((P_pad, Bp), jnp.uint16)])
     in_specs = [cspec, rspec, rspec]
     operands = [codes_t, len2, lim2]
     if extract_algo.startswith("mxu"):
@@ -763,10 +782,12 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                           extract_algo=extract_algo, span=span),
         grid=(Bp // block_lanes,),
         in_specs=in_specs,
-        out_specs=[ospec] * (W + 1),
+        out_specs=[ospec] * len(out_shapes),
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
+    if algo == "packed":          # measurement-only raw planes
+        return [w.reshape(-1) for w in outs[:-1]], outs[-1].reshape(-1)
     return [w.reshape(-1) for w in outs[:W]], outs[W].reshape(-1)

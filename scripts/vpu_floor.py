@@ -58,6 +58,7 @@ VARIANTS = [
     ("mxu +raw          ", "mxu", "raw"),
     ("mxu +dedup (prod) ", "mxu", "dedup"),
     ("mxus+dedup        ", "mxus", "dedup"),
+    ("mxu +packed (u16) ", "mxu", "packed"),
 ]
 if os.environ.get("AB_REVERSE"):
     VARIANTS = VARIANTS[::-1]
