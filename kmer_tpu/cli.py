@@ -141,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("fasta")
     pp.add_argument("--batch-reads", type=int, default=256)
     pp.add_argument("--max-read-len", type=int, default=512)
+    pp.add_argument("--bounded", action="store_true",
+                    help="bounded-memory streaming dump (corpora beyond "
+                         "RAM): spill per-partition line runs, sort one "
+                         "partition at a time; byte-identical output")
+    pp.add_argument("--spill-dir", default=None,
+                    help="spill directory for --bounded (default: a "
+                         "temp dir, removed afterwards)")
+    pp.add_argument("--partitions", type=int, default=64,
+                    help="spill partitions for --bounded")
 
     ph = sub.add_parser("histo", help="k-mer multiplicity spectrum "
                                       "(count\\tnum_distinct per line)")
@@ -347,10 +356,15 @@ def _dispatch(args) -> int:
 
     if args.cmd == "parity":
         from .config import KmerConfig
-        from .pipeline.parity import parity_dump
+        from .pipeline.parity import parity_dump, parity_dump_stream
         cfg = KmerConfig(gapped=True, batch_reads=args.batch_reads,
                          max_read_len=args.max_read_len)
-        sys.stdout.buffer.write(parity_dump(args.fasta, cfg))
+        if args.bounded:
+            parity_dump_stream(args.fasta, sys.stdout.buffer, cfg,
+                               spill_dir=args.spill_dir,
+                               partitions=args.partitions)
+        else:
+            sys.stdout.buffer.write(parity_dump(args.fasta, cfg))
         return 0
 
     if args.cmd == "query":

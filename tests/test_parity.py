@@ -79,3 +79,37 @@ def test_sample_fasta_invariants(sample_fasta_path):
     assert all(len(l) == 54 for l in lines[:100])
     assert len(set(lines)) == 1_079_497  # distinct chunks
     assert hashlib.md5(dump).hexdigest() == SAMPLE_FASTA_MD5
+
+
+def test_parity_dump_stream_bounded(tmp_path):
+    """Bounded-memory streaming parity (spill-partitioned line runs,
+    one-partition-at-a-time sort) is byte-identical to the in-memory
+    dump — md5-pinned on the reference corpus, with multi-chunk ingest
+    and a partition count that forces many spill files."""
+    import hashlib
+    import io
+    from kmer_tpu.config import KmerConfig
+    from kmer_tpu.pipeline.parity import (SAMPLE_FASTA_MD5, parity_dump,
+                                          parity_dump_stream)
+    p = "tests/data/sample.fasta"
+    cfg = KmerConfig(gapped=True, batch_reads=256, max_read_len=512,
+                     ingest_chunk_bases=20000)
+    buf = io.BytesIO()
+    parity_dump_stream(p, buf, cfg, spill_dir=str(tmp_path / "sp"),
+                       partitions=7)
+    got = buf.getvalue()
+    assert hashlib.md5(got).hexdigest() == SAMPLE_FASTA_MD5
+    assert got == parity_dump(p, KmerConfig(gapped=True, batch_reads=256,
+                                            max_read_len=512))
+
+
+def test_parity_cli_bounded(tmp_path, capsysbinary):
+    from kmer_tpu.cli import main
+    from kmer_tpu.io.generator import reference_style_fasta
+    fa = tmp_path / "r.fasta"
+    fa.write_text(reference_style_fasta(n_records=3, seed=2))
+    assert main(["parity", str(fa), "--batch-reads", "8"]) == 0
+    want = capsysbinary.readouterr().out
+    assert main(["parity", str(fa), "--bounded", "--partitions", "5",
+                 "--batch-reads", "8"]) == 0
+    assert capsysbinary.readouterr().out == want
