@@ -174,7 +174,7 @@ def main():
         inj = (counts[:L] % 4).astype(jnp.uint8)
         return codes.at[0, :].set(inj)
 
-    dt2 = measure(step31, codes, "k=31")
+    dt2 = measure(step31, codes, "k=31", spread_s=4.0)
     k31_rate = kmers2 / dt2
     log(f"k=31: {dt2 * 1e3:.2f} ms/step, {k31_rate / 1e9:.2f} B kmers/s")
 
@@ -191,7 +191,7 @@ def main():
         inj = (counts[:L] % 4).astype(jnp.uint8)
         return codes.at[0, :].set(inj)
 
-    dt3 = measure(step45, codes, "k=45")
+    dt3 = measure(step45, codes, "k=45", spread_s=4.0)
     k45_rate = kmers3 / dt3
     log(f"k=45 (fused mxu): {dt3 * 1e3:.2f} ms/step, "
         f"{k45_rate / 1e9:.2f} B kmers/s")
@@ -213,7 +213,7 @@ def main():
         inj = (counts[:L] % 4).astype(jnp.uint8)
         return codes.at[0, :].set(inj)
 
-    dtg = measure(stepg, codes_g, "gapped")
+    dtg = measure(stepg, codes_g, "gapped", spread_s=4.0)
     gap_rate = chunks_per_step / dtg
     log(f"gapped 27+27 c80..140: {dtg * 1e3:.2f} ms/step, "
         f"{gap_rate / 1e9:.2f} B chunks/s")
