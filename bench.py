@@ -232,32 +232,40 @@ def main():
     n_reads = int(os.environ.get("KMER_TPU_BENCH_E2E_READS", "10000"))
     e2e = None
     if n_reads > 0:
-        with tempfile.TemporaryDirectory() as d:
-            fa = os.path.join(d, "bench.fasta")
-            with open(fa, "w") as f:
-                f.write(genome_reads_fasta(n_reads, L,
-                                           genome_len=1_000_000, seed=1))
-            t0 = time.perf_counter()
-            table = count_fasta(fa, cfg.replace(canonical=True))
-            e2e_s = time.perf_counter() - t0
-        total_bases = n_reads * L
-        total_kmers = n_reads * (L - K + 1)
-        W = words_per_key(K)
-        # packed H2D (2 bits/base) + per-lane key words and i8 count
-        bytes_moved = total_bases // 4 + total_kmers * (4 * W + 1)
-        e2e = {
-            "reads": n_reads,
-            "seconds": round(e2e_s, 3),
-            "reads_per_sec": round(n_reads / e2e_s),
-            "bases_per_sec": round(total_bases / e2e_s),
-            "kmers_per_sec": round(total_kmers / e2e_s),
-            "distinct": table.num_distinct,
-            "bytes_moved_est": bytes_moved,
-            "caveat": "tunnel-bound D2H (~0.15 GB/s on this rig)",
-        }
-        log(f"end-to-end: {n_reads} reads in {e2e_s:.1f}s = "
-            f"{n_reads / e2e_s:.0f} reads/s "
-            f"({total_bases / e2e_s / 1e6:.1f} MB bases/s)")
+        # guarded: an e2e failure (tunnel drop mid-transfer, disk full)
+        # must not discard the already-measured device metrics — the
+        # gate's contract is ONE JSON line no matter what
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                fa = os.path.join(d, "bench.fasta")
+                with open(fa, "w") as f:
+                    f.write(genome_reads_fasta(n_reads, L,
+                                               genome_len=1_000_000,
+                                               seed=1))
+                t0 = time.perf_counter()
+                table = count_fasta(fa, cfg.replace(canonical=True))
+                e2e_s = time.perf_counter() - t0
+            total_bases = n_reads * L
+            total_kmers = n_reads * (L - K + 1)
+            W = words_per_key(K)
+            # packed H2D (2 bits/base) + per-lane key words + i8 count
+            bytes_moved = total_bases // 4 + total_kmers * (4 * W + 1)
+            e2e = {
+                "reads": n_reads,
+                "seconds": round(e2e_s, 3),
+                "reads_per_sec": round(n_reads / e2e_s),
+                "bases_per_sec": round(total_bases / e2e_s),
+                "kmers_per_sec": round(total_kmers / e2e_s),
+                "distinct": table.num_distinct,
+                "bytes_moved_est": bytes_moved,
+                "caveat": "tunnel-bound D2H (~0.15 GB/s on this rig)",
+            }
+            log(f"end-to-end: {n_reads} reads in {e2e_s:.1f}s = "
+                f"{n_reads / e2e_s:.0f} reads/s "
+                f"({total_bases / e2e_s / 1e6:.1f} MB bases/s)")
+        except Exception as e:          # noqa: BLE001 — reported in JSON
+            e2e = {"error": f"{type(e).__name__}: {e}"}
+            log(f"end-to-end FAILED (device metrics preserved): {e}")
 
     print(json.dumps({
         "metric": f"canonical k={K} count throughput (1 chip, sort mode)",

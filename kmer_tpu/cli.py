@@ -255,6 +255,11 @@ def _dispatch(args) -> int:
                              "in-memory pipeline (not --two-pass or "
                              "--multihost)")
         if args.multihost:
+            if args.two_pass:
+                raise ValueError("--two-pass and --multihost are not "
+                                 "combined (yet); the multihost driver "
+                                 "is already memory-bounded via chunked "
+                                 "ingest + owner-sharded aggregation")
             if len(args.fasta) != 1:
                 raise ValueError("--multihost takes exactly one input file")
             import jax

@@ -33,6 +33,10 @@ from .fused_count import _dedup_runlen, _sort_runlen
 
 SENTINEL = 0xFFFFFFFF
 BLOCK_LANES = 512
+# every selectable banded-matmul backend — drivers derive eligibility
+# from THIS tuple (parallel.distributed.pairs_eligible); enumerating
+# the names elsewhere drifts when a variant is added
+MXU_BACKENDS = ("mxu", "mxu8", "mxus", "mxus8")
 
 
 def _rev_fields32(x):
@@ -155,7 +159,8 @@ def mxu_fits(k: int, L: int, canonical: bool, mask_ambiguous: bool,
 
 
 def select_fused_extract(k: int, L: int, canonical: bool,
-                         mask_ambiguous: bool = False) -> str | None:
+                         mask_ambiguous: bool = False,
+                         block_lanes: int = 512) -> str | None:
     """Fused-kernel extraction backend policy — ONE definition shared by
     every step-selection site (pipeline/count.py, parallel/distributed).
 
@@ -183,10 +188,11 @@ def select_fused_extract(k: int, L: int, canonical: bool,
     import os
     req = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto")
     base = words_per_key(k) <= 2 and 2 * k != 32
-    if req in ("mxu", "mxu8", "mxus", "mxus8"):
+    if req in MXU_BACKENDS:
         sub = _MXU_SUB8 if req.endswith("8") else _MXU_SUB
         if mxu_fits(k, L, canonical, mask_ambiguous, sub=sub,
-                    shared=req.startswith("mxus")):
+                    shared=req.startswith("mxus"),
+                    block_lanes=block_lanes):
             return req
         return "doubling" if base else None
     if req in ("doubling", "slicesum"):
@@ -197,14 +203,17 @@ def select_fused_extract(k: int, L: int, canonical: bool,
         # W=2 with a residual word (k=17..31): per-chunk mxu (2 bands/
         # strand already; the shared tables measured parity-to-slightly-
         # behind here, r4 sweeps)
-        return ("mxu" if mxu_fits(k, L, canonical, mask_ambiguous)
+        return ("mxu" if mxu_fits(k, L, canonical, mask_ambiguous,
+                                  block_lanes=block_lanes)
                 else "doubling")
     # wide keys (k>=33) and the s==0 widths (k=16/32/48): SHARED-BAND
     # extraction — one rolling-value band per strand instead of n_sub,
     # measured ~15% over per-chunk mxu at k=45 (r4 sweeps)
-    if mxu_fits(k, L, canonical, mask_ambiguous, shared=True):
+    if mxu_fits(k, L, canonical, mask_ambiguous, shared=True,
+                block_lanes=block_lanes):
         return "mxus"
-    if mxu_fits(k, L, canonical, mask_ambiguous):
+    if mxu_fits(k, L, canonical, mask_ambiguous,
+                block_lanes=block_lanes):
         return "mxu"
     return None
 
@@ -696,6 +705,10 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
     W = words_per_key(k)
     extract_algo = extract or os.environ.get("KMER_TPU_FUSED_EXTRACT",
                                              "auto")
+    # the tile override must resolve BEFORE backend selection so the
+    # fits-guard budgets the tile the kernel will actually allocate
+    block_lanes = int(os.environ.get("KMER_TPU_FUSED_BL",
+                                     str(block_lanes)))
     if positions is not None:
         # spaced seeds exist only in the per-chunk banded-matmul
         # formulation (doubling/slicesum assume contiguous windows;
@@ -704,7 +717,8 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
             extract_algo = "mxu"
     elif extract_algo == "auto":
         extract_algo = select_fused_extract(k, L, canonical,
-                                            mask_ambiguous)
+                                            mask_ambiguous,
+                                            block_lanes=block_lanes)
         if extract_algo is None:
             raise ValueError(
                 f"no fused extraction backend fits (k={k}, L={L}); "
@@ -715,9 +729,6 @@ def fused_extract_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
         assert W <= 2 and 2 * k != 32, (k, "use the untransposed path")
     P_pad = -(-P // seg) * seg
     L_pad = P_pad + span - 1
-    # env override for tile-size experiments (KMER_TPU_FUSED_BL)
-    block_lanes = int(os.environ.get("KMER_TPU_FUSED_BL",
-                                     str(block_lanes)))
     # small batches: shrink the lane block to the 128-lane tile multiple
     # covering B instead of padding way past it
     block_lanes = min(block_lanes, -(-B // 128) * 128)

@@ -177,8 +177,9 @@ def pairs_eligible(cfg) -> bool:
         nb = cfg.l_len + cfg.r_len
         return (max(cfg.l_len, cfg.r_len) <= 31 and (2 * nb) % 32 != 0
                 and cfg.max_read_len >= cfg.c_min)
+    from ..ops.pallas.fused_extract import MXU_BACKENDS
     mxu = os.environ.get("KMER_TPU_FUSED_EXTRACT", "auto") in (
-        "auto", "mxu", "mxu8", "mxus", "mxus8")
+        ("auto",) + MXU_BACKENDS)
     return ((words_per_key(cfg.k) <= 2 and 2 * cfg.k != 32)
             or (mxu and cfg.k <= 63))
 

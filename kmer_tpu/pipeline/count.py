@@ -584,34 +584,13 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     from ..io.fasta import iter_parse_chunks
     cfg = (cfg or KmerConfig()).replace(**cfg_kw) if cfg_kw else (cfg or KmerConfig())
     n_bases = cfg.n_bases
-    table: KmerTable | None = None
     seen_any = False
-    # per-chunk tables are BUFFERED and bulk-merged (one vectorized
-    # sort over all parts) instead of pairwise-merged per chunk —
-    # re-sorting the growing table every chunk is O(chunks^2) overall;
-    # the flush threshold bounds buffered pairs like count_codes does
-    parts: list[KmerTable] = []
-    buffered = 0
-    flush_pairs = 8 << 20
-
-    def flush() -> None:
-        nonlocal parts, buffered, table, flush_pairs
-        if parts:
-            if table is None and len(parts) == 1:
-                table = parts[0]        # single-chunk fast path: no re-sort
-            else:
-                allp = ([table] if table is not None else []) + parts
-                n_in = sum(len(t.counts) for t in allp)
-                table = KmerTable.from_pairs(
-                    n_bases,
-                    np.concatenate([t.keys for t in allp], axis=0),
-                    np.concatenate([t.counts for t in allp]))
-                if table.num_distinct > 0.75 * n_in:
-                    # non-compacting merge: frees no memory, so back
-                    # off hard (same schedule as count_codes)
-                    flush_pairs *= 4
-            parts = []
-        buffered = 0
+    # per-chunk tables ride the shared buffered-flush schedule
+    # (pipeline.table.TableAccumulator: bulk from_pairs merges with x4
+    # backoff) — pairwise-merging the growing table per chunk is
+    # O(chunks^2) overall
+    from .table import TableAccumulator
+    acc = TableAccumulator(n_bases)
 
     from ..utils.stats import prefetch_iter
     for p in paths:
@@ -627,18 +606,10 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
             chunks = [(codes, offsets, -1)]
         for codes, offsets, _cur in chunks:
             seen_any = True
-            part = count_codes(codes, offsets, cfg)
-            parts.append(part)
-            buffered += part.num_distinct
-            if buffered >= flush_pairs:
-                flush()
-    flush()
-    if table is None:
+            acc.add(count_codes(codes, offsets, cfg))
+    if not seen_any:
         # empty input: run one empty pass so dense mode still yields a
         # (possibly empty) table of the right shape
-        if not seen_any:
-            empty = count_codes(np.empty(0, np.uint8),
-                                np.zeros(1, np.int64), cfg)
-            return empty
-        return KmerTable.empty(n_bases)
-    return table
+        return count_codes(np.empty(0, np.uint8),
+                           np.zeros(1, np.int64), cfg)
+    return acc.result()

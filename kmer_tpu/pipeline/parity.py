@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import KmerConfig
-from ..io.fasta import iter_batches, parse_fasta
+from ..io.fasta import iter_batches, parse_seqs
 from ..ops.count import sort_words
 from ..ops.encode import decode_key_words_to_lines
 from ..ops.extract import SENTINEL, gapped_lanes
@@ -56,7 +56,10 @@ def parity_dump(path: str, cfg: KmerConfig | None = None) -> bytes:
     if not cfg.gapped:
         cfg = cfg.replace(gapped=True)
     parts: list[np.ndarray] = []
-    codes, offsets = parse_fasta(path)
+    # parse_seqs (auto-detecting), the SAME parser parity_dump_stream's
+    # chunked ingest uses — the two modes of the `parity` command must
+    # accept identical inputs
+    codes, offsets = parse_seqs(path)
     pending = None
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
                               max_len=cfg.max_read_len, overlap=cfg.overlap):

@@ -36,6 +36,16 @@ def check(name, cond):
 
 
 def main():
+    # the artifact must pin the DEFAULT paths: a pre-set override (e.g.
+    # KMER_TPU_COUNTS_DTYPE=i32) would make the default-vs-escape-hatch
+    # checks vacuous while the artifact claims hardware verification
+    for var in ("KMER_TPU_COUNTS_DTYPE", "KMER_TPU_FUSED_EXTRACT",
+                "KMER_TPU_STEP", "KMER_TPU_FUSED_ALGO",
+                "KMER_TPU_FUSED_BL", "KMER_TPU_T_M",
+                "KMER_TPU_GAPPED_STEP", "KMER_TPU_MULTIHOST_STEP"):
+        if var in os.environ:
+            sys.exit(f"refusing to run with {var} set — unset it so the "
+                     f"evidence artifact reflects the defaults")
     import jax
     print(f"# device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 

@@ -70,6 +70,8 @@ if os.environ.get("AB_PAIR"):
 
 
 def time_block(step, s, iters):
+    if iters <= 0:                  # AB_REWARM=0 disables re-warm
+        return 0.0, s
     t0 = time.perf_counter()
     for _ in range(iters):
         s = step(s)
