@@ -1,0 +1,208 @@
+// aggregate.cpp — multithreaded host aggregation of (key, count) pairs
+// into a sorted unique table: the native core behind
+// kmer_tpu.pipeline.table.KmerTable.from_pairs (see nativeagg.py).
+//
+// The reference's whole hot path is a single-threaded std sort of
+// 54-char strings (/root/reference/k-mer-count/src/main.rs:87); here
+// keys are packed 2-bit-code integers and the host aggregation is a
+// bucket-parallel sort + run-length reduce so the host merge keeps up
+// with the device pipeline on many-core production hosts (the numpy
+// argsort/lexsort core is single-threaded).
+//
+// Contract (extern "C" aggregate_pairs):
+//   keys:     (n, nw) uint64, C-contiguous, most-significant word
+//             FIRST.  nw == 1 or 2 — 2 gives 128-bit keys, which covers
+//             every supported k (k <= 63 -> <= 126 key bits).
+//   counts:   (n,) int64
+//   out_keys / out_counts: caller-allocated, capacity n rows
+//   returns   m = number of unique keys (m <= n), or
+//             -1 bad arguments / -2 allocation failure
+//
+// Output is ascending lexicographic by (word0, word1) with counts of
+// equal keys summed in int64 — bit-identical to the numpy path
+// (integer addition is order-independent, so thread scheduling cannot
+// change the result).
+//
+// Algorithm: one parallel max pass finds the top 8 *significant* bits
+// of the key range (DNA keys occupy only the low 2k bits, so a fixed
+// top-byte MSD partition would degenerate to one bucket); keys are
+// scattered into <= 256 range-ordered buckets (parallel histogram +
+// per-(thread,bucket) cursors), each bucket is sorted and run-reduced
+// independently (dynamic work queue), and the per-bucket unique runs
+// are prefix-summed and copied out in parallel.  Bucket order ==
+// global key order, so no final merge is needed.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Pair {            // one (key, count) record; 128-bit key as hi:lo
+    uint64_t hi, lo;
+    int64_t c;
+};
+
+inline bool pair_lt(const Pair& a, const Pair& b) {
+    return a.hi != b.hi ? a.hi < b.hi : a.lo < b.lo;
+}
+inline bool key_eq(const Pair& a, const Pair& b) {
+    return a.hi == b.hi && a.lo == b.lo;
+}
+
+inline int bit_width_u64(uint64_t x) {
+    return x ? 64 - __builtin_clzll(x) : 0;
+}
+
+template <class F>
+void run_threads(int nt, F fn) {
+    if (nt <= 1) { fn(0); return; }
+    std::vector<std::thread> th;
+    th.reserve(nt);
+    for (int t = 0; t < nt; ++t) th.emplace_back(fn, t);
+    for (auto& x : th) x.join();
+}
+
+// read record i of the caller's (n, nw) MS-first key matrix
+inline void load_key(const uint64_t* keys, int nw, int64_t i,
+                     uint64_t& hi, uint64_t& lo) {
+    if (nw == 1) { hi = 0; lo = keys[i]; }
+    else         { hi = keys[2 * i]; lo = keys[2 * i + 1]; }
+}
+
+// top-8-significant-bits bucket of a 128-bit key, given the shift
+// derived from the global max (bucket < 256; ascending bucket ==
+// ascending key because it is a plain right shift of the key)
+inline uint32_t bucket_of(uint64_t hi, uint64_t lo, int shift) {
+    if (shift == 0) return static_cast<uint32_t>(lo);        // max < 256
+    if (shift >= 64) return static_cast<uint32_t>(hi >> (shift - 64));
+    return static_cast<uint32_t>((hi << (64 - shift)) | (lo >> shift));
+}
+
+constexpr int NB = 256;      // buckets
+
+int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
+                  int nw, int nt, uint64_t* out_keys, int64_t* out_counts) {
+    // slice bounds for thread t
+    auto lo_of = [&](int t) { return n * t / nt; };
+    auto hi_of = [&](int t) { return n * (t + 1) / nt; };
+
+    // ---- pass A: global max key (sets the bucket shift) ----
+    std::vector<uint64_t> mx_hi(nt, 0), mx_lo(nt, 0);
+    run_threads(nt, [&](int t) {
+        uint64_t mh = 0, ml = 0;
+        for (int64_t i = lo_of(t); i < hi_of(t); ++i) {
+            uint64_t h, l;
+            load_key(keys, nw, i, h, l);
+            if (h > mh || (h == mh && l > ml)) { mh = h; ml = l; }
+        }
+        mx_hi[t] = mh; mx_lo[t] = ml;
+    });
+    uint64_t mh = 0, ml = 0;
+    for (int t = 0; t < nt; ++t)
+        if (mx_hi[t] > mh || (mx_hi[t] == mh && mx_lo[t] > ml)) {
+            mh = mx_hi[t]; ml = mx_lo[t];
+        }
+    const int width = mh ? 64 + bit_width_u64(mh) : bit_width_u64(ml);
+    const int shift = width > 8 ? width - 8 : 0;
+
+    // ---- pass B: per-thread bucket histograms ----
+    std::vector<int64_t> hist(static_cast<size_t>(nt) * NB, 0);
+    run_threads(nt, [&](int t) {
+        int64_t* h = hist.data() + static_cast<size_t>(t) * NB;
+        for (int64_t i = lo_of(t); i < hi_of(t); ++i) {
+            uint64_t kh, kl;
+            load_key(keys, nw, i, kh, kl);
+            h[bucket_of(kh, kl, shift)]++;
+        }
+    });
+
+    // bucket starts + per-(thread,bucket) write cursors: thread t's
+    // records of bucket b land after threads < t's, so the scatter is
+    // race-free without atomics (input order inside a bucket is
+    // irrelevant — the bucket gets sorted)
+    std::vector<int64_t> bstart(NB + 1, 0);
+    std::vector<int64_t> cur(static_cast<size_t>(nt) * NB);
+    {
+        int64_t acc = 0;
+        for (int b = 0; b < NB; ++b) {
+            bstart[b] = acc;
+            for (int t = 0; t < nt; ++t) {
+                cur[static_cast<size_t>(t) * NB + b] = acc;
+                acc += hist[static_cast<size_t>(t) * NB + b];
+            }
+        }
+        bstart[NB] = acc;     // == n
+    }
+
+    // ---- pass C: scatter into bucket-contiguous records ----
+    std::vector<Pair> buf(static_cast<size_t>(n));
+    run_threads(nt, [&](int t) {
+        int64_t* c = cur.data() + static_cast<size_t>(t) * NB;
+        for (int64_t i = lo_of(t); i < hi_of(t); ++i) {
+            uint64_t kh, kl;
+            load_key(keys, nw, i, kh, kl);
+            Pair& p = buf[c[bucket_of(kh, kl, shift)]++];
+            p.hi = kh; p.lo = kl; p.c = counts[i];
+        }
+    });
+
+    // ---- pass D: sort + run-reduce each bucket (dynamic queue) ----
+    std::vector<int64_t> uniq(NB, 0);
+    std::atomic<int> next(0);
+    run_threads(nt, [&](int) {
+        for (;;) {
+            const int b = next.fetch_add(1);
+            if (b >= NB) return;
+            const int64_t s = bstart[b], e = bstart[b + 1];
+            if (s == e) continue;
+            std::sort(buf.begin() + s, buf.begin() + e, pair_lt);
+            int64_t w = s;
+            for (int64_t i = s + 1; i < e; ++i) {
+                if (key_eq(buf[i], buf[w])) buf[w].c += buf[i].c;
+                else buf[++w] = buf[i];
+            }
+            uniq[b] = w - s + 1;
+        }
+    });
+
+    // ---- pass E: prefix out offsets, parallel copy-out ----
+    std::vector<int64_t> ostart(NB + 1, 0);
+    for (int b = 0; b < NB; ++b) ostart[b + 1] = ostart[b] + uniq[b];
+    run_threads(nt, [&](int t) {
+        for (int b = t; b < NB; b += nt) {
+            const int64_t s = bstart[b];
+            int64_t o = ostart[b];
+            for (int64_t i = 0; i < uniq[b]; ++i, ++o) {
+                const Pair& p = buf[s + i];
+                if (nw == 1) out_keys[o] = p.lo;
+                else { out_keys[2 * o] = p.hi; out_keys[2 * o + 1] = p.lo; }
+                out_counts[o] = p.c;
+            }
+        }
+    });
+    return ostart[NB];
+}
+
+}  // namespace
+
+extern "C" int64_t aggregate_pairs(const uint64_t* keys,
+                                   const int64_t* counts, int64_t n, int nw,
+                                   int n_threads, uint64_t* out_keys,
+                                   int64_t* out_counts) {
+    if (n < 0 || (nw != 1 && nw != 2)) return -1;
+    if (n == 0) return 0;
+    int nt = n_threads < 1 ? 1 : (n_threads > 64 ? 64 : n_threads);
+    // don't spin threads that would each see < ~64k records
+    const int64_t per = 64 * 1024;
+    if (n / per + 1 < nt) nt = static_cast<int>(n / per + 1);
+    try {
+        return aggregate(keys, counts, n, nw, nt, out_keys, out_counts);
+    } catch (const std::bad_alloc&) {
+        return -2;
+    }
+}

@@ -1,0 +1,123 @@
+"""Native multithreaded (key, count) pair aggregation binding.
+
+`KmerTable.from_pairs` is the single choke point every host merge
+funnels through (per-batch compaction, buffered flushes, streaming
+partition counts, multihost partials).  Its numpy core — one argsort /
+lexsort + reduceat — is single-threaded; on a many-core production host
+the device pipeline (~30 B kmers/s) outruns it by orders of magnitude.
+This binding routes large batches through a C++ bucket-parallel
+sort-reduce (native/aggregate.cpp), auto-built with g++ on first use
+like io.fasta's parser; the numpy path remains both the fallback and
+the small-batch fast path.
+
+The native output is bit-identical to numpy's (sorted unique keys;
+int64 count sums are order-independent), pinned by
+tests/test_native_agg.py across widths, duplicate ratios, and edge
+keys.
+
+Env:
+  KMER_TPU_NATIVE_AGG   = 0 (disable) | 1 (force, any size) | auto
+  KMER_TPU_AGG_THREADS  = thread count (default: min(cpu_count, 16))
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO_PATH = os.path.join(_DIR, "libkmer_agg.so")
+_lib = None
+_lib_failed = False
+
+# below this the single-threaded numpy path wins (thread spin-up +
+# ctypes marshalling overhead; measured crossover is well under 64k —
+# see scripts/host_merge_bench.py)
+MIN_N = 1 << 16
+
+
+def _load():
+    """Load (building if needed) the native aggregator; None if
+    unavailable (no g++ / build failure) — callers fall back to numpy."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        src = os.path.join(_DIR, "aggregate.cpp")
+        stale = (not os.path.exists(_SO_PATH)
+                 or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
+        if stale:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+                 "-shared", "-o", _SO_PATH, src],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.aggregate_pairs.restype = ctypes.c_int64
+        lib.aggregate_pairs.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+    except Exception:
+        _lib_failed = True
+        _lib = None
+    return _lib
+
+
+def _threads() -> int:
+    env = os.environ.get("KMER_TPU_AGG_THREADS")
+    if env:
+        return max(1, int(env))
+    return min(os.cpu_count() or 1, 16)
+
+
+def aggregate_fused(fused_ls: list[np.ndarray],
+                    counts: np.ndarray) -> tuple[list[np.ndarray],
+                                                 np.ndarray] | None:
+    """Aggregate from_pairs' fused-u64 representation natively.
+
+    fused_ls: 1 or 2 uint64 columns, LEAST-significant first (exactly
+    the `fused` list from_pairs builds); counts: (n,) int64.
+    Returns (cols_ms, counts) — unique keys ascending, columns
+    MOST-significant first — or None when the native path is off,
+    unavailable, not worth it (n < MIN_N), or the key is wider than
+    128 bits (never happens for k <= 63).
+    """
+    mode = os.environ.get("KMER_TPU_NATIVE_AGG", "auto")
+    if mode == "0" or len(fused_ls) > 2:
+        return None
+    n = len(counts)
+    if mode != "1" and n < MIN_N:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    nw = len(fused_ls)
+    if nw == 1:
+        keys = np.ascontiguousarray(fused_ls[0], np.uint64)
+    else:
+        keys = np.empty((n, 2), np.uint64)
+        keys[:, 0] = fused_ls[1]       # MS word first for the C side
+        keys[:, 1] = fused_ls[0]
+    counts = np.ascontiguousarray(counts, np.int64)
+    out_k = np.empty_like(keys).reshape(n, nw)
+    out_c = np.empty(n, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    m = lib.aggregate_pairs(
+        keys.ctypes.data_as(u64p), counts.ctypes.data_as(i64p),
+        n, nw, _threads(),
+        out_k.ctypes.data_as(u64p), out_c.ctypes.data_as(i64p))
+    if m < 0:
+        # -1/-2 (bad args / OOM): let numpy try — it may still fit,
+        # and a wrong-shape bug shows up as a test diff, not silence
+        return None
+    # copy the live prefix so the n-row scratch isn't pinned by a view
+    out_k = out_k[:m].copy()
+    out_c = out_c[:m].copy()
+    if nw == 1:
+        return [out_k.reshape(-1)], out_c
+    return [out_k[:, 0], out_k[:, 1]], out_c

@@ -23,6 +23,37 @@ def _void_view(keys: np.ndarray) -> np.ndarray:
     return be.view(np.dtype((np.void, be.shape[1] * 4))).reshape(-1)
 
 
+def _unfuse_ms(cols_ms: list[np.ndarray], W: int) -> np.ndarray:
+    """Split 1-2 fused uint64 columns (MOST-significant first, the
+    native aggregator's output layout) back into (M, W) uint32 std key
+    words — the inverse of from_pairs' fusing."""
+    M = len(cols_ms[0])
+    if W == 1:
+        return cols_ms[0].astype(np.uint32).reshape(-1, 1)
+    if W == 2:
+        if sys.byteorder == "little":
+            # same rotate + reinterpret as the numpy path: one
+            # contiguous pass instead of two strided column stores
+            rot = ((cols_ms[0] >> np.uint64(32))
+                   | (cols_ms[0] << np.uint64(32)))
+            return np.ascontiguousarray(rot.view(np.uint32).reshape(-1, 2))
+        kb = np.empty((M, 2), np.uint32)
+        kb[:, 0] = cols_ms[0] >> np.uint64(32)
+        kb[:, 1] = cols_ms[0].astype(np.uint32)
+        return kb
+    kb = np.empty((M, W), np.uint32)
+    if W == 3:           # cols = [w0, w1:w2]
+        kb[:, 0] = cols_ms[0].astype(np.uint32)
+        kb[:, 1] = cols_ms[1] >> np.uint64(32)
+        kb[:, 2] = cols_ms[1].astype(np.uint32)
+    else:                # W == 4: cols = [w0:w1, w2:w3]
+        kb[:, 0] = cols_ms[0] >> np.uint64(32)
+        kb[:, 1] = cols_ms[0].astype(np.uint32)
+        kb[:, 2] = cols_ms[1] >> np.uint64(32)
+        kb[:, 3] = cols_ms[1].astype(np.uint32)
+    return kb
+
+
 def _unpack_repacked_np(rw: list[np.ndarray], n_bases: int) -> list[np.ndarray]:
     """Host mirror of ops.count.unpack_words for LIVE lanes only:
     repacked sort-layout words (32 key bits per word 0..W-2, the s
@@ -165,6 +196,15 @@ class KmerTable:
                               << np.uint64(32)) | keys[:, j + 1])
         if W % 2:
             fused.append(keys[:, 0].astype(np.uint64))
+        if len(fused) <= 2:
+            # large batches: bucket-parallel native sort-reduce
+            # (pipeline/nativeagg.py); None -> numpy below.  Covers
+            # every supported k (<= 63 -> <= 2 fused columns).
+            from .nativeagg import aggregate_fused
+            nat = aggregate_fused(fused, counts)
+            if nat is not None:
+                cols_ms, merged_counts = nat
+                return KmerTable(k, _unfuse_ms(cols_ms, W), merged_counts)
         if len(fused) == 1:
             order = np.argsort(fused[0])         # unstable is fine
             fs = fused[0][order]
