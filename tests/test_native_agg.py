@@ -135,3 +135,25 @@ def test_thread_counts_identical(monkeypatch):
     monkeypatch.setenv("KMER_TPU_AGG_THREADS", "7")
     b = KmerTable.from_pairs(21, keys, counts)
     assert a == b
+
+
+def test_pipeline_end_to_end_forced_native(monkeypatch):
+    """Full count_codes pipeline with the native aggregator forced ==
+    numpy-only run (integration: per-batch compaction + flush merges
+    all route through the same from_pairs)."""
+    from kmer_tpu.config import KmerConfig
+    from kmer_tpu.pipeline.count import count_codes
+
+    rng = np.random.default_rng(5)
+    n_reads, read_len = 64, 120
+    codes = rng.integers(0, 4, n_reads * read_len, dtype=np.uint8)
+    offsets = np.arange(0, (n_reads + 1) * read_len, read_len,
+                        dtype=np.int64)
+    cfg = KmerConfig(k=21, canonical=True, batch_reads=16,
+                     max_read_len=128)
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "0")
+    ref = count_codes(codes.copy(), offsets.copy(), cfg)
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "1")
+    nat = count_codes(codes.copy(), offsets.copy(), cfg)
+    assert ref == nat
+    assert ref.total == n_reads * (read_len - 21 + 1)
