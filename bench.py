@@ -218,6 +218,25 @@ def main():
     log(f"gapped 27+27 c80..140: {dtg * 1e3:.2f} ms/step, "
         f"{gap_rate / 1e9:.2f} B chunks/s")
 
+    # host-merge metric (r4): the from_pairs choke point at the flush-
+    # merge shape — native bucket-parallel aggregator vs this host's
+    # core count (pure host; scales with cores on production machines)
+    from kmer_tpu.pipeline.table import KmerTable
+    hm_n = 8 << 20
+    hm_keys = np.asarray(rng.integers(0, 2 ** 32, (hm_n, 2)),
+                         dtype=np.uint32)
+    hm_keys[:, 0] &= (1 << 10) - 1          # k=21 key-bit range
+    hm_keys = hm_keys[rng.integers(0, hm_n // 2, hm_n)]   # ~2x dups
+    hm_counts = np.ones(hm_n, np.int64)
+    hm_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        KmerTable.from_pairs(K, hm_keys, hm_counts)
+        hm_best = min(hm_best, time.perf_counter() - t0)
+    hm_rate = hm_n / hm_best
+    log(f"host merge (from_pairs, {hm_n >> 20} M pairs): "
+        f"{hm_best * 1e3:.0f} ms = {hm_rate / 1e6:.1f} M pairs/s")
+
     # end-to-end corpus run (VERDICT r3 #5): ingest -> H2D -> device
     # steps -> D2H -> host merge, recorded per round next to the
     # device-step headline.  CAVEAT (docs/DESIGN.md "Host pipeline and
@@ -284,6 +303,8 @@ def main():
         "kmers_per_sec_k45": round(k45_rate),
         # the reference's own gapped workload (sorted 54-mer chunks)
         "gapped_chunks_per_sec": round(gap_rate),
+        # host merge choke point (native aggregator; scales with cores)
+        "host_merge_pairs_per_sec": round(hm_rate),
         # full-pipeline corpus run (ingest -> H2D -> step -> D2H ->
         # host merge); tunnel-bound on this rig, see DESIGN
         "end_to_end": e2e,

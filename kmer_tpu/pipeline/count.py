@@ -373,14 +373,24 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # same either way):
     #   k <= 8   — device-resident table via the MXU one-hot histogram
     #              kernel (4^k MACs/key is cheap here);
-    #   k = 9..12 — "hybrid": the device runs the grouped sort-count
+    #   k = 9..12 — link-aware split (scripts/dense_scatter_ab.py, r4):
+    #     fast link ("hybrid"): the device runs the grouped sort-count
     #              fast path (single-word keys) and the HOST accumulates
     #              the dense table with one vectorized np.add.at per
-    #              batch, overlapped with the device pipeline.  A device
-    #              scatter-add is ~100x slower on TPU and the MXU
-    #              outer-product cost scales as 4^k/key — sort+host-add
-    #              is the hardware-shaped answer (VERDICT r1 #5).
-    dense_hybrid = mode == "dense" and cfg.k > 8
+    #              batch, overlapped with the device pipeline (a device
+    #              scatter-add costs a flat ~10 ns/lane on v5e — ~100x
+    #              the fused step — and the MXU outer-product cost
+    #              scales as 4^k/key, so sort+host-add is the
+    #              hardware-shaped answer behind PCIe, VERDICT r1 #5);
+    #     slow link (< ~0.5 GB/s, utils.linkspeed.dense_scatter_ok):
+    #              the scatter's 10 ns/lane undercuts the hybrid's
+    #              5 B/lane per-batch readback — accumulate ON DEVICE
+    #              (count_step_dense scatter path, zero per-batch D2H).
+    dense_scatter = mode == "dense" and cfg.k > 8
+    if dense_scatter:
+        from ..utils.linkspeed import dense_scatter_ok
+        dense_scatter = dense_scatter_ok()
+    dense_hybrid = mode == "dense" and cfg.k > 8 and not dense_scatter
     hist = (jnp.zeros((4 ** cfg.k,), jnp.int32)
             if mode == "dense" and not dense_hybrid else None)
     # the device histogram is int32; drain it to a host int64 table

@@ -64,3 +64,25 @@ def dense_auto_ok() -> bool:
     thr = float(os.environ.get("KMER_TPU_DENSE_LINK_GBPS",
                                DENSE_BREAKEVEN_GBPS))
     return d2h_gbps() < thr
+
+
+# dense k=9..12: a device XLA scatter-add costs a flat ~10 ns/lane on
+# v5e at 4^12 bins — independent of index sortedness, uniqueness hints,
+# or pre-aggregation (scripts/dense_scatter_ab.py, r4) — while the
+# hybrid's per-batch readback costs 5 B/lane (u32 key + i8 count).
+# Equal cost at 5 B / 10.2 ns ~= 0.49 GB/s.
+SCATTER_BREAKEVEN_GBPS = 0.49
+
+
+def dense_scatter_ok() -> bool:
+    """dense k=9..12 policy: accumulate the 4^k table ON DEVICE via
+    scatter-add (zero per-batch D2H) only when the link is slower than
+    the measured scatter/readback crossover; otherwise the hybrid
+    (device sort-count + host np.add.at) wins.  KMER_TPU_DENSE_SCATTER
+    forces (1) or disables (0)."""
+    env = os.environ.get("KMER_TPU_DENSE_SCATTER")
+    if env in ("0", "1"):
+        return env == "1"
+    thr = float(os.environ.get("KMER_TPU_SCATTER_LINK_GBPS",
+                               SCATTER_BREAKEVEN_GBPS))
+    return d2h_gbps() < thr

@@ -227,6 +227,32 @@ def main():
         finally:
             del os.environ["KMER_TPU_COUNTS_DTYPE"]
 
+        # 18. device-scatter dense accumulate (slow-link k=9..12 path,
+        # r4) on real Mosaic/XLA-TPU: zero per-batch D2H, one 4^k
+        # readback
+        os.environ["KMER_TPU_DENSE_SCATTER"] = "1"
+        try:
+            cfg_ds = KmerConfig(k=10, mode="dense", batch_reads=8192,
+                                max_read_len=150)
+            t_ds = count_fasta(corpus, cfg_ds)
+            want_ds = dict(oracle.oracle_count(seqs, 10))
+            check("dense k=10 device scatter == oracle",
+                  t_ds.to_dict() == want_ds)
+        finally:
+            del os.environ["KMER_TPU_DENSE_SCATTER"]
+
+        # 19. the native host aggregator under real-TPU batch shapes
+        # (forced for any size): end-to-end table == numpy-only run
+        os.environ["KMER_TPU_NATIVE_AGG"] = "1"
+        try:
+            t_nat = count_fasta(corpus, cfg.replace(batch_reads=4096))
+            check("native host aggregator == numpy merge", t_nat == t)
+        finally:
+            os.environ["KMER_TPU_NATIVE_AGG"] = "0"
+            t_np = count_fasta(corpus, cfg.replace(batch_reads=2048))
+            del os.environ["KMER_TPU_NATIVE_AGG"]
+            check("numpy-forced merge == default", t_np == t)
+
     if len(sys.argv) > 1:
         import jax as _jax
         with open(sys.argv[1], "w") as f:

@@ -393,6 +393,28 @@ def test_dense_hybrid_k9_12(tmpdir, k):
     assert td.to_dict() == dict(want)
 
 
+@pytest.mark.parametrize("k", [9, 12])
+def test_dense_scatter_k9_12(tmpdir, monkeypatch, k):
+    """Dense k=9..12 on a SLOW link accumulates the 4^k table on
+    device (scatter-add, zero per-batch D2H) — must equal the hybrid,
+    sort mode, and the oracle (r4 dense_scatter_ab: scatter ~10 ns/lane
+    beats 5 B/lane readback below ~0.49 GB/s)."""
+    path = _write(tmpdir, random_reads_fasta(25, 48, seed=k), f"ds{k}.fasta")
+    cfg = KmerConfig(k=k, mode="dense", batch_reads=8, max_read_len=48)
+    monkeypatch.setenv("KMER_TPU_DENSE_SCATTER", "1")
+    t_scat = count_fasta(path, cfg)
+    monkeypatch.setenv("KMER_TPU_DENSE_SCATTER", "0")
+    t_hyb = count_fasta(path, cfg)
+    want = oracle.oracle_count(oracle.read_fasta_py(path), k)
+    assert t_scat == t_hyb
+    assert t_scat.to_dict() == dict(want)
+    # canonical through the scatter path too
+    monkeypatch.setenv("KMER_TPU_DENSE_SCATTER", "1")
+    c_scat = count_fasta(path, cfg.replace(canonical=True))
+    cw = oracle.oracle_count(oracle.read_fasta_py(path), k, canonical=True)
+    assert c_scat.to_dict() == dict(cw)
+
+
 @pytest.mark.parametrize("k", [11, 16, 21, 31])
 def test_compact_mode_matches(tmpdir, k):
     """On-device compaction (device returns only distinct records) must

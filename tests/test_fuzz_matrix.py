@@ -53,7 +53,14 @@ def test_fuzz_config_matrix(tmp_path, trial):
         max_read_len=int(rng.choice([max(k, 24), max(k, 40), 160])),
         ingest_chunk_bases=int(rng.choice([0, 97, 1 << 20])),
     )
-    table = count_fasta(str(p), cfg)
+    # ~half the trials force the native host aggregator (any size) so
+    # the matrix also fuzzes the C++ sort-reduce against the oracle
+    native = bool(rng.random() < 0.5)
+    os.environ["KMER_TPU_NATIVE_AGG"] = "1" if native else "0"
+    try:
+        table = count_fasta(str(p), cfg)
+    finally:
+        del os.environ["KMER_TPU_NATIVE_AGG"]
     want = oracle.oracle_count(reads, k, canonical=canonical,
                                skip_invalid=with_n)
     assert table.to_dict() == dict(want), cfg
