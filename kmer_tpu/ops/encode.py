@@ -119,6 +119,12 @@ def decode_key_words(words: np.ndarray, n_bases: int) -> list[str]:
 def decode_key_words_to_bytes(words: np.ndarray, n_bases: int) -> np.ndarray:
     """Batch-decode (M, W) key words into an (M,) |S{n_bases} array."""
     words = np.atleast_2d(np.asarray(words, dtype=np.uint32))
+    # native one-pass MT decode when available (pipeline/nativeagg —
+    # the numpy path below makes n_bases strided passes)
+    from ..pipeline.nativeagg import decode_rows
+    rows = decode_rows(words, n_bases, newline=False)
+    if rows is not None:
+        return rows.reshape(-1).view(f"S{n_bases}")
     codes = codes_from_key_words(words, n_bases)
     raw = np.ascontiguousarray(_CODE_TO_ASCII[codes]).tobytes()
     return np.frombuffer(raw, dtype=f"S{n_bases}")
@@ -132,6 +138,10 @@ def decode_key_words_to_lines(words: np.ndarray, n_bases: int) -> bytes:
     n_bases chars + '\\n', in input row order.
     """
     words = np.atleast_2d(np.asarray(words, dtype=np.uint32))
+    from ..pipeline.nativeagg import decode_rows
+    rows = decode_rows(words, n_bases, newline=True)
+    if rows is not None:
+        return rows.tobytes()
     codes = codes_from_key_words(words, n_bases)
     out = np.empty((codes.shape[0], n_bases + 1), dtype=np.uint8)
     out[:, :n_bases] = _CODE_TO_ASCII[codes]

@@ -206,3 +206,39 @@ extern "C" int64_t aggregate_pairs(const uint64_t* keys,
         return -2;
     }
 }
+
+// decode_lines — batch-decode (n, W) uint32 key words (std MS-first
+// layout, 2 bits/base) into ASCII rows of n_bases chars (+ optional
+// trailing '\n').  The host analog of the reference's stdout loop
+// (main.rs:88-90); replaces ops/encode's n_bases strided numpy passes
+// with one multithreaded pass over the rows (parity dump / TSV dump
+// hot path).  out must hold n * (n_bases + newline) bytes.
+extern "C" int decode_lines(const uint32_t* words, int64_t n, int w,
+                            int n_bases, int newline, int n_threads,
+                            uint8_t* out) {
+    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 32 * w) return -1;
+    if (n == 0) return 0;
+    // per-char source (word index, shift), hoisted out of the row loop
+    std::vector<int> wi(n_bases), sh(n_bases);
+    for (int j = 0; j < n_bases; ++j) {
+        const int bitpos = 2 * (n_bases - 1 - j);
+        wi[j] = w - 1 - bitpos / 32;
+        sh[j] = bitpos % 32;
+    }
+    static const uint8_t ACGT[4] = {'A', 'C', 'G', 'T'};
+    const int stride = n_bases + (newline ? 1 : 0);
+    int nt = n_threads < 1 ? 1 : (n_threads > 64 ? 64 : n_threads);
+    const int64_t per = 64 * 1024;
+    if (n / per + 1 < nt) nt = static_cast<int>(n / per + 1);
+    run_threads(nt, [&](int t) {
+        const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint32_t* row = words + static_cast<size_t>(i) * w;
+            uint8_t* o = out + static_cast<size_t>(i) * stride;
+            for (int j = 0; j < n_bases; ++j)
+                o[j] = ACGT[(row[wi[j]] >> sh[j]) & 3u];
+            if (newline) o[n_bases] = '\n';
+        }
+    });
+    return 0;
+}

@@ -60,6 +60,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64)]
+        lib.decode_lines.restype = ctypes.c_int
+        lib.decode_lines.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -121,3 +126,37 @@ def aggregate_fused(fused_ls: list[np.ndarray],
     if nw == 1:
         return [out_k.reshape(-1)], out_c
     return [out_k[:, 0], out_k[:, 1]], out_c
+
+
+# below this the numpy decode's fixed setup wins; measured crossover is
+# far lower — this just avoids ctypes overhead on tiny lookups
+DECODE_MIN_N = 1 << 12
+
+
+def decode_rows(words: np.ndarray, n_bases: int,
+                newline: bool) -> np.ndarray | None:
+    """Native batch decode of (n, W) uint32 std key words to an
+    (n, n_bases [+1]) uint8 ASCII array ('A'/'C'/'G'/'T', optional
+    trailing '\\n' per row) — the ops/encode decode hot path (parity
+    dump, TSV dump).  One multithreaded pass instead of n_bases strided
+    numpy passes.  Returns None when the native path is off/unavailable
+    or the batch is small (callers fall back to numpy)."""
+    mode = os.environ.get("KMER_TPU_NATIVE_AGG", "auto")
+    if mode == "0":
+        return None
+    n = len(words)
+    if mode != "1" and n < DECODE_MIN_N:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    stride = n_bases + (1 if newline else 0)
+    out = np.empty((n, stride), np.uint8)
+    rc = lib.decode_lines(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n, words.shape[1], n_bases, 1 if newline else 0, _threads(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        return None
+    return out

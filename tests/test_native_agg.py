@@ -157,3 +157,39 @@ def test_pipeline_end_to_end_forced_native(monkeypatch):
     nat = count_codes(codes.copy(), offsets.copy(), cfg)
     assert ref == nat
     assert ref.total == n_reads * (read_len - 21 + 1)
+
+
+@pytest.mark.parametrize("n_bases", [1, 8, 16, 21, 27, 32, 54, 63])
+@pytest.mark.parametrize("newline", [False, True])
+def test_decode_rows_matches_numpy(monkeypatch, n_bases, newline):
+    """Native one-pass decode == the numpy strided decode, byte-exact,
+    for every key width and both row formats (TSV cell / parity line)."""
+    from kmer_tpu.ops.encode import (decode_key_words_to_bytes,
+                                     decode_key_words_to_lines)
+    rng = np.random.default_rng(n_bases)
+    W = words_per_key(n_bases)
+    keys = rng.integers(0, 2 ** 32, (5_000, W), dtype=np.uint32)
+    used = 2 * n_bases - 32 * (W - 1)
+    if used < 32:
+        keys[:, 0] &= (1 << used) - 1
+    fn = decode_key_words_to_lines if newline else decode_key_words_to_bytes
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "0")
+    ref = fn(keys, n_bases)
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "1")
+    nat = fn(keys, n_bases)
+    if newline:
+        assert ref == nat
+    else:
+        assert np.array_equal(ref, nat)
+
+
+def test_decode_rows_known_values(monkeypatch):
+    """Pin the decode against hand-computed strings (A=0 C=1 G=2 T=3,
+    MS-first 2-bit layout)."""
+    from kmer_tpu.ops.encode import encode_seq, key_words_from_codes
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "1")
+    for s in ("ACGT", "TTTTTTTT", "AACCGGTTACGTACGTACGTA"):
+        key = key_words_from_codes(encode_seq(s)).reshape(1, -1)
+        got = nativeagg.decode_rows(key, len(s), newline=True)
+        assert got is not None
+        assert got.tobytes() == s.encode() + b"\n"
