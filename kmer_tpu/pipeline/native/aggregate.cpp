@@ -207,6 +207,77 @@ extern "C" int64_t aggregate_pairs(const uint64_t* keys,
     }
 }
 
+// format_tsv — render n table rows as "BASES\tCOUNT\n" ASCII in one
+// multithreaded pass (KmerTable.write_tsv's hot path: numpy's
+// np.char.mod b"%d" is a per-row printf).  Rows are variable-length
+// (count digits vary), so offsets are prefix-summed first and the fill
+// is embarrassingly parallel.  Returns total bytes written, or -1 on
+// bad arguments / insufficient out_cap.
+extern "C" int64_t format_tsv(const uint32_t* words, const int64_t* counts,
+                              int64_t n, int w, int n_bases,
+                              int n_threads, uint8_t* out,
+                              int64_t out_cap) {
+    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 32 * w) return -1;
+    if (n == 0) return 0;
+    int nt = n_threads < 1 ? 1 : (n_threads > 64 ? 64 : n_threads);
+    const int64_t per = 64 * 1024;
+    if (n / per + 1 < nt) nt = static_cast<int>(n / per + 1);
+
+    auto digits_of = [](int64_t v) -> int {
+        if (v < 0) return 20;           // '-' + up to 19 digits
+        int d = 1;
+        while (v >= 10) { v /= 10; ++d; }
+        return d;
+    };
+    try {
+        // pass 1: per-row byte offsets (parallel digit count, serial
+        // prefix — the prefix is a trivial fraction of the fill)
+        std::vector<int64_t> off(static_cast<size_t>(n) + 1, 0);
+        run_threads(nt, [&](int t) {
+            const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+            for (int64_t i = lo; i < hi; ++i)
+                off[i + 1] = n_bases + 1 + digits_of(counts[i]) + 1;
+        });
+        for (int64_t i = 0; i < n; ++i) off[i + 1] += off[i];
+        if (off[n] > out_cap) return -1;
+
+        std::vector<int> wi(n_bases), sh(n_bases);
+        for (int j = 0; j < n_bases; ++j) {
+            const int bitpos = 2 * (n_bases - 1 - j);
+            wi[j] = w - 1 - bitpos / 32;
+            sh[j] = bitpos % 32;
+        }
+        static const uint8_t ACGT[4] = {'A', 'C', 'G', 'T'};
+        run_threads(nt, [&](int t) {
+            const int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+            for (int64_t i = lo; i < hi; ++i) {
+                const uint32_t* row = words + static_cast<size_t>(i) * w;
+                uint8_t* o = out + off[i];
+                for (int j = 0; j < n_bases; ++j)
+                    o[j] = ACGT[(row[wi[j]] >> sh[j]) & 3u];
+                o += n_bases;
+                *o++ = '\t';
+                uint8_t* end = out + off[i + 1];
+                *(end - 1) = '\n';
+                // digits right-to-left into the pre-sized slot
+                int64_t v = counts[i];
+                uint8_t* d = end - 2;
+                if (v < 0) {
+                    uint64_t u = static_cast<uint64_t>(-(v + 1)) + 1;
+                    while (u >= 10) { *d-- = '0' + u % 10; u /= 10; }
+                    *d-- = '0' + static_cast<int>(u);
+                    *d = '-';
+                } else {
+                    do { *d-- = '0' + v % 10; v /= 10; } while (v);
+                }
+            }
+        });
+        return off[n];
+    } catch (const std::bad_alloc&) {
+        return -1;
+    }
+}
+
 // decode_lines — batch-decode (n, W) uint32 key words (std MS-first
 // layout, 2 bits/base) into ASCII rows of n_bases chars (+ optional
 // trailing '\n').  The host analog of the reference's stdout loop

@@ -65,6 +65,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
+        lib.format_tsv.restype = ctypes.c_int64
+        lib.format_tsv.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -160,3 +165,33 @@ def decode_rows(words: np.ndarray, n_bases: int,
     if rc != 0:
         return None
     return out
+
+
+def format_tsv_rows(words: np.ndarray, counts: np.ndarray,
+                    n_bases: int) -> bytes | None:
+    """Native "BASES\\tCOUNT\\n" rendering of table rows (the
+    KmerTable.write_tsv hot path; numpy's per-row %d printf is ~1-2 M
+    rows/s).  Returns the rendered bytes, or None (off/unavailable/
+    small batch) for the numpy fallback."""
+    mode = os.environ.get("KMER_TPU_NATIVE_AGG", "auto")
+    if mode == "0":
+        return None
+    n = len(counts)
+    if mode != "1" and n < DECODE_MIN_N:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, np.uint32)
+    counts = np.ascontiguousarray(counts, np.int64)
+    # worst case: bases + tab + sign + 19 digits + newline
+    cap = n * (n_bases + 22)
+    out = np.empty(cap, np.uint8)
+    total = lib.format_tsv(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, words.shape[1], n_bases, _threads(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if total < 0:
+        return None
+    return out[:total].tobytes()

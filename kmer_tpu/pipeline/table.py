@@ -99,18 +99,24 @@ class KmerTable:
 
     def write_tsv(self, stream, chunk: int = 1 << 20) -> None:
         """Vectorized TSV dump (a per-row Python loop costs minutes on
-        100M-distinct tables); works on text or binary streams."""
+        100M-distinct tables); works on text or binary streams.  Large
+        chunks render natively (one MT pass, pipeline/nativeagg
+        format_tsv_rows) — numpy's per-row %d printf is the fallback."""
         from ..ops.encode import decode_key_words_to_bytes
+        from .nativeagg import format_tsv_rows
         binary = not hasattr(stream, "encoding")
         for lo in range(0, self.num_distinct, chunk):
             hi = min(lo + chunk, self.num_distinct)
-            kmers = decode_key_words_to_bytes(self.keys[lo:hi], self.k)
-            counts = np.char.mod(b"%d", self.counts[lo:hi])
-            lines = (np.char.add(np.char.add(kmers, b"\t"),
-                                 np.char.add(counts, b"\n"))
-                     .tobytes())
-            # |S columns are padded with NULs; strip them
-            lines = lines.replace(b"\x00", b"")
+            lines = format_tsv_rows(self.keys[lo:hi], self.counts[lo:hi],
+                                    self.k)
+            if lines is None:
+                kmers = decode_key_words_to_bytes(self.keys[lo:hi], self.k)
+                counts = np.char.mod(b"%d", self.counts[lo:hi])
+                lines = (np.char.add(np.char.add(kmers, b"\t"),
+                                     np.char.add(counts, b"\n"))
+                         .tobytes())
+                # |S columns are padded with NULs; strip them
+                lines = lines.replace(b"\x00", b"")
             stream.write(lines if binary else lines.decode())
 
     @staticmethod

@@ -193,3 +193,23 @@ def test_decode_rows_known_values(monkeypatch):
         got = nativeagg.decode_rows(key, len(s), newline=True)
         assert got is not None
         assert got.tobytes() == s.encode() + b"\n"
+
+
+def test_format_tsv_matches_numpy(monkeypatch):
+    """Native TSV rendering == the numpy %d path, byte-exact, across
+    widths and count magnitudes (1-digit .. 2^62)."""
+    import io
+    rng = np.random.default_rng(17)
+    for k in (8, 21, 54, 63):
+        keys, _ = _rand_pairs(rng, k, 6_000, 6_000)
+        mags = rng.integers(0, 62, len(keys))
+        counts = (np.int64(1) << mags) + rng.integers(0, 9, len(keys))
+        t = KmerTable(k, keys, counts.astype(np.int64))
+        monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "0")
+        a = io.BytesIO(); t.write_tsv(a)
+        monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "1")
+        b = io.BytesIO(); t.write_tsv(b)
+        assert a.getvalue() == b.getvalue()
+        # text-stream route too
+        c = io.StringIO(); t.write_tsv(c)
+        assert c.getvalue().encode() == a.getvalue()
