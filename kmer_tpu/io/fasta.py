@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -35,15 +34,9 @@ def _load_native():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        src = os.path.join(_NATIVE_DIR, "fasta_pack.cpp")
-        stale = (not os.path.exists(_SO_PATH)
-                 or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
-        if stale:
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-                 "-shared", "-o", _SO_PATH, src, "-lz"],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO_PATH)
+        from ..utils.nativebuild import autobuild_cdll
+        lib = autobuild_cdll(os.path.join(_NATIVE_DIR, "fasta_pack.cpp"),
+                             _SO_PATH, extra_link=("-lz",))
         lib.fasta_scan.restype = ctypes.c_int
         lib.fasta_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_int,

@@ -36,6 +36,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <new>
 #include <thread>
 #include <vector>
@@ -140,7 +141,9 @@ int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
     }
 
     // ---- pass C: scatter into bucket-contiguous records ----
-    std::vector<Pair> buf(static_cast<size_t>(n));
+    // uninitialized storage: every slot is written here (a
+    // std::vector would serially zero-fill 24n bytes first)
+    std::unique_ptr<Pair[]> buf(new Pair[static_cast<size_t>(n)]);
     run_threads(nt, [&](int t) {
         int64_t* c = cur.data() + static_cast<size_t>(t) * NB;
         for (int64_t i = lo_of(t); i < hi_of(t); ++i) {
@@ -160,7 +163,7 @@ int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
             if (b >= NB) return;
             const int64_t s = bstart[b], e = bstart[b + 1];
             if (s == e) continue;
-            std::sort(buf.begin() + s, buf.begin() + e, pair_lt);
+            std::sort(buf.get() + s, buf.get() + e, pair_lt);
             int64_t w = s;
             for (int64_t i = s + 1; i < e; ++i) {
                 if (key_eq(buf[i], buf[w])) buf[w].c += buf[i].c;
@@ -217,16 +220,22 @@ extern "C" int64_t format_tsv(const uint32_t* words, const int64_t* counts,
                               int64_t n, int w, int n_bases,
                               int n_threads, uint8_t* out,
                               int64_t out_cap) {
-    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 32 * w) return -1;
+    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 16 * w) return -1;
     if (n == 0) return 0;
     int nt = n_threads < 1 ? 1 : (n_threads > 64 ? 64 : n_threads);
     const int64_t per = 64 * 1024;
     if (n / per + 1 < nt) nt = static_cast<int>(n / per + 1);
 
     auto digits_of = [](int64_t v) -> int {
-        if (v < 0) return 20;           // '-' + up to 19 digits
+        uint64_t u;
         int d = 1;
-        while (v >= 10) { v /= 10; ++d; }
+        if (v < 0) {                    // '-' + digits; INT64_MIN-safe
+            u = static_cast<uint64_t>(-(v + 1)) + 1;
+            d = 2;
+        } else {
+            u = static_cast<uint64_t>(v);
+        }
+        while (u >= 10) { u /= 10; ++d; }
         return d;
     };
     try {
@@ -287,7 +296,7 @@ extern "C" int64_t format_tsv(const uint32_t* words, const int64_t* counts,
 extern "C" int decode_lines(const uint32_t* words, int64_t n, int w,
                             int n_bases, int newline, int n_threads,
                             uint8_t* out) {
-    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 32 * w) return -1;
+    if (n < 0 || w < 1 || n_bases < 1 || n_bases > 16 * w) return -1;
     if (n == 0) return 0;
     // per-char source (word index, shift), hoisted out of the row loop
     std::vector<int> wi(n_bases), sh(n_bases);

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 
 import numpy as np
 
@@ -46,15 +45,8 @@ def _load():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        src = os.path.join(_DIR, "aggregate.cpp")
-        stale = (not os.path.exists(_SO_PATH)
-                 or os.path.getmtime(_SO_PATH) < os.path.getmtime(src))
-        if stale:
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-                 "-shared", "-o", _SO_PATH, src],
-                check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO_PATH)
+        from ..utils.nativebuild import autobuild_cdll
+        lib = autobuild_cdll(os.path.join(_DIR, "aggregate.cpp"), _SO_PATH)
         lib.aggregate_pairs.restype = ctypes.c_int64
         lib.aggregate_pairs.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
@@ -156,6 +148,10 @@ def decode_rows(words: np.ndarray, n_bases: int,
     if lib is None:
         return None
     words = np.ascontiguousarray(words, np.uint32)
+    if words.ndim != 2 or words.shape[1] != (2 * n_bases + 31) // 32:
+        # wrong-width caller: decline so the numpy path raises its
+        # words_per_key assertion instead of decoding garbage
+        return None
     stride = n_bases + (1 if newline else 0)
     out = np.empty((n, stride), np.uint8)
     rc = lib.decode_lines(
@@ -183,6 +179,8 @@ def format_tsv_rows(words: np.ndarray, counts: np.ndarray,
     if lib is None:
         return None
     words = np.ascontiguousarray(words, np.uint32)
+    if words.ndim != 2 or words.shape[1] != (2 * n_bases + 31) // 32:
+        return None                      # see decode_rows
     counts = np.ascontiguousarray(counts, np.int64)
     # worst case: bases + tab + sign + 19 digits + newline
     cap = n * (n_bases + 22)

@@ -1,0 +1,34 @@
+"""Shared auto-build loader for the native C++ libraries.
+
+Both native components — the ingest parser (io/native/fasta_pack.cpp)
+and the host aggregator/renderer (pipeline/native/aggregate.cpp) — ship
+as source and are compiled with g++ on first use, so the wheel carries
+no binary artifacts and a toolchain-less host falls back to the numpy
+paths.  This module is the single copy of the staleness check and build
+command (they previously drifted: -Wextra in the Makefiles but not the
+inline commands).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+CXXFLAGS = ["-O3", "-std=c++17", "-fPIC", "-Wall", "-Wextra", "-pthread"]
+
+
+def autobuild_cdll(src: str, so_path: str,
+                   extra_link: tuple[str, ...] = ()) -> ctypes.CDLL:
+    """Compile `src` to `so_path` if missing/stale and dlopen it.
+
+    Raises on any failure (missing g++, compile error, bad .so) —
+    callers latch the failure and fall back to their numpy path.
+    """
+    stale = (not os.path.exists(so_path)
+             or os.path.getmtime(so_path) < os.path.getmtime(src))
+    if stale:
+        subprocess.run(
+            ["g++", *CXXFLAGS, "-shared", "-o", so_path, src, *extra_link],
+            check=True, capture_output=True)
+    return ctypes.CDLL(so_path)

@@ -241,17 +241,22 @@ def main():
         finally:
             del os.environ["KMER_TPU_DENSE_SCATTER"]
 
-        # 19. the native host aggregator under real-TPU batch shapes
-        # (forced for any size): end-to-end table == numpy-only run
+        # 19-20. the native host aggregator under real-TPU batch shapes
+        # (forced for any size): end-to-end table == numpy-only run ==
+        # default.  No work in finally — an exception from the forced
+        # run must surface as ITS traceback, not be masked by a second
+        # count_fasta.
         os.environ["KMER_TPU_NATIVE_AGG"] = "1"
         try:
             t_nat = count_fasta(corpus, cfg.replace(batch_reads=4096))
-            check("native host aggregator == numpy merge", t_nat == t)
         finally:
             os.environ["KMER_TPU_NATIVE_AGG"] = "0"
+        check("native host aggregator == numpy merge", t_nat == t)
+        try:
             t_np = count_fasta(corpus, cfg.replace(batch_reads=2048))
+        finally:
             del os.environ["KMER_TPU_NATIVE_AGG"]
-            check("numpy-forced merge == default", t_np == t)
+        check("numpy-forced merge == default", t_np == t)
 
     if len(sys.argv) > 1:
         import jax as _jax

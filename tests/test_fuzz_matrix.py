@@ -3,8 +3,6 @@ must always match the pure-Python oracle — the cross-product of
 features (canonical, skip_invalid, compact, packed, grouping, chunked
 ingest, segmentation) is where unit tests miss interactions."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -26,7 +24,7 @@ def _random_corpus(rng, with_n=False):
 
 
 @pytest.mark.parametrize("trial", range(14))
-def test_fuzz_config_matrix(tmp_path, trial):
+def test_fuzz_config_matrix(tmp_path, monkeypatch, trial):
     rng = np.random.default_rng(1000 + trial)
     with_n = bool(rng.random() < 0.4)
     reads = _random_corpus(rng, with_n)
@@ -56,11 +54,8 @@ def test_fuzz_config_matrix(tmp_path, trial):
     # ~half the trials force the native host aggregator (any size) so
     # the matrix also fuzzes the C++ sort-reduce against the oracle
     native = bool(rng.random() < 0.5)
-    os.environ["KMER_TPU_NATIVE_AGG"] = "1" if native else "0"
-    try:
-        table = count_fasta(str(p), cfg)
-    finally:
-        del os.environ["KMER_TPU_NATIVE_AGG"]
+    monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "1" if native else "0")
+    table = count_fasta(str(p), cfg)
     want = oracle.oracle_count(reads, k, canonical=canonical,
                                skip_invalid=with_n)
     assert table.to_dict() == dict(want), cfg

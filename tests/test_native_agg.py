@@ -204,6 +204,9 @@ def test_format_tsv_matches_numpy(monkeypatch):
         keys, _ = _rand_pairs(rng, k, 6_000, 6_000)
         mags = rng.integers(0, 62, len(keys))
         counts = (np.int64(1) << mags) + rng.integers(0, 9, len(keys))
+        # negative counts can't come out of the pipeline, but the
+        # renderer must still match %d exactly (incl. int64 min)
+        counts[:4] = [-1, -5, np.iinfo(np.int64).min, -10**18]
         t = KmerTable(k, keys, counts.astype(np.int64))
         monkeypatch.setenv("KMER_TPU_NATIVE_AGG", "0")
         a = io.BytesIO(); t.write_tsv(a)
