@@ -49,12 +49,44 @@ def _decode_step(step_out, cfg: KmerConfig) -> np.ndarray:
 def parity_dump(path: str, cfg: KmerConfig | None = None) -> bytes:
     """Full sorted dump bytes for a FASTA file (reference stdout).
 
-    Device sort of batch i overlaps host decode of batch i-1 (the
-    decode lags one step behind the async dispatch).
+    Default path (r4): COUNT the gapped chunks with the production
+    gapped pipeline, then expand the sorted unique table back into
+    repeated lines — np.repeat(decode(keys), counts) IS the sorted
+    multiset dump (equal chunks are adjacent by construction;
+    main.rs:87's duplicates-retained sort guarantees nothing more).
+    This rides the fused gapped kernel instead of the full multiset
+    sort, makes D2H scale with per-batch distinct chunks under
+    --compact, decodes each distinct chunk once, and needs no host
+    string sort at all.  KMER_TPU_PARITY=multiset restores the direct
+    device multiset sort (the parity_dump_stream building block);
+    both are md5-pinned on sample.fasta (tests/test_parity.py,
+    tpu_check check 1).
     """
-    cfg = cfg or KmerConfig(gapped=True, batch_reads=256, max_read_len=512)
+    import os
+
+    if cfg is None:
+        import jax
+        # on TPU, on-device compaction makes the readback scale with
+        # distinct chunks; on the CPU backend the extra partition sort
+        # isn't worth it
+        cfg = KmerConfig(gapped=True, batch_reads=256, max_read_len=512,
+                         compact=jax.default_backend() == "tpu")
     if not cfg.gapped:
         cfg = cfg.replace(gapped=True)
+    if os.environ.get("KMER_TPU_PARITY") == "multiset":
+        return _parity_dump_multiset(path, cfg)
+    from .count import count_fasta
+    table = count_fasta(path, cfg)
+    n_chars = cfg.l_len + cfg.r_len
+    raw = decode_key_words_to_lines(table.keys, n_chars)
+    lines = np.frombuffer(raw, dtype=f"S{n_chars + 1}")
+    return np.repeat(lines, table.counts).tobytes()
+
+
+def _parity_dump_multiset(path: str, cfg: KmerConfig) -> bytes:
+    """Direct device multiset sort of every chunk (the pre-r4 default):
+    device sort of batch i overlaps host decode of batch i-1; per-batch
+    sorted dumps merge with one nearly-sorted host sort."""
     parts: list[np.ndarray] = []
     # parse_seqs (auto-detecting), the SAME parser parity_dump_stream's
     # chunked ingest uses — the two modes of the `parity` command must

@@ -113,3 +113,35 @@ def test_parity_cli_bounded(tmp_path, capsysbinary):
     assert main(["parity", str(fa), "--bounded", "--partitions", "5",
                  "--batch-reads", "8"]) == 0
     assert capsysbinary.readouterr().out == want
+
+
+def test_parity_multiset_path_identical(tmpdir, monkeypatch):
+    """The pre-r4 direct device multiset sort (KMER_TPU_PARITY=multiset)
+    stays byte-identical to the default count+expand path."""
+    text = reference_style_fasta(n_records=8, seed=9)
+    p = _write(tmpdir, text, "ms.fasta")
+    cfg = KmerConfig(gapped=True, batch_reads=3, max_read_len=512)
+    default = parity_dump(p, cfg)
+    monkeypatch.setenv("KMER_TPU_PARITY", "multiset")
+    multiset = parity_dump(p, cfg)
+    assert default == multiset
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert default == want
+
+
+def test_parity_compact_cfg_identical(tmpdir):
+    """parity via the compacted gapped count (the TPU default cfg) ==
+    non-compact == oracle."""
+    text = reference_style_fasta(n_records=6, seed=11)
+    p = _write(tmpdir, text, "pc.fasta")
+    a = parity_dump(p, KmerConfig(gapped=True, batch_reads=4,
+                                  max_read_len=512, compact=True))
+    b = parity_dump(p, KmerConfig(gapped=True, batch_reads=4,
+                                  max_read_len=512))
+    want = oracle.oracle_gapped_sorted_dump(oracle.read_fasta_py(p))
+    assert a == b == want
+
+
+def test_parity_empty_input(tmpdir):
+    p = _write(tmpdir, ">only_short\nACG\n", "empty.fasta")
+    assert parity_dump(p) == b""
