@@ -199,6 +199,53 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, l_len: int, r_len: int,
             cnt.astype(out_refs[n_words].dtype)
 
 
+def fused_gapped_fits(L: int, l_len: int, r_len: int, c_min: int,
+                      c_max: int, block_lanes: int = 256,
+                      seg: int = 2) -> bool:
+    """Whether the fused gapped kernel's VMEM footprint fits at this
+    read length.  The scoped windows scale with T_pad = total chunk
+    lanes per read column (sum over c of L-c+1), so long reads blow the
+    128 MiB v5e budget: at L=512 the kernel wants ~228 MiB (measured,
+    r4 tpu_check).  Model: per lane, the code tile (L u8) + n_words u32
+    output planes + count plane + ~2 u32 sub-key tables + combine/dedup
+    temporaries.  Measured calibration (r4): L=512 wanted 228 MiB of
+    the 128 MiB budget; L=321 wanted 107.25 MiB scoped of the 96 MiB
+    scoped limit against 79.6 MiB modeled (ratio ~1.35x) — so the cap
+    is 64 MiB of modeled bytes (~86 MiB actual, inside the scoped
+    limit with margin).  Callers re-tile long reads to
+    max_fused_read_len instead (the XLA fallback's compile is
+    pathological at large L)."""
+    T = sum(L - cv + 1 for cv in range(c_min, c_max + 1) if L - cv + 1 > 0)
+    if T <= 0:
+        return False
+    T_pad = -(-T // seg) * seg
+    n_words = words_per_key(l_len + r_len)
+    per_lane = (L                                 # code tile (u8)
+                + T_pad * (4 * n_words + 1)       # key + count planes
+                + 4 * L * 2                       # sub-key value tables
+                + T_pad * 4 * 2)                  # combine/dedup temps
+    return per_lane * block_lanes <= 64 * 1024 * 1024
+
+
+@functools.lru_cache(maxsize=None)
+def max_fused_read_len(l_len: int, r_len: int, c_min: int, c_max: int,
+                       cap: int = 4096) -> int:
+    """Largest device row length (<= cap) whose fused gapped kernel
+    fits VMEM, or 0 if none does.  Long reads are re-tiled to this
+    length by the gapped drivers: the batcher's c_max-1 overlap seams
+    make window extraction exact at any tiling, the fused kernel is
+    ~20x the XLA fallback, and — decisive — the XLA grouped-sort
+    fallback's compile blows up pathologically at large L on the TPU
+    toolchain (an L=512 compile ran >45 min without finishing, r4)."""
+    best = 0
+    for L in range(c_max, cap + 1):
+        if fused_gapped_fits(L, l_len, r_len, c_min, c_max):
+            best = L
+        elif best:
+            break          # monotone beyond the first fit
+    return best
+
+
 def fused_gapped_count_T(codes_t: jnp.ndarray, lengths: jnp.ndarray,
                          limits: jnp.ndarray | None, *, l_len: int,
                          r_len: int, c_min: int, c_max: int,

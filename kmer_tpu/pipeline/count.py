@@ -273,9 +273,16 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
     # build (L >= c_min).  KMER_TPU_GAPPED_STEP=legacy restores the
     # XLA extraction + grouped-sort path.
     step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
+    from ..ops.pallas.fused_gapped import fused_gapped_fits
     fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
                 and (2 * n_bases) % 32 != 0
-                and codes.shape[1] >= c_min)
+                and codes.shape[1] >= c_min
+                # long reads blow the kernel's scoped VMEM (windows
+                # scale with chunk lanes per read column: L=512 wants
+                # ~228 MiB of 128, measured r4 tpu_check); the XLA
+                # path below covers any L
+                and fused_gapped_fits(codes.shape[1], l_len, r_len,
+                                      c_min, c_max))
     if fused_ok and (step_backend == "fused" or
                      (step_backend == "auto"
                       and jax.default_backend() == "tpu")):
@@ -314,9 +321,16 @@ def gapped_step_compact(codes, lengths, limits, *, c_min: int, c_max: int,
     # compaction over the fused gapped kernel's repacked run stream
     # (same eligibility/backend knob as gapped_step_sort)
     step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
+    from ..ops.pallas.fused_gapped import fused_gapped_fits
     fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
                 and (2 * n_bases) % 32 != 0
-                and codes.shape[1] >= c_min)
+                and codes.shape[1] >= c_min
+                # long reads blow the kernel's scoped VMEM (windows
+                # scale with chunk lanes per read column: L=512 wants
+                # ~228 MiB of 128, measured r4 tpu_check); the XLA
+                # path below covers any L
+                and fused_gapped_fits(codes.shape[1], l_len, r_len,
+                                      c_min, c_max))
     if fused_ok and (step_backend == "fused" or
                      (step_backend == "auto"
                       and jax.default_backend() == "tpu")):
@@ -480,8 +494,24 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # 2-bit packed H2D transfer: 4x smaller batches (the ambiguity code
     # needs 3 bits, so skip-invalid mode falls back to u8 rows)
     packed = cfg.packed_transfer and not cfg.skip_invalid
+    # gapped on TPU: re-tile long reads to the largest row length whose
+    # FUSED kernel fits VMEM — the batcher's c_max-1 overlap seams keep
+    # extraction exact at any tiling, and the XLA fallback's compile is
+    # pathological at large L (ops/pallas/fused_gapped
+    # .max_fused_read_len).  KMER_TPU_GAPPED_MAXLEN overrides.
+    import os as _os
+    dev_max_len = cfg.max_read_len
+    env_ml = _os.environ.get("KMER_TPU_GAPPED_MAXLEN")
+    if cfg.gapped and env_ml:
+        dev_max_len = max(int(env_ml), cfg.window_span)
+    elif cfg.gapped and jax.default_backend() == "tpu":
+        from ..ops.pallas.fused_gapped import max_fused_read_len
+        fit = max_fused_read_len(cfg.l_len, cfg.r_len, cfg.c_min,
+                                 cfg.c_max, cap=cfg.max_read_len)
+        if 0 < fit < cfg.max_read_len:
+            dev_max_len = fit
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
-                              max_len=cfg.max_read_len, overlap=cfg.overlap,
+                              max_len=dev_max_len, overlap=cfg.overlap,
                               packed=packed):
         with Timer() as t:
             pw = batch.packed_width

@@ -67,8 +67,8 @@ def parity_dump(path: str, cfg: KmerConfig | None = None) -> bytes:
     if cfg is None:
         import jax
         # on TPU, on-device compaction makes the readback scale with
-        # distinct chunks; on the CPU backend the extra partition sort
-        # isn't worth it
+        # distinct chunks (the count driver re-tiles long reads to the
+        # fused kernel's VMEM budget on its own)
         cfg = KmerConfig(gapped=True, batch_reads=256, max_read_len=512,
                          compact=jax.default_backend() == "tpu")
     if not cfg.gapped:

@@ -59,11 +59,30 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sample = os.path.join(here, "..", "tests", "data", "sample.fasta")
 
-    # 1. parity md5 (flat 4-word sort + byte-exact dump)
+    # 1. parity md5 — count+expand over the explicit L=512 cfg (the
+    # fused gapped kernel does not fit VMEM at L=512, so this also
+    # pins the fused_gapped_fits fallback to the XLA path on hardware)
     dump = parity_dump(sample, KmerConfig(gapped=True, batch_reads=256,
                                           max_read_len=512))
     check("parity md5 1a4ca1e7d4f2e70253aadca10d8351b4",
           hashlib.md5(dump).hexdigest() == "1a4ca1e7d4f2e70253aadca10d8351b4")
+
+    # 1b. parity md5, DEFAULT cfg (compact on TPU) and the pre-r4
+    # multiset device sort — all three paths must hit the contract
+    dump_d = parity_dump(sample)
+    check("parity md5 (default cfg, compact)",
+          hashlib.md5(dump_d).hexdigest()
+          == "1a4ca1e7d4f2e70253aadca10d8351b4")
+    os.environ["KMER_TPU_PARITY"] = "multiset"
+    try:
+        dump_m = parity_dump(sample, KmerConfig(gapped=True,
+                                                batch_reads=256,
+                                                max_read_len=512))
+    finally:
+        del os.environ["KMER_TPU_PARITY"]
+    check("parity md5 (multiset device sort)",
+          hashlib.md5(dump_m).hexdigest()
+          == "1a4ca1e7d4f2e70253aadca10d8351b4")
 
     with tempfile.TemporaryDirectory() as d:
         corpus = os.path.join(d, "g.fasta")

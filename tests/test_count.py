@@ -525,3 +525,15 @@ def test_auto_mode_link_aware(monkeypatch):
     assert cfg.effective_mode == "sort"
     # explicit modes are untouched by the probe
     assert KmerConfig(k=8, mode="dense").effective_mode == "dense"
+
+
+def test_fused_gapped_vmem_guard():
+    """The fused gapped kernel's VMEM model: short reads fit, long
+    reads (L>=~400 at the reference geometry) must route to the XLA
+    path — at L=512 the kernel wants ~228 MiB of the 128 MiB budget
+    (measured on v5e, r4)."""
+    from kmer_tpu.ops.pallas.fused_gapped import fused_gapped_fits
+    assert fused_gapped_fits(150, 27, 27, 80, 140)
+    assert fused_gapped_fits(256, 27, 27, 80, 140)
+    assert not fused_gapped_fits(512, 27, 27, 80, 140)
+    assert not fused_gapped_fits(40, 27, 27, 80, 140)   # no stream
