@@ -209,11 +209,14 @@ def fused_gapped_fits(L: int, l_len: int, r_len: int, c_min: int,
     r4 tpu_check).  Model: per lane, the code tile (L u8) + n_words u32
     output planes + count plane + ~2 u32 sub-key tables + combine/dedup
     temporaries.  Measured calibration (r4): L=512 wanted 228 MiB of
-    the 128 MiB budget; L=321 wanted 107.25 MiB scoped of the 96 MiB
-    scoped limit against 79.6 MiB modeled (ratio ~1.35x) — so the cap
-    is 64 MiB of modeled bytes (~86 MiB actual, inside the scoped
-    limit with margin).  Callers re-tile long reads to
-    max_fused_read_len instead (the XLA fallback's compile is
+    the 128 MiB budget; L=321 (grid 2) 107.25 MiB of the 96 MiB scoped
+    limit; L=279 compact at grid 8 wanted 141.86 MiB — Mosaic
+    double-buffers the output windows once the grid exceeds ~2 steps
+    AND the kernel adds register-spill slots ~0.65x the window bytes,
+    so the worst case is ~3.3x the single-buffered windows.  The cap
+    is therefore 40 MiB of modeled bytes (max L ~215 at the reference
+    geometry; ~<=90 MiB actual worst-case).  Callers re-tile long
+    reads to max_fused_read_len instead (the XLA fallback's compile is
     pathological at large L)."""
     T = sum(L - cv + 1 for cv in range(c_min, c_max + 1) if L - cv + 1 > 0)
     if T <= 0:
@@ -224,7 +227,7 @@ def fused_gapped_fits(L: int, l_len: int, r_len: int, c_min: int,
                 + T_pad * (4 * n_words + 1)       # key + count planes
                 + 4 * L * 2                       # sub-key value tables
                 + T_pad * 4 * 2)                  # combine/dedup temps
-    return per_lane * block_lanes <= 64 * 1024 * 1024
+    return per_lane * block_lanes <= 40 * 1024 * 1024
 
 
 @functools.lru_cache(maxsize=None)

@@ -529,11 +529,16 @@ def test_auto_mode_link_aware(monkeypatch):
 
 def test_fused_gapped_vmem_guard():
     """The fused gapped kernel's VMEM model: short reads fit, long
-    reads (L>=~400 at the reference geometry) must route to the XLA
-    path — at L=512 the kernel wants ~228 MiB of the 128 MiB budget
-    (measured on v5e, r4)."""
-    from kmer_tpu.ops.pallas.fused_gapped import fused_gapped_fits
+    reads must re-tile — at L=512 the kernel wants ~228 MiB of the
+    128 MiB budget; at grid > 2 Mosaic double-buffers the windows and
+    adds spill slots (L=279 compact grid-8: 141.86 MiB) — measured on
+    v5e, r4."""
+    from kmer_tpu.ops.pallas.fused_gapped import (fused_gapped_fits,
+                                                  max_fused_read_len)
     assert fused_gapped_fits(150, 27, 27, 80, 140)
-    assert fused_gapped_fits(256, 27, 27, 80, 140)
     assert not fused_gapped_fits(512, 27, 27, 80, 140)
     assert not fused_gapped_fits(40, 27, 27, 80, 140)   # no stream
+    best = max_fused_read_len(27, 27, 80, 140, cap=512)
+    assert 150 <= best < 280        # the bench shape always stays fused
+    # re-tile progress: the device row length must exceed the overlap
+    assert best > 140 - 1
