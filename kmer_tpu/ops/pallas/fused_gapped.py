@@ -201,7 +201,7 @@ def _kernel(codes_ref, len_ref, lim_ref, *rest, l_len: int, r_len: int,
 
 def fused_gapped_fits(L: int, l_len: int, r_len: int, c_min: int,
                       c_max: int, block_lanes: int = 256,
-                      seg: int = 2) -> bool:
+                      seg: int = 2, cnt_bytes: int = 1) -> bool:
     """Whether the fused gapped kernel's VMEM footprint fits at this
     read length.  The scoped windows scale with T_pad = total chunk
     lanes per read column (sum over c of L-c+1), so long reads blow the
@@ -224,25 +224,44 @@ def fused_gapped_fits(L: int, l_len: int, r_len: int, c_min: int,
     T_pad = -(-T // seg) * seg
     n_words = words_per_key(l_len + r_len)
     per_lane = (L                                 # code tile (u8)
-                + T_pad * (4 * n_words + 1)       # key + count planes
+                + T_pad * (4 * n_words + cnt_bytes)   # key+count planes
                 + 4 * L * 2                       # sub-key value tables
                 + T_pad * 4 * 2)                  # combine/dedup temps
     return per_lane * block_lanes <= 40 * 1024 * 1024
 
 
+def _env_kernel_params() -> tuple[int, int, int]:
+    """(seg, block_lanes, cnt_bytes) the kernel will ACTUALLY use —
+    fused_gapped_count_T honors these env knobs, so the VMEM guard
+    must model the same values, not its defaults."""
+    seg = int(os.environ.get("KMER_TPU_GAPPED_SEG", "2"))
+    bl = int(os.environ.get("KMER_TPU_GAPPED_BL", "256"))
+    cnt = (1 if os.environ.get("KMER_TPU_COUNTS_DTYPE", "i8") == "i8"
+           and seg <= 127 else 4)
+    return seg, bl, cnt
+
+
 @functools.lru_cache(maxsize=None)
 def max_fused_read_len(l_len: int, r_len: int, c_min: int, c_max: int,
-                       cap: int = 4096) -> int:
+                       cap: int = 4096, block_lanes: int = 256,
+                       seg: int = 2, cnt_bytes: int = 1) -> int:
     """Largest device row length (<= cap) whose fused gapped kernel
-    fits VMEM, or 0 if none does.  Long reads are re-tiled to this
-    length by the gapped drivers: the batcher's c_max-1 overlap seams
-    make window extraction exact at any tiling, the fused kernel is
-    ~20x the XLA fallback, and — decisive — the XLA grouped-sort
-    fallback's compile blows up pathologically at large L on the TPU
-    toolchain (an L=512 compile ran >45 min without finishing, r4)."""
+    fits VMEM, or 0 if none does.  The single-host and streaming
+    drivers re-tile long reads to this length
+    (pipeline.count.gapped_device_len); the mesh pairs step instead
+    VALIDATES its per-shard width and raises with guidance
+    (parallel.distributed.make_distributed_gapped_pairs).  The
+    batcher's c_max-1 overlap seams make window extraction exact at
+    any tiling, the fused kernel is ~20x the XLA fallback, and —
+    decisive — the XLA grouped-sort fallback's compile blows up
+    pathologically at large L on the TPU toolchain (an L=512 compile
+    ran >45 min without finishing, r4).  Pass the seg/block_lanes/
+    cnt_bytes the kernel will ACTUALLY use (_env_kernel_params)."""
     best = 0
     for L in range(c_max, cap + 1):
-        if fused_gapped_fits(L, l_len, r_len, c_min, c_max):
+        if fused_gapped_fits(L, l_len, r_len, c_min, c_max,
+                             block_lanes=block_lanes, seg=seg,
+                             cnt_bytes=cnt_bytes):
             best = L
         elif best:
             break          # monotone beyond the first fit

@@ -480,6 +480,34 @@ def make_distributed_gapped_pairs(mesh, *, l_len: int = 27, r_len: int = 27,
             f"with n_seq=1 instead")
     axis_names = (DATA_AXIS, SEQ_AXIS)
 
+    def _validate_width(L: int) -> None:
+        """Hardware guard: the fused gapped kernel's scoped VMEM scales
+        with the PER-SHARD row width (L/n_seq + c_max-1 halo columns);
+        too-wide shards fail in Mosaic with an opaque OOM, so raise a
+        config error with the fix instead.  (Single-device drivers
+        re-tile via pipeline.count.gapped_device_len; the mesh width is
+        tied to the seq sharding, so here the user must lower
+        max_read_len or raise the seq axis.)"""
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return
+        from ..ops.pallas.fused_gapped import (_env_kernel_params,
+                                               fused_gapped_fits,
+                                               max_fused_read_len)
+        seg, bl, cnt = _env_kernel_params()
+        kern_L = L // n_seq + (c_max - 1 if (use_seq and n_seq > 1) else 0)
+        if not fused_gapped_fits(kern_L, l_len, r_len, c_min, c_max,
+                                 block_lanes=bl, seg=seg, cnt_bytes=cnt):
+            fit = max_fused_read_len(l_len, r_len, c_min, c_max,
+                                     block_lanes=bl, seg=seg,
+                                     cnt_bytes=cnt)
+            max_l = (fit - (c_max - 1)) * n_seq if n_seq > 1 else fit
+            raise ValueError(
+                f"gapped mesh step: per-shard row width {kern_L} "
+                f"exceeds the fused kernel's VMEM fit ({fit}); lower "
+                f"max_read_len to <= {max(max_l, 0)} for this mesh "
+                f"(or raise the seq axis)")
+
     def body(codes, lengths, limits):
         import jax as _jax
         B, L_loc = codes.shape
@@ -521,7 +549,13 @@ def make_distributed_gapped_pairs(mesh, *, l_len: int = 27, r_len: int = 27,
         out_specs=([P((DATA_AXIS, SEQ_AXIS))] * words_per_key(n_bases),
                    P((DATA_AXIS, SEQ_AXIS)), P()),
         check_vma=False)
-    return jax.jit(shard)
+    jitted = jax.jit(shard)
+
+    def fn(codes, lengths, limits):
+        _validate_width(codes.shape[1])
+        return jitted(codes, lengths, limits)
+
+    return fn
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,64 @@ def fetch_compact_rows(row_blocks, total_rows) -> np.ndarray:
     return np.asarray(row_blocks[:cap])[:t]
 
 
+
+def gapped_device_len(cfg: KmerConfig) -> int:
+    """Device row length for GAPPED batching: cfg.max_read_len, re-tiled
+    down to the fused kernel's VMEM fit on TPU (the batcher's c_max-1
+    overlap seams keep extraction exact at any tiling, and the XLA
+    fallback's compile is pathological at large L — see
+    ops/pallas/fused_gapped.max_fused_read_len).  All gapped drivers
+    (single-host, streaming, multihost) batch at this width so every
+    read length stays on the fused path.  KMER_TPU_GAPPED_MAXLEN
+    overrides; off-TPU the user's width is kept (no VMEM, and the XLA
+    CPU compile is fine)."""
+    import os
+    env_ml = os.environ.get("KMER_TPU_GAPPED_MAXLEN")
+    if env_ml:
+        return max(int(env_ml), cfg.window_span)
+    if jax.default_backend() != "tpu":
+        return cfg.max_read_len
+    from ..ops.pallas.fused_gapped import (_env_kernel_params,
+                                           max_fused_read_len)
+    seg, bl, cnt = _env_kernel_params()
+    fit = max_fused_read_len(cfg.l_len, cfg.r_len, cfg.c_min, cfg.c_max,
+                             cap=cfg.max_read_len, block_lanes=bl,
+                             seg=seg, cnt_bytes=cnt)
+    if 0 < fit < cfg.max_read_len:
+        return fit
+    return cfg.max_read_len
+
+
+def _gapped_fused_ok(codes, l_len: int, r_len: int, c_min: int,
+                     c_max: int, group_keys: int) -> bool:
+    """Shared eligibility for the fused gapped kernel (gapped_step_sort
+    AND gapped_step_compact — keep in lockstep): the grouped
+    partial-aggregation contract (group_keys > 0; 0 callers want one
+    exact flat sort), sub-keys <= 31 bases with a residual word, a
+    stream to build (L >= c_min), and — on auto — the VMEM fit at the
+    knobs the kernel will actually use (long reads should have been
+    re-tiled by gapped_device_len; if a caller batches wider anyway,
+    fall to the XLA path rather than a Mosaic OOM).  An EXPLICIT
+    KMER_TPU_GAPPED_STEP=fused bypasses the fit veto: interpret mode
+    has no VMEM, and on hardware an explicit low-level force surfaces
+    the real compile error instead of being silently ignored."""
+    import os
+    n_bases = l_len + r_len
+    if not (group_keys > 0 and max(l_len, r_len) <= 31
+            and (2 * n_bases) % 32 != 0 and codes.shape[1] >= c_min):
+        return False
+    step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
+    if step_backend == "fused":
+        return True
+    if step_backend != "auto" or jax.default_backend() != "tpu":
+        return False
+    from ..ops.pallas.fused_gapped import (_env_kernel_params,
+                                           fused_gapped_fits)
+    seg, bl, cnt = _env_kernel_params()
+    return fused_gapped_fits(codes.shape[1], l_len, r_len, c_min, c_max,
+                             block_lanes=bl, seg=seg, cnt_bytes=cnt)
+
+
 @partial(jax.jit, static_argnames=("l_len", "r_len", "c_min", "c_max",
                                    "mask_ambiguous", "group_keys",
                                    "packed_width"))
@@ -272,20 +330,7 @@ def gapped_step_sort(codes, lengths, limits, *, c_min: int, c_max: int,
     # group_keys == 0 callers want one exact flat sort) and a stream to
     # build (L >= c_min).  KMER_TPU_GAPPED_STEP=legacy restores the
     # XLA extraction + grouped-sort path.
-    step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
-    from ..ops.pallas.fused_gapped import fused_gapped_fits
-    fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
-                and (2 * n_bases) % 32 != 0
-                and codes.shape[1] >= c_min
-                # long reads blow the kernel's scoped VMEM (windows
-                # scale with chunk lanes per read column: L=512 wants
-                # ~228 MiB of 128, measured r4 tpu_check); the XLA
-                # path below covers any L
-                and fused_gapped_fits(codes.shape[1], l_len, r_len,
-                                      c_min, c_max))
-    if fused_ok and (step_backend == "fused" or
-                     (step_backend == "auto"
-                      and jax.default_backend() == "tpu")):
+    if _gapped_fused_ok(codes, l_len, r_len, c_min, c_max, group_keys):
         from ..ops.pallas.fused_gapped import fused_gapped_count_T
         rflat, counts = fused_gapped_count_T(
             codes.T, lengths, limits, l_len=l_len, r_len=r_len,
@@ -320,20 +365,7 @@ def gapped_step_compact(codes, lengths, limits, *, c_min: int, c_max: int,
     n_bases = l_len + r_len
     # compaction over the fused gapped kernel's repacked run stream
     # (same eligibility/backend knob as gapped_step_sort)
-    step_backend = os.environ.get("KMER_TPU_GAPPED_STEP", "auto")
-    from ..ops.pallas.fused_gapped import fused_gapped_fits
-    fused_ok = (group_keys > 0 and max(l_len, r_len) <= 31
-                and (2 * n_bases) % 32 != 0
-                and codes.shape[1] >= c_min
-                # long reads blow the kernel's scoped VMEM (windows
-                # scale with chunk lanes per read column: L=512 wants
-                # ~228 MiB of 128, measured r4 tpu_check); the XLA
-                # path below covers any L
-                and fused_gapped_fits(codes.shape[1], l_len, r_len,
-                                      c_min, c_max))
-    if fused_ok and (step_backend == "fused" or
-                     (step_backend == "auto"
-                      and jax.default_backend() == "tpu")):
+    if _gapped_fused_ok(codes, l_len, r_len, c_min, c_max, group_keys):
         from ..ops.pallas.fused_gapped import fused_gapped_count_T
         rflat, counts = fused_gapped_count_T(
             codes.T, lengths, limits, l_len=l_len, r_len=r_len,
@@ -494,22 +526,9 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # 2-bit packed H2D transfer: 4x smaller batches (the ambiguity code
     # needs 3 bits, so skip-invalid mode falls back to u8 rows)
     packed = cfg.packed_transfer and not cfg.skip_invalid
-    # gapped on TPU: re-tile long reads to the largest row length whose
-    # FUSED kernel fits VMEM — the batcher's c_max-1 overlap seams keep
-    # extraction exact at any tiling, and the XLA fallback's compile is
-    # pathological at large L (ops/pallas/fused_gapped
-    # .max_fused_read_len).  KMER_TPU_GAPPED_MAXLEN overrides.
-    import os as _os
-    dev_max_len = cfg.max_read_len
-    env_ml = _os.environ.get("KMER_TPU_GAPPED_MAXLEN")
-    if cfg.gapped and env_ml:
-        dev_max_len = max(int(env_ml), cfg.window_span)
-    elif cfg.gapped and jax.default_backend() == "tpu":
-        from ..ops.pallas.fused_gapped import max_fused_read_len
-        fit = max_fused_read_len(cfg.l_len, cfg.r_len, cfg.c_min,
-                                 cfg.c_max, cap=cfg.max_read_len)
-        if 0 < fit < cfg.max_read_len:
-            dev_max_len = fit
+    # gapped: re-tile long reads to the fused kernel's VMEM fit
+    # (gapped_device_len — exactness preserved by the overlap seams)
+    dev_max_len = gapped_device_len(cfg) if cfg.gapped else cfg.max_read_len
     for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
                               max_len=dev_max_len, overlap=cfg.overlap,
                               packed=packed):

@@ -39,7 +39,9 @@ from ..utils.stats import StatsLogger, Timer
 from .table import KmerTable
 
 MANIFEST = "manifest.json"
-_FORMAT_VERSION = 2        # v2: chunked-ingest cursors in pass-1 state
+_FORMAT_VERSION = 3        # v3: dev_max_len (gapped VMEM re-tile) in
+                           # the fingerprint — batch indexing depends
+                           # on it, so a resume must use the same width
 
 
 def route_partition(keys: np.ndarray, n_bases: int, n_parts: int,
@@ -122,6 +124,16 @@ class StreamingCounter:
         self.P = cfg.partitions
         self.W = words_per_key(self._n_bases)
         self.mesh = mesh
+        # gapped single-device: re-tile long reads to the fused
+        # kernel's VMEM fit (pipeline.count.gapped_device_len; exact
+        # under the overlap seams).  Mesh widths are tied to the seq
+        # sharding instead — make_distributed_gapped_pairs validates
+        # the per-shard width on TPU.
+        if cfg.gapped and mesh is None:
+            from .count import gapped_device_len
+            self._dev_max_len = gapped_device_len(cfg)
+        else:
+            self._dev_max_len = cfg.max_read_len
         self._dist_fn = None
         if mesh is not None:
             from ..parallel import distributed
@@ -191,6 +203,7 @@ class StreamingCounter:
             "k": c.k, "canonical": c.canonical,
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
+            "dev_max_len": self._dev_max_len,
             "skip_invalid": c.skip_invalid, "min_qual": c.min_qual,
             "seed_mask": c.seed_mask,
             "l_len": c.l_len, "r_len": c.r_len,
@@ -355,7 +368,7 @@ class StreamingCounter:
                                           min_qual=cfg.min_qual)
             chunks = iter([(codes0, offsets0, -1)])
         for codes, offsets, next_cur in chunks:
-            spans_n = len(segment_records(offsets, cfg.max_read_len,
+            spans_n = len(segment_records(offsets, self._dev_max_len,
                                           cfg.overlap))
             n_in_chunk = max(-(-spans_n // cfg.batch_reads), 1)
             skip = start - global_i
@@ -366,7 +379,7 @@ class StreamingCounter:
                 continue
             for i, batch in enumerate(iter_batches(
                     codes, offsets, batch_reads=cfg.batch_reads,
-                    max_len=cfg.max_read_len, overlap=cfg.overlap,
+                    max_len=self._dev_max_len, overlap=cfg.overlap,
                     start_batch=max(skip, 0), packed=packed),
                     start=global_i + max(skip, 0)):
                 if max_batches is not None and n_done >= max_batches:

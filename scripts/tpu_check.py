@@ -59,9 +59,12 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sample = os.path.join(here, "..", "tests", "data", "sample.fasta")
 
-    # 1. parity md5 — count+expand over the explicit L=512 cfg (the
-    # fused gapped kernel does not fit VMEM at L=512, so this also
-    # pins the fused_gapped_fits fallback to the XLA path on hardware)
+    # 1. parity md5 — count+expand over the explicit L=512 cfg: on
+    # hardware the driver RE-TILES the batch rows down to the fused
+    # kernel's VMEM fit (gapped_device_len -> L=215 at this geometry),
+    # so this pins the re-tile + fused kernel path end-to-end.  (The
+    # XLA gapped fallback cannot be pinned at L=512 — its compile is
+    # the documented 45+-minute pathological case.)
     dump = parity_dump(sample, KmerConfig(gapped=True, batch_reads=256,
                                           max_read_len=512))
     check("parity md5 1a4ca1e7d4f2e70253aadca10d8351b4",

@@ -542,3 +542,27 @@ def test_fused_gapped_vmem_guard():
     assert 150 <= best < 280        # the bench shape always stays fused
     # re-tile progress: the device row length must exceed the overlap
     assert best > 140 - 1
+
+
+def test_gapped_device_len_policy(monkeypatch):
+    """gapped_device_len: off-TPU keeps the user's width (this suite
+    runs on CPU); KMER_TPU_GAPPED_MAXLEN overrides and is floored at
+    the window span."""
+    from kmer_tpu.pipeline.count import gapped_device_len
+    cfg = KmerConfig(gapped=True, max_read_len=512)
+    assert gapped_device_len(cfg) == 512          # CPU backend: as-is
+    monkeypatch.setenv("KMER_TPU_GAPPED_MAXLEN", "200")
+    assert gapped_device_len(cfg) == 200
+    monkeypatch.setenv("KMER_TPU_GAPPED_MAXLEN", "50")
+    assert gapped_device_len(cfg) == cfg.window_span   # floored
+
+
+def test_fused_gapped_fits_env_aware():
+    """The VMEM model must track the knobs the kernel honors: wider
+    block_lanes and i32 count planes shrink the max fitting L."""
+    from kmer_tpu.ops.pallas.fused_gapped import max_fused_read_len
+    base = max_fused_read_len(27, 27, 80, 140, cap=512)
+    wide = max_fused_read_len(27, 27, 80, 140, cap=512, block_lanes=512)
+    i32 = max_fused_read_len(27, 27, 80, 140, cap=512, cnt_bytes=4)
+    assert wide < base
+    assert i32 < base
