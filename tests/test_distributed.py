@@ -341,3 +341,31 @@ def test_skewed_corpus_streaming_overflow_retry(tmp_path, monkeypatch):
     assert sc._dist_capacity is not None   # retry happened
     want = oracle.oracle_count(reads, 9)
     assert sc.final_table().to_dict() == dict(want)
+
+
+def test_gapped_mesh_width_validation(monkeypatch):
+    """On TPU the gapped pairs step must reject per-shard widths that
+    exceed the fused kernel's VMEM fit with a config error (not an
+    opaque Mosaic OOM).  The backend is monkeypatched to 'tpu' — the
+    width check raises before any kernel would compile."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from kmer_tpu.parallel import distributed, mesh as mesh_lib
+
+    m = mesh_lib.make_mesh(8, 1)
+    fn = distributed.make_distributed_gapped_pairs(m)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    codes = jnp.asarray(np.zeros((8, 512), np.uint8))
+    lengths = jnp.full((8,), 512, jnp.int32)
+    limits = jnp.full((8,), 512, jnp.int32)
+    with pytest.raises(ValueError, match="VMEM fit"):
+        fn(codes, lengths, limits)
+    # a fitting width passes the guard (the call itself runs on CPU
+    # interpret after the monkeypatch is popped)
+    monkeypatch.undo()
+    codes = jnp.asarray(np.zeros((8, 150), np.uint8))
+    lengths = jnp.full((8,), 150, jnp.int32)
+    limits = jnp.full((8,), 150, jnp.int32)
+    out = fn(codes, lengths, limits)
+    assert out is not None
