@@ -86,6 +86,42 @@ inline uint32_t bucket_of(uint64_t hi, uint64_t lo, int shift) {
 
 constexpr int NB = 256;      // buckets
 
+// LSD radix sort of one bucket's records by the low `bits` key bits
+// (the bucket prefix above them is constant within a bucket).  Byte
+// counting passes are stable, so the full key ends sorted; ~2x
+// std::sort on large buckets (it replaces ~15 compare levels with
+// ceil(bits/8) streaming passes).  `tmp` must hold n records; result
+// lands back in `a`.
+inline uint32_t key_byte(const Pair& p, int sh) {
+    if (sh + 8 <= 64) return static_cast<uint32_t>(p.lo >> sh) & 0xffu;
+    if (sh >= 64) return static_cast<uint32_t>(p.hi >> (sh - 64)) & 0xffu;
+    return static_cast<uint32_t>((p.lo >> sh) | (p.hi << (64 - sh))) & 0xffu;
+}
+
+void radix_sort_bucket(Pair* a, Pair* tmp, int64_t n, int bits) {
+    const int passes = (bits + 7) / 8;
+    Pair* src = a;
+    Pair* dst = tmp;
+    for (int p = 0; p < passes; ++p) {
+        const int sh = p * 8;
+        int64_t cnt[256] = {0};
+        for (int64_t i = 0; i < n; ++i) cnt[key_byte(src[i], sh)]++;
+        // degenerate pass (all records share this byte): skip scatter
+        if (cnt[key_byte(src[0], sh)] == n) continue;
+        int64_t pos[256];
+        int64_t acc = 0;
+        for (int b = 0; b < 256; ++b) { pos[b] = acc; acc += cnt[b]; }
+        for (int64_t i = 0; i < n; ++i)
+            dst[pos[key_byte(src[i], sh)]++] = src[i];
+        std::swap(src, dst);
+    }
+    if (src != a) std::memcpy(a, src, static_cast<size_t>(n) * sizeof(Pair));
+}
+
+// below this std::sort's cache behavior wins (and the scratch memcpy
+// overhead matters); measured crossover is a few thousand records
+constexpr int64_t RADIX_MIN = 4096;
+
 int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
                   int nw, int nt, uint64_t* out_keys, int64_t* out_counts) {
     // slice bounds for thread t
@@ -157,13 +193,24 @@ int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
     // ---- pass D: sort + run-reduce each bucket (dynamic queue) ----
     std::vector<int64_t> uniq(NB, 0);
     std::atomic<int> next(0);
+    int64_t max_bucket = 0;
+    for (int b = 0; b < NB; ++b)
+        max_bucket = std::max(max_bucket, bstart[b + 1] - bstart[b]);
     run_threads(nt, [&](int) {
+        // per-thread radix scratch, sized for the largest bucket
+        std::unique_ptr<Pair[]> scratch(
+            max_bucket >= RADIX_MIN
+                ? new Pair[static_cast<size_t>(max_bucket)] : nullptr);
         for (;;) {
             const int b = next.fetch_add(1);
             if (b >= NB) return;
             const int64_t s = bstart[b], e = bstart[b + 1];
             if (s == e) continue;
-            std::sort(buf.get() + s, buf.get() + e, pair_lt);
+            if (e - s >= RADIX_MIN && shift > 0)
+                radix_sort_bucket(buf.get() + s, scratch.get(), e - s,
+                                  shift);
+            else
+                std::sort(buf.get() + s, buf.get() + e, pair_lt);
             int64_t w = s;
             for (int64_t i = s + 1; i < e; ++i) {
                 if (key_eq(buf[i], buf[w])) buf[w].c += buf[i].c;
