@@ -96,11 +96,15 @@ def global_batch(mesh, local_rows: dict[str, np.ndarray]):
     return codes, lengths, limits
 
 
-def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
+def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int,
+                               max_len: int | None = None):
     """Yield this host's fixed-shape batches for records [s, e) with one
     chunked re-parse: rolling (codes, spans) buffer, peak memory ~ one
     ingest chunk + one batch."""
     from ..io.fasta import batch_from_spans, iter_parse_chunks, segment_records
+
+    if max_len is None:
+        max_len = cfg.max_read_len
 
     buf = np.zeros(0, np.uint8)
     spans = np.zeros((0, 3), np.int64)
@@ -118,7 +122,7 @@ def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
             continue
         sub_off = offsets[lo:hi + 1]
         sub_codes = codes[sub_off[0]:sub_off[-1]]
-        sp = segment_records(sub_off - sub_off[0], cfg.max_read_len,
+        sp = segment_records(sub_off - sub_off[0], max_len,
                              cfg.overlap)
         if buf.size:
             sp = sp + np.array([[buf.size, buf.size, 0]], np.int64)
@@ -128,7 +132,7 @@ def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
         spans = np.concatenate([spans, sp]) if spans.size else sp
         while len(spans) >= B_loc:
             yield batch_from_spans(buf, spans[:B_loc], batch_reads=B_loc,
-                                   max_len=cfg.max_read_len)
+                                   max_len=max_len)
             spans = spans[B_loc:]
             if len(spans):
                 base = int(spans[0, 0])
@@ -138,7 +142,7 @@ def _iter_host_batches_chunked(path: str, cfg, s: int, e: int, B_loc: int):
                 buf = np.zeros(0, np.uint8)
     if len(spans):
         yield batch_from_spans(buf, spans, batch_reads=B_loc,
-                               max_len=cfg.max_read_len)
+                               max_len=max_len)
 
 
 def local_owner_positions(mesh) -> list[int]:
@@ -255,12 +259,21 @@ def count_fasta_multihost(path: str, cfg=None, gather: bool = True,
                                     min_qual=cfg.min_qual)
     n_records = len(offsets) - 1
 
+    # gapped: every host batches at the fused kernel's re-tiled width
+    # (pipeline.count.gapped_device_len — deterministic across
+    # processes: same cfg, same backend, same env)
+    if cfg.gapped:
+        from ..pipeline.count import gapped_device_len
+        dev_len = gapped_device_len(cfg)
+    else:
+        dev_len = cfg.max_read_len
+
     # every process derives every host's batch count locally — all
     # processes must dispatch the same number of collective steps
     def host_batches(h):
         s, e = host_record_range(n_records, h, pc)
         off = offsets[s:e + 1] - offsets[s]
-        spans = segment_records(off, cfg.max_read_len, cfg.overlap)
+        spans = segment_records(off, dev_len, cfg.overlap)
         return -(-max(len(spans), 1) // B_loc)
     n_batches = max(host_batches(h) for h in range(pc))
 
@@ -300,17 +313,18 @@ def count_fasta_multihost(path: str, cfg=None, gather: bool = True,
     fn = build_fn()
 
     def empty_batch():
-        return Batch(np.zeros((B_loc, cfg.max_read_len), np.uint8),
+        return Batch(np.zeros((B_loc, dev_len), np.uint8),
                      np.zeros((B_loc,), np.int32),
                      np.zeros((B_loc,), np.int32))
 
     if codes is None:
-        batches = _iter_host_batches_chunked(path, cfg, s, e, B_loc)
+        batches = _iter_host_batches_chunked(path, cfg, s, e, B_loc,
+                                             max_len=dev_len)
     else:
         local_codes = codes[offsets[s]:offsets[e]]
         local_offsets = offsets[s:e + 1] - offsets[s]
         batches = iter_batches(local_codes, local_offsets,
-                               batch_reads=B_loc, max_len=cfg.max_read_len,
+                               batch_reads=B_loc, max_len=dev_len,
                                overlap=cfg.overlap)
     from ..pipeline.table import TableAccumulator
     acc = TableAccumulator(cfg.n_bases)

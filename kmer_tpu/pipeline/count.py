@@ -276,6 +276,37 @@ def gapped_device_len(cfg: KmerConfig) -> int:
     return cfg.max_read_len
 
 
+def gapped_mesh_device_len(cfg: KmerConfig, n_seq: int = 1) -> int:
+    """Mesh variant of gapped_device_len: the largest n_seq-divisible
+    row width <= max_read_len whose PER-SHARD kernel width
+    (w/n_seq + c_max-1 halo) fits the fused kernel's VMEM on TPU.
+    Falls back to cfg.max_read_len when nothing fits — the mesh pairs
+    step then raises its guided config error instead of a Mosaic OOM.
+    KMER_TPU_GAPPED_MAXLEN overrides (rounded down to a multiple of
+    n_seq)."""
+    import os
+    env_ml = os.environ.get("KMER_TPU_GAPPED_MAXLEN")
+    if env_ml:
+        w = max(int(env_ml), cfg.window_span)
+        return max(w - (w % n_seq), n_seq) if n_seq > 1 else w
+    if n_seq <= 1:
+        return gapped_device_len(cfg)
+    if jax.default_backend() != "tpu":
+        return cfg.max_read_len
+    from ..ops.pallas.fused_gapped import (_env_kernel_params,
+                                           fused_gapped_fits)
+    seg, bl, cnt = _env_kernel_params()
+    halo = cfg.window_span - 1
+    w = cfg.max_read_len - (cfg.max_read_len % n_seq)
+    while w >= max(cfg.window_span, n_seq):
+        if fused_gapped_fits(w // n_seq + halo, cfg.l_len, cfg.r_len,
+                             cfg.c_min, cfg.c_max, block_lanes=bl,
+                             seg=seg, cnt_bytes=cnt):
+            return w
+        w -= n_seq
+    return cfg.max_read_len
+
+
 def _gapped_fused_ok(codes, l_len: int, r_len: int, c_min: int,
                      c_max: int, group_keys: int) -> bool:
     """Shared eligibility for the fused gapped kernel (gapped_step_sort

@@ -132,6 +132,11 @@ class StreamingCounter:
         if cfg.gapped and mesh is None:
             from .count import gapped_device_len
             self._dev_max_len = gapped_device_len(cfg)
+        elif cfg.gapped:
+            from ..parallel.mesh import SEQ_AXIS as _SEQ
+            from .count import gapped_mesh_device_len
+            self._dev_max_len = gapped_mesh_device_len(
+                cfg, mesh.shape.get(_SEQ, 1))
         else:
             self._dev_max_len = cfg.max_read_len
         self._dist_fn = None
@@ -145,10 +150,10 @@ class StreamingCounter:
                 raise ValueError(
                     f"batch_reads={cfg.batch_reads} not divisible by mesh "
                     f"data axis {n_data}")
-            if n_seq > 1 and cfg.max_read_len % n_seq:
+            if n_seq > 1 and self._dev_max_len % n_seq:
                 raise ValueError(
-                    f"max_read_len={cfg.max_read_len} not divisible by "
-                    f"mesh seq axis {n_seq}")
+                    f"device row width {self._dev_max_len} not divisible "
+                    f"by mesh seq axis {n_seq}")
             # fused-local pair routing when eligible (policy shared
             # with the multihost driver, distributed.pairs_eligible)
             use_pairs = distributed.pairs_eligible(cfg)

@@ -566,3 +566,27 @@ def test_fused_gapped_fits_env_aware():
     i32 = max_fused_read_len(27, 27, 80, 140, cap=512, cnt_bytes=4)
     assert wide < base
     assert i32 < base
+
+
+def test_gapped_retile_width_bit_identity(tmpdir, monkeypatch):
+    """Forcing a narrower gapped device width (the TPU re-tile,
+    simulated on CPU via KMER_TPU_GAPPED_MAXLEN) must be bit-identical
+    to the full-width run — across count_fasta, the streaming counter,
+    and the single-process multihost driver (the overlap seams make
+    extraction exact at any tiling)."""
+    from collections import Counter
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    from kmer_tpu.parallel.multihost import count_fasta_multihost
+    path = _write(tmpdir, random_reads_fasta(6, 300, seed=77), "rt.fasta")
+    cfg = KmerConfig(gapped=True, c_min=60, c_max=80, l_len=13, r_len=11,
+                     batch_reads=8, max_read_len=300, partitions=3)
+    want = Counter(oracle.oracle_gapped_lines(
+        oracle.read_fasta_py(path), l_len=13, r_len=11, c_min=60, c_max=80))
+    full = count_fasta(path, cfg)
+    assert full.to_dict() == dict(want)
+    monkeypatch.setenv("KMER_TPU_GAPPED_MAXLEN", "120")
+    assert count_fasta(path, cfg) == full
+    sc = StreamingCounter(path, cfg, os.path.join(tmpdir, "rt_sp"))
+    sc.run()
+    assert sc.final_table() == full
+    assert count_fasta_multihost(path, cfg) == full
