@@ -287,23 +287,30 @@ def gapped_mesh_device_len(cfg: KmerConfig, n_seq: int = 1) -> int:
     import os
     env_ml = os.environ.get("KMER_TPU_GAPPED_MAXLEN")
     if env_ml:
+        # round UP to a multiple of n_seq at or above the window span —
+        # rounding down could yield max_len <= overlap (c_max-1) and an
+        # assertion in the segmenter (review r4)
         w = max(int(env_ml), cfg.window_span)
-        return max(w - (w % n_seq), n_seq) if n_seq > 1 else w
+        return -(-w // n_seq) * n_seq if n_seq > 1 else w
     if n_seq <= 1:
         return gapped_device_len(cfg)
     if jax.default_backend() != "tpu":
         return cfg.max_read_len
     from ..ops.pallas.fused_gapped import (_env_kernel_params,
-                                           fused_gapped_fits)
+                                           max_fused_read_len)
     seg, bl, cnt = _env_kernel_params()
     halo = cfg.window_span - 1
-    w = cfg.max_read_len - (cfg.max_read_len % n_seq)
-    while w >= max(cfg.window_span, n_seq):
-        if fused_gapped_fits(w // n_seq + halo, cfg.l_len, cfg.r_len,
-                             cfg.c_min, cfg.c_max, block_lanes=bl,
-                             seg=seg, cnt_bytes=cnt):
-            return w
-        w -= n_seq
+    # largest fitting PER-SHARD kernel width (cached helper; fits is
+    # monotone in width) -> largest n_seq-divisible total width
+    shard_fit = max_fused_read_len(cfg.l_len, cfg.r_len, cfg.c_min,
+                                   cfg.c_max,
+                                   cap=cfg.max_read_len // n_seq + halo,
+                                   block_lanes=bl, seg=seg,
+                                   cnt_bytes=cnt)
+    w = (shard_fit - halo) * n_seq
+    w = min(w, cfg.max_read_len - (cfg.max_read_len % n_seq))
+    if shard_fit > halo and w >= cfg.window_span:
+        return w
     return cfg.max_read_len
 
 

@@ -191,24 +191,43 @@ int64_t aggregate(const uint64_t* keys, const int64_t* counts, int64_t n,
     });
 
     // ---- pass D: sort + run-reduce each bucket (dynamic queue) ----
+    // buckets are processed LARGEST FIRST (better tail-latency balance,
+    // and each thread's lazy radix scratch is then allocated once at
+    // the biggest size it will ever need — threads that only ever see
+    // small buckets allocate nothing)
     std::vector<int64_t> uniq(NB, 0);
     std::atomic<int> next(0);
-    int64_t max_bucket = 0;
-    for (int b = 0; b < NB; ++b)
-        max_bucket = std::max(max_bucket, bstart[b + 1] - bstart[b]);
+    int order[NB];
+    for (int b = 0; b < NB; ++b) order[b] = b;
+    std::sort(order, order + NB, [&](int a2, int b2) {
+        return bstart[a2 + 1] - bstart[a2] > bstart[b2 + 1] - bstart[b2];
+    });
     run_threads(nt, [&](int) {
-        // per-thread radix scratch, sized for the largest bucket
-        std::unique_ptr<Pair[]> scratch(
-            max_bucket >= RADIX_MIN
-                ? new Pair[static_cast<size_t>(max_bucket)] : nullptr);
+        std::unique_ptr<Pair[]> scratch;
+        int64_t scratch_n = 0;
         for (;;) {
-            const int b = next.fetch_add(1);
-            if (b >= NB) return;
+            const int qi = next.fetch_add(1);
+            if (qi >= NB) return;
+            const int b = order[qi];
             const int64_t s = bstart[b], e = bstart[b + 1];
             if (s == e) continue;
-            if (e - s >= RADIX_MIN && shift > 0)
-                radix_sort_bucket(buf.get() + s, scratch.get(), e - s,
-                                  shift);
+            const int64_t nb = e - s;
+            bool radix = nb >= RADIX_MIN && shift > 0;
+            if (radix && nb > scratch_n) {
+                // allocation INSIDE a worker must not throw out of the
+                // thread body (std::terminate) — fall back to
+                // std::sort for this bucket instead
+                try {
+                    scratch.reset(new Pair[static_cast<size_t>(nb)]);
+                    scratch_n = nb;
+                } catch (const std::bad_alloc&) {
+                    scratch.reset();
+                    scratch_n = 0;
+                    radix = false;
+                }
+            }
+            if (radix)
+                radix_sort_bucket(buf.get() + s, scratch.get(), nb, shift);
             else
                 std::sort(buf.get() + s, buf.get() + e, pair_lt);
             int64_t w = s;

@@ -116,7 +116,9 @@ class StreamingCounter:
         with the multi-chip distributed step (data/seq sharding + the
         order-preserving all_to_all merge) before spilling; the spill
         format and resume semantics are unchanged, so a run can even be
-        resumed on a different mesh shape."""
+        resumed on a different mesh shape (gapped runs: the new mesh's
+        seq axis must divide the stored device row width — the manifest
+        carries it, so resumes keep the original batch indexing)."""
         self.fasta = fasta
         self.cfg = cfg
         self.dir = spill_dir
@@ -208,7 +210,6 @@ class StreamingCounter:
             "k": c.k, "canonical": c.canonical,
             "gapped": c.gapped, "partitions": c.partitions,
             "batch_reads": c.batch_reads, "max_read_len": c.max_read_len,
-            "dev_max_len": self._dev_max_len,
             "skip_invalid": c.skip_invalid, "min_qual": c.min_qual,
             "seed_mask": c.seed_mask,
             "l_len": c.l_len, "r_len": c.r_len,
@@ -224,12 +225,30 @@ class StreamingCounter:
             with open(self.manifest_path) as f:
                 state = json.load(f)
             if state["fingerprint"] == fp:
+                # batch indexing depends on the device row width the
+                # run STARTED with (gapped re-tile varies by backend /
+                # mesh / env) — adopt the stored width so a run resumes
+                # correctly on a different backend or mesh shape, as
+                # long as the current mesh can shard it
+                stored = int(state.get("dev_max_len",
+                                       self._dev_max_len))
+                if self.mesh is not None:
+                    from ..parallel.mesh import SEQ_AXIS as _SEQ
+                    n_seq = self.mesh.shape.get(_SEQ, 1)
+                    if n_seq > 1 and stored % n_seq:
+                        raise ValueError(
+                            f"resuming a run batched at row width "
+                            f"{stored}, which the current mesh seq "
+                            f"axis {n_seq} cannot shard; resume on a "
+                            f"mesh whose seq axis divides it")
+                self._dev_max_len = stored
                 return state
             raise ValueError(
                 f"spill dir {self.dir} holds a different run "
                 f"(config/input changed); use a fresh directory")
         state = {
             "fingerprint": fp,
+            "dev_max_len": self._dev_max_len,
             "pass1_next_batch": 0,
             # ingest cursor of the chunk containing pass1_next_batch
             # (uncompressed byte offset; 0 = start, -1 = fallback parser

@@ -590,3 +590,44 @@ def test_gapped_retile_width_bit_identity(tmpdir, monkeypatch):
     sc.run()
     assert sc.final_table() == full
     assert count_fasta_multihost(path, cfg) == full
+
+
+def test_gapped_mesh_device_len_rounding(monkeypatch):
+    """KMER_TPU_GAPPED_MAXLEN with n_seq > 1 must round UP to a
+    multiple of n_seq at or above the window span — rounding down
+    yields max_len <= overlap and a segmenter assertion (review r4
+    repro: env=142, c_max=140, n_seq=8 returned 136 < span 140)."""
+    from kmer_tpu.pipeline.count import gapped_mesh_device_len
+    cfg = KmerConfig(gapped=True, max_read_len=512)     # span 140
+    monkeypatch.setenv("KMER_TPU_GAPPED_MAXLEN", "142")
+    w = gapped_mesh_device_len(cfg, 8)
+    assert w % 8 == 0 and w >= cfg.window_span
+    assert w == 144
+    # n_seq=1 keeps the exact override
+    assert gapped_mesh_device_len(cfg, 1) == 142
+
+
+def test_gapped_mesh_streaming_retile_bit_identity(tmpdir, monkeypatch):
+    """Mesh-attached StreamingCounter (seq > 1) with a forced narrower
+    device width == the full-width run (n_seq>1 branch of
+    gapped_mesh_device_len; the halo'd per-shard extraction must stay
+    exact at any tiling)."""
+    from kmer_tpu.parallel import mesh as mesh_lib
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    path = _write(tmpdir, random_reads_fasta(8, 280, seed=21), "ms.fasta")
+    cfg = KmerConfig(gapped=True, c_min=40, c_max=48, l_len=9, r_len=9,
+                     batch_reads=8, max_read_len=280, partitions=3)
+    m = mesh_lib.make_mesh(4, 2)
+    sc = StreamingCounter(path, cfg, os.path.join(tmpdir, "msp_full"),
+                          mesh=m)
+    sc.run()
+    full = sc.final_table()
+    from collections import Counter
+    want = Counter(oracle.oracle_gapped_lines(
+        oracle.read_fasta_py(path), l_len=9, r_len=9, c_min=40, c_max=48))
+    assert full.to_dict() == dict(want)
+    monkeypatch.setenv("KMER_TPU_GAPPED_MAXLEN", "100")
+    sc2 = StreamingCounter(path, cfg, os.path.join(tmpdir, "msp_narrow"),
+                           mesh=m)
+    sc2.run()
+    assert sc2.final_table() == full
