@@ -282,7 +282,7 @@ def gapped_mesh_device_len(cfg: KmerConfig, n_seq: int = 1) -> int:
     (w/n_seq + c_max-1 halo) fits the fused kernel's VMEM on TPU.
     Falls back to cfg.max_read_len when nothing fits — the mesh pairs
     step then raises its guided config error instead of a Mosaic OOM.
-    KMER_TPU_GAPPED_MAXLEN overrides (rounded down to a multiple of
+    KMER_TPU_GAPPED_MAXLEN overrides (rounded up to a multiple of
     n_seq)."""
     import os
     env_ml = os.environ.get("KMER_TPU_GAPPED_MAXLEN")

@@ -72,7 +72,10 @@ def _load():
 def _threads() -> int:
     env = os.environ.get("KMER_TPU_AGG_THREADS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass        # malformed knob: default, like the other envs
     return min(os.cpu_count() or 1, 16)
 
 
@@ -147,10 +150,13 @@ def decode_rows(words: np.ndarray, n_bases: int,
     lib = _load()
     if lib is None:
         return None
+    from ..ops.encode import words_per_key
     words = np.ascontiguousarray(words, np.uint32)
-    if words.ndim != 2 or words.shape[1] != (2 * n_bases + 31) // 32:
+    if words.ndim != 2 or words.shape[1] != words_per_key(n_bases):
         # wrong-width caller: decline so the numpy path raises its
         # words_per_key assertion instead of decoding garbage
+        # (width includes the sentinel bit: for 2k%32==0 — k=16/32/48 —
+        # the sentinel adds a word; the C wi/sh indexing handles it)
         return None
     stride = n_bases + (1 if newline else 0)
     out = np.empty((n, stride), np.uint8)
@@ -178,8 +184,9 @@ def format_tsv_rows(words: np.ndarray, counts: np.ndarray,
     lib = _load()
     if lib is None:
         return None
+    from ..ops.encode import words_per_key
     words = np.ascontiguousarray(words, np.uint32)
-    if words.ndim != 2 or words.shape[1] != (2 * n_bases + 31) // 32:
+    if words.ndim != 2 or words.shape[1] != words_per_key(n_bases):
         return None                      # see decode_rows
     counts = np.ascontiguousarray(counts, np.int64)
     # worst case: bases + tab + sign + 19 digits + newline

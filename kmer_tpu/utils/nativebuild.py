@@ -28,7 +28,18 @@ def autobuild_cdll(src: str, so_path: str,
     stale = (not os.path.exists(so_path)
              or os.path.getmtime(so_path) < os.path.getmtime(src))
     if stale:
-        subprocess.run(
-            ["g++", *CXXFLAGS, "-shared", "-o", so_path, src, *extra_link],
-            check=True, capture_output=True)
+        # build to a process-unique temp name and os.rename() into
+        # place (atomic on POSIX): two processes (multihost driver,
+        # pytest-xdist) may race the first-use build of the same path,
+        # and dlopening a concurrently-overwritten .so fails and
+        # latches the numpy fallback for one of them
+        tmp = f"{so_path}.tmp.{os.getpid()}"
+        try:
+            subprocess.run(
+                ["g++", *CXXFLAGS, "-shared", "-o", tmp, src, *extra_link],
+                check=True, capture_output=True)
+            os.rename(tmp, so_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return ctypes.CDLL(so_path)

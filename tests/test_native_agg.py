@@ -200,7 +200,9 @@ def test_format_tsv_matches_numpy(monkeypatch):
     widths and count magnitudes (1-digit .. 2^62)."""
     import io
     rng = np.random.default_rng(17)
-    for k in (8, 21, 54, 63):
+    # 16/32/48: sentinel adds a word (2k%32==0) — the width check must
+    # accept words_per_key, not (2k+31)//32 (ADVICE r4)
+    for k in (8, 16, 21, 32, 48, 54, 63):
         keys, _ = _rand_pairs(rng, k, 6_000, 6_000)
         mags = rng.integers(0, 62, len(keys))
         counts = (np.int64(1) << mags) + rng.integers(0, 9, len(keys))
