@@ -326,21 +326,47 @@ def count_fasta_multihost(path: str, cfg=None, gather: bool = True,
         batches = iter_batches(local_codes, local_offsets,
                                batch_reads=B_loc, max_len=dev_len,
                                overlap=cfg.overlap)
+    def iter_global_batches():
+        done = False
+        for _ in range(n_batches):
+            b = empty_batch()
+            if not done:
+                try:
+                    b = next(batches)
+                except StopIteration:
+                    done = True
+            yield global_batch(
+                mesh, {"codes": b.codes, "lengths": b.lengths,
+                       "limits": b.start_limits})
+
+    # dense mode (4^k histogram, k <= 12): psum over the WHOLE mesh
+    # makes every per-batch histogram already global, so there is no
+    # owner sharding and no final gather — every process accumulates
+    # the replicated psum output on device (i32, drained to a host
+    # int64 table on the same overflow schedule as count_codes) and
+    # returns the identical table regardless of `gather`.
+    if cfg.effective_mode == "dense":
+        dense_fn = distributed.make_distributed_dense(
+            mesh, k=cfg.k, canonical=cfg.canonical,
+            mask_ambiguous=cfg.skip_invalid)
+        drain_every = max(1, (2 ** 31 - 1)
+                          // max(cfg.batch_reads * dev_len, 1))
+        host_hist = np.zeros(4 ** cfg.k, np.int64)
+        hist = None
+        for nb, (gcodes, glens, glims) in enumerate(iter_global_batches(),
+                                                    start=1):
+            h = dense_fn(gcodes, glens, glims)
+            hist = h if hist is None else hist + h
+            if nb % drain_every == 0:
+                host_hist += np.asarray(hist).astype(np.int64)
+                hist = None
+        if hist is not None:
+            host_hist += np.asarray(hist).astype(np.int64)
+        return KmerTable.from_dense(host_hist, cfg.k)
+
     from ..pipeline.table import TableAccumulator
     acc = TableAccumulator(cfg.n_bases)
-    done = False
-    for _ in range(n_batches):
-        if not done:
-            try:
-                b = next(batches)
-            except StopIteration:
-                done = True
-                b = empty_batch()
-        else:
-            b = empty_batch()
-        gcodes, glens, glims = global_batch(
-            mesh, {"codes": b.codes, "lengths": b.lengths,
-                   "limits": b.start_limits})
+    for gcodes, glens, glims in iter_global_batches():
         # overflow is psum-replicated, so every process takes the same
         # retry decision and rebuilds with the same capacity — a
         # device's keys can never exceed its local lane count, which

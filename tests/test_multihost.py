@@ -98,3 +98,24 @@ def test_multihost_empty_input_key_width(tmp_path):
         assert t.num_distinct == 0
         assert t.k == cfg.n_bases
         assert t.keys.shape == (0, words_per_key(cfg.n_bases))
+
+
+def test_multihost_dense_psum_single_process(tmp_path):
+    """Dense mode through the multihost driver (psum over the whole
+    mesh): == count_fasta's dense table, and gather=False returns the
+    same already-global table."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.parallel.multihost import count_fasta_multihost
+    fa = tmp_path / "dense.fasta"
+    fa.write_text(random_reads_fasta(19, 70, seed=5))
+    for cfg in (
+        KmerConfig(k=8, mode="dense", batch_reads=8, max_read_len=96),
+        KmerConfig(k=6, mode="dense", canonical=True, batch_reads=8,
+                   max_read_len=96),
+        KmerConfig(k=9, mode="dense", batch_reads=8, max_read_len=96),
+    ):
+        ref = count_fasta(str(fa), cfg)
+        got = count_fasta_multihost(str(fa), cfg)
+        assert got == ref
+        assert count_fasta_multihost(str(fa), cfg, gather=False) == ref
