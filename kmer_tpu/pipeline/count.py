@@ -19,6 +19,7 @@ from ..ops import count as count_ops
 from ..ops.canonical import canonical_kmer_lanes
 from ..ops.extract import kmer_lanes
 from ..utils.stats import StatsLogger, Timer
+from ..utils import stagetime
 from .table import KmerTable
 
 
@@ -235,6 +236,14 @@ def count_step_compact(codes, lengths, limits, *, k: int, canonical: bool,
                                   mask_ambiguous=mask_ambiguous)
     return count_ops.grouped_count_compact(words, valid, k, group_keys,
                                            part_keys=part_keys)
+
+
+def _fetch_host(tree):
+    """Materialize a (possibly nested) device output on host — the
+    blocking readback, separated so stagetime can attribute it."""
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_fetch_host(x) for x in tree)
+    return np.asarray(tree)
 
 
 def fetch_compact_rows(row_blocks, total_rows) -> np.ndarray:
@@ -485,9 +494,12 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 
     def hybrid_accumulate(dev_out):
         s, is_start, counts = dev_out
-        counts = np.asarray(counts)
-        sel = np.asarray(is_start) & (counts > 0)
-        np.add.at(hybrid_hist, np.asarray(s[-1])[sel], counts[sel])
+        with stagetime.stage("readback"):
+            counts = np.asarray(counts)
+            sel = np.asarray(is_start) & (counts > 0)
+            idx = np.asarray(s[-1])[sel]
+        with stagetime.stage("host_merge"):
+            np.add.at(hybrid_hist, idx, counts[sel])
 
     drain_every = max(1, (2 ** 31 - 1) //
                       max(cfg.batch_reads * cfg.max_read_len, 1))
@@ -529,7 +541,8 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     def _harvest() -> None:
         nonlocal parts, buffered, flush_pairs
         if merge_inflight:
-            merged, n_in = merge_inflight.pop().result()
+            with stagetime.stage("host_merge"):
+                merged, n_in = merge_inflight.pop().result()
             aggregated_ids.add(id(merged))
             if merged.num_distinct > 0.75 * n_in:
                 # unique-heavy stream: merging barely compacted, and the
@@ -551,7 +564,8 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                     or (grouped and parts
                         and id(parts[0]) not in aggregated_ids))
             if need:
-                merged, _ = _do_merge(parts)
+                with stagetime.stage("host_merge"):
+                    merged, _ = _do_merge(parts)
                 parts = [merged]
             buffered = parts[0].num_distinct if parts else 0
             merge_pool.shutdown(wait=False)
@@ -567,9 +581,9 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # gapped: re-tile long reads to the fused kernel's VMEM fit
     # (gapped_device_len — exactness preserved by the overlap seams)
     dev_max_len = gapped_device_len(cfg) if cfg.gapped else cfg.max_read_len
-    for batch in iter_batches(codes, offsets, batch_reads=cfg.batch_reads,
-                              max_len=dev_max_len, overlap=cfg.overlap,
-                              packed=packed):
+    for batch in stagetime.stage_iter("batch_prep", iter_batches(
+            codes, offsets, batch_reads=cfg.batch_reads,
+            max_len=dev_max_len, overlap=cfg.overlap, packed=packed)):
         with Timer() as t:
             pw = batch.packed_width
             if mode == "dense" and not dense_hybrid:
@@ -582,58 +596,65 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                                         mask_ambiguous=cfg.skip_invalid,
                                         packed_width=pw)
                 if (n_batches + 1) % drain_every == 0:
-                    part = np.asarray(hist).astype(np.int64)
+                    with stagetime.stage("readback"):
+                        part = np.asarray(hist).astype(np.int64)
                     host_hist = part if host_hist is None else host_hist + part
                     hist = jnp.zeros((4 ** cfg.k,), jnp.int32)
             else:
-                if cfg.gapped and cfg.compact:
-                    out = gapped_step_compact(
-                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.start_limits),
-                        c_min=cfg.c_min, c_max=cfg.c_max,
-                        l_len=cfg.l_len, r_len=cfg.r_len,
-                        mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys or 256,
-                        packed_width=pw)
-                elif cfg.gapped:
-                    out = gapped_step_sort(
-                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.start_limits),
-                        c_min=cfg.c_min, c_max=cfg.c_max,
-                        l_len=cfg.l_len, r_len=cfg.r_len,
-                        mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys, packed_width=pw)
-                elif cfg.compact:
-                    out = count_step_compact(
-                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.start_limits),
-                        k=cfg.k, canonical=cfg.canonical,
-                        mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys, packed_width=pw)
-                elif seed_positions is not None:
-                    out = spaced_step_sort(
-                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.start_limits),
-                        positions=seed_positions, canonical=cfg.canonical,
-                        mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys, packed_width=pw)
-                else:
-                    out = count_step_sort(
-                        jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                        jnp.asarray(batch.start_limits),
-                        k=cfg.k, canonical=cfg.canonical,
-                        mask_ambiguous=cfg.skip_invalid,
-                        group_keys=cfg.sort_group_keys, packed_width=pw)
+                with stagetime.stage("dispatch"):
+                    if cfg.gapped and cfg.compact:
+                        out = gapped_step_compact(
+                            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits),
+                            c_min=cfg.c_min, c_max=cfg.c_max,
+                            l_len=cfg.l_len, r_len=cfg.r_len,
+                            mask_ambiguous=cfg.skip_invalid,
+                            group_keys=cfg.sort_group_keys or 256,
+                            packed_width=pw)
+                    elif cfg.gapped:
+                        out = gapped_step_sort(
+                            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits),
+                            c_min=cfg.c_min, c_max=cfg.c_max,
+                            l_len=cfg.l_len, r_len=cfg.r_len,
+                            mask_ambiguous=cfg.skip_invalid,
+                            group_keys=cfg.sort_group_keys, packed_width=pw)
+                    elif cfg.compact:
+                        out = count_step_compact(
+                            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits),
+                            k=cfg.k, canonical=cfg.canonical,
+                            mask_ambiguous=cfg.skip_invalid,
+                            group_keys=cfg.sort_group_keys, packed_width=pw)
+                    elif seed_positions is not None:
+                        out = spaced_step_sort(
+                            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits),
+                            positions=seed_positions, canonical=cfg.canonical,
+                            mask_ambiguous=cfg.skip_invalid,
+                            group_keys=cfg.sort_group_keys, packed_width=pw)
+                    else:
+                        out = count_step_sort(
+                            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                            jnp.asarray(batch.start_limits),
+                            k=cfg.k, canonical=cfg.canonical,
+                            mask_ambiguous=cfg.skip_invalid,
+                            group_keys=cfg.sort_group_keys, packed_width=pw)
                 if pending is not None:
                     if dense_hybrid:
                         hybrid_accumulate(pending)
                     else:
                         if cfg.compact:
-                            rows = fetch_compact_rows(*pending)
-                            btab = KmerTable.from_compact(n_bases, rows)
+                            with stagetime.stage("readback"):
+                                rows = fetch_compact_rows(*pending)
+                            with stagetime.stage("table_build"):
+                                btab = KmerTable.from_compact(n_bases, rows)
                         else:
-                            btab = KmerTable.from_device_runs(n_bases,
-                                                              *pending)
+                            with stagetime.stage("readback"):
+                                pend_h = _fetch_host(pending)
+                            with stagetime.stage("table_build"):
+                                btab = KmerTable.from_device_runs(n_bases,
+                                                                  *pend_h)
                         parts.append(btab)
                         buffered += btab.num_distinct
                         if buffered >= flush_pairs:
@@ -646,16 +667,22 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
         if dense_hybrid:
             hybrid_accumulate(pending)
         elif cfg.compact:
-            rows = fetch_compact_rows(*pending)
-            parts.append(KmerTable.from_compact(n_bases, rows))
+            with stagetime.stage("readback"):
+                rows = fetch_compact_rows(*pending)
+            with stagetime.stage("table_build"):
+                parts.append(KmerTable.from_compact(n_bases, rows))
         else:
-            parts.append(KmerTable.from_device_runs(n_bases, *pending))
+            with stagetime.stage("readback"):
+                pend_h = _fetch_host(pending)
+            with stagetime.stage("table_build"):
+                parts.append(KmerTable.from_device_runs(n_bases, *pend_h))
     flush(final=True)
     table = parts[0] if parts else KmerTable.empty(n_bases)
     if dense_hybrid:
         table = KmerTable.from_dense(hybrid_hist, cfg.k)
     elif mode == "dense":
-        final = np.asarray(hist).astype(np.int64)
+        with stagetime.stage("readback"):
+            final = np.asarray(hist).astype(np.int64)
         if host_hist is not None:
             final = final + host_hist
         table = KmerTable.from_dense(final, cfg.k)
@@ -693,13 +720,15 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
     for p in paths:
         if cfg.ingest_chunk_bases > 0:
             # parse chunk i+1 (native, GIL-released) while chunk i counts
-            chunks = prefetch_iter(
+            chunks = stagetime.stage_iter("ingest", prefetch_iter(
                 iter_parse_chunks(p, max_bases=cfg.ingest_chunk_bases,
                                   allow_ambiguous=cfg.skip_invalid,
-                                  min_qual=cfg.min_qual))
+                                  min_qual=cfg.min_qual)))
         else:
-            codes, offsets = parse_seqs(p, allow_ambiguous=cfg.skip_invalid,
-                                        min_qual=cfg.min_qual)
+            with stagetime.stage("ingest"):
+                codes, offsets = parse_seqs(p,
+                                            allow_ambiguous=cfg.skip_invalid,
+                                            min_qual=cfg.min_qual)
             chunks = [(codes, offsets, -1)]
         for codes, offsets, _cur in chunks:
             seen_any = True
@@ -709,4 +738,5 @@ def count_files(paths, cfg: KmerConfig | None = None, **cfg_kw) -> KmerTable:
         # (possibly empty) table of the right shape
         return count_codes(np.empty(0, np.uint8),
                            np.zeros(1, np.int64), cfg)
-    return acc.result()
+    with stagetime.stage("host_merge"):
+        return acc.result()
