@@ -26,7 +26,7 @@ _cache: dict = {}
 DENSE_BREAKEVEN_GBPS = 5.0
 
 
-def d2h_gbps(probe_mb: int = 16) -> float:
+def d2h_gbps(probe_mb: int = 4) -> float:
     """Device->host bandwidth in GB/s, measured once per process.
 
     Env override KMER_TPU_D2H_GBPS skips the probe entirely (useful in
@@ -45,11 +45,20 @@ def d2h_gbps(probe_mb: int = 16) -> float:
         if jax.default_backend() == "cpu":
             _cache["gbps"] = float("inf")
         else:
+            import jax.numpy as jnp
+
+            # a FRESH device buffer per rep: re-reading the same buffer
+            # is served from a host-side cache on remote attachments
+            # (measured r5: same-buffer rep read "4650 GB/s" on a
+            # ~15 MB/s tunnel — 5 orders of magnitude wrong, flipping
+            # every link-aware policy the wrong way), so each timed
+            # readback must see content the host has never fetched
             n = probe_mb << 20
-            x = jax.device_put(np.zeros((n // 4,), np.int32))
-            np.asarray(x)            # warm: first readback pays setup
+            make = jax.jit(lambda s: jnp.zeros((n // 4,), jnp.int32) + s)
+            np.asarray(make(0))      # warm: executable + link setup
             best = float("inf")
-            for _ in range(3):
+            for rep in (1, 2):
+                x = make(rep)
                 t0 = time.perf_counter()
                 np.asarray(x)
                 best = min(best, time.perf_counter() - t0)
