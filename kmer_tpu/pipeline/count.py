@@ -581,6 +581,21 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # gapped: re-tile long reads to the fused kernel's VMEM fit
     # (gapped_device_len — exactness preserved by the overlap seams)
     dev_max_len = gapped_device_len(cfg) if cfg.gapped else cfg.max_read_len
+    # TIGHT batch width (r5): narrow the device row width to this
+    # chunk's longest record (rounded up to a multiple of 32, floored
+    # at the window span) instead of always padding to
+    # cfg.max_read_len.  Exactness is free — reads longer than any
+    # width already split with overlap seams — and on slow links the
+    # padded lanes' readback dominates end-to-end (the r4 e2e corpus
+    # padded L=150 reads to 256: 1.8x the bytes for nothing).  At most
+    # a handful of bucketed widths ever compile; the persistent cache
+    # holds them.  KMER_TPU_TIGHT_WIDTH=0 restores fixed-width rows.
+    import os as _os
+    if (_os.environ.get("KMER_TPU_TIGHT_WIDTH", "1") != "0"
+            and len(offsets) > 1):
+        longest = int(np.max(np.diff(offsets)))
+        tight = -(-max(longest, cfg.window_span) // 32) * 32
+        dev_max_len = min(dev_max_len, tight)
     for batch in stagetime.stage_iter("batch_prep", iter_batches(
             codes, offsets, batch_reads=cfg.batch_reads,
             max_len=dev_max_len, overlap=cfg.overlap, packed=packed)):

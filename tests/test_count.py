@@ -631,3 +631,26 @@ def test_gapped_mesh_streaming_retile_bit_identity(tmpdir, monkeypatch):
                            mesh=m)
     sc2.run()
     assert sc2.final_table() == full
+
+
+def test_tight_width_bit_identity(tmpdir, monkeypatch):
+    """Tight device row width (r5: rows narrow to the chunk's longest
+    record) is bit-identical to fixed cfg.max_read_len rows — contiguous,
+    gapped, spaced, and reads longer than the narrow width still split
+    exactly at the overlap seams."""
+    reads = random_reads_fasta(9, 100, seed=21) + random_reads_fasta(
+        4, 37, seed=22) + random_reads_fasta(2, 300, seed=23)
+    path = _write(tmpdir, reads, "tw.fasta")
+    for cfg in (
+        KmerConfig(k=21, canonical=True, batch_reads=8, max_read_len=512),
+        KmerConfig(gapped=True, c_min=30, c_max=40, l_len=9, r_len=7,
+                   batch_reads=8, max_read_len=512),
+        KmerConfig(seed_mask="1101011", batch_reads=8, max_read_len=512),
+    ):
+        monkeypatch.setenv("KMER_TPU_TIGHT_WIDTH", "0")
+        ref = count_fasta(path, cfg)
+        monkeypatch.setenv("KMER_TPU_TIGHT_WIDTH", "1")
+        got = count_fasta(path, cfg)
+        assert got == ref
+        assert (got.keys == ref.keys).all()
+        assert (got.counts == ref.counts).all()
