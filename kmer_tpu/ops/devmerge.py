@@ -1,0 +1,119 @@
+"""Device-resident sorted-table accumulation ("device merge").
+
+On a slow host link the sort pipeline's bottleneck is per-batch D2H:
+every batch reads back ~10 bytes/lane of keys+counts even though the
+corpus' distinct table is a fraction of that (the r5 e2e probe measured
+a 10 k-read corpus spending 3.4 of 3.6 s in readback at ~15 MB/s).
+Dense mode already solves this for k <= 12 with a device-resident 4^k
+histogram; this op is the SPARSE analog for any k: the (keys, counts)
+table stays ON DEVICE, each batch's key stream is merged into it with
+two XLA sorts + associative scans (MXU/VPU-friendly, static shapes),
+and the host reads back only the final distinct rows once — D2H scales
+with DISTINCT keys, not lanes.
+
+Merge step (all static shapes, one jit per (C, N) pair):
+  concat state (C rows, sorted unique, sentinel-padded) with the
+  batch's N lanes -> lexicographic sort on the W key words ->
+  run totals via cumsum/backward-cummin (no scatter: a device
+  scatter-add costs ~10 ns/lane, r4 measurement) -> compact the run
+  starts to the front with a second sort on sentinel-masked keys.
+
+Dead lanes (padding, in-segment duplicates) carry count == 0 and are
+normalized to all-ones words, which sort past every real key: a real
+key's most-significant std word can never be all-ones (the key's
+sentinel bit caps it below 2^31 for W == 1, and below 2^(bits-32(W-1))
+with bits = 2k+1 odd otherwise).
+
+The capacity contract makes overflow IMPOSSIBLE rather than detected:
+callers must keep C >= distinct + N before every merge (drain and
+reset when the next batch might not fit); merge_batch never drops a
+key.  Reference semantics replaced: the per-batch stdout sort of
+main.rs:87-90, re-designed as a device-resident accumulator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+DEAD = jnp.uint32(0xFFFFFFFF)
+
+
+def empty_state(capacity: int, n_words: int):
+    """Fresh device state: all-sentinel keys, zero counts."""
+    words = [jnp.full((capacity,), DEAD, jnp.uint32)
+             for _ in range(n_words)]
+    counts = jnp.zeros((capacity,), jnp.int32)
+    return words, counts
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def merge_batch(state_words, state_counts, batch_words, batch_counts):
+    """Merge one batch's (duplicated, dead-padded) key stream into the
+    sorted unique device table.
+
+    state_words: list of W (C,) uint32, sorted unique keys with
+    all-ones padding; state_counts: (C,) int32.
+    batch_words: list of W (N,) uint32 lanes; batch_counts: (N,) any
+    int dtype — lanes with count <= 0 are dead.
+    Returns (words, counts, distinct): same state shapes, plus the
+    number of live rows.  Requires C >= distinct_before + N.
+    """
+    W = len(state_words)
+    bc = batch_counts.reshape(-1).astype(jnp.int32)
+    dead = bc <= 0
+    bw = [jnp.where(dead, DEAD, w.reshape(-1).astype(jnp.uint32))
+          for w in batch_words]
+    bc = jnp.where(dead, 0, bc)
+
+    ops = ([jnp.concatenate([sw, b]) for sw, b in zip(state_words, bw)]
+           + [jnp.concatenate([state_counts, bc])])
+    sorted_ops = lax.sort(ops, num_keys=W)
+    kw, counts = sorted_ops[:W], sorted_ops[W]
+
+    neq = kw[0][1:] != kw[0][:-1]
+    for w in kw[1:]:
+        neq = neq | (w[1:] != w[:-1])
+    starts = jnp.concatenate([jnp.ones((1,), bool), neq])
+    ends = jnp.concatenate([neq, jnp.ones((1,), bool)])
+
+    # run totals without scatter: csum at my run's END minus csum just
+    # before my run's START.  The nearest end at-or-after every row is
+    # its own run's end; csum is nondecreasing, so that end carries the
+    # SMALLEST csum among ends at-or-after i — a backward cummin over
+    # (csum where end, else INT_MAX) propagates it to the whole run.
+    # i32 csum contract: callers drain before the total count in
+    # state+batch could reach 2^31 (the drivers' drain_every schedule).
+    csum = jnp.cumsum(counts)
+    big = jnp.int32(2 ** 31 - 1)
+    end_csum = lax.cummin(jnp.where(ends, csum, big)[::-1])[::-1]
+    totals = end_csum - (csum - counts)
+
+    live = starts & (kw[0] != DEAD)
+    distinct = jnp.sum(live.astype(jnp.int32))
+
+    masked = [jnp.where(live, w, DEAD) for w in kw]
+    packed = lax.sort(masked + [jnp.where(live, totals, 0)], num_keys=W)
+    C = state_counts.shape[0]
+    new_words = [w[:C] for w in packed[:W]]
+    new_counts = packed[W][:C].astype(jnp.int32)
+    return new_words, new_counts, distinct
+
+
+def fetch_state(state_words, state_counts, distinct: int):
+    """Host fetch of the live prefix, rounded up to a power-of-two
+    bucket so at most ~log2 transfer shapes ever compile (the
+    fetch_compact_rows discipline): (keys (d, W) uint32, counts (d,)
+    int64)."""
+    d = int(distinct)
+    if d == 0:
+        W = len(state_words)
+        return np.zeros((0, W), np.uint32), np.zeros((0,), np.int64)
+    cap = min(state_counts.shape[0], 1 << max(10, (d - 1).bit_length()))
+    keys = np.stack([np.asarray(w[:cap])[:d] for w in state_words], axis=1)
+    counts = np.asarray(state_counts[:cap])[:d].astype(np.int64)
+    return keys, counts

@@ -246,6 +246,29 @@ def _fetch_host(tree):
     return np.asarray(tree)
 
 
+# devmerge trades per-batch D2H (~10 B/lane) for two device sorts per
+# batch; on fast links the readback is already cheap and the sorts are
+# pure overhead.  Breakeven ~ (bytes/lane) / (sort seconds/lane).
+DEVMERGE_BREAKEVEN_GBPS = 0.5
+
+
+def _devmerge_ok() -> bool:
+    """Device-resident table accumulation policy (ops/devmerge): on by
+    force (KMER_TPU_DEVMERGE=1), off by force (=0); auto = TPU backend
+    with a measured D2H link below the breakeven (the probed-tunnel
+    case, utils.linkspeed)."""
+    import os
+    env = os.environ.get("KMER_TPU_DEVMERGE")
+    if env in ("0", "1"):
+        return env == "1"
+    if jax.default_backend() != "tpu":
+        return False
+    from ..utils.linkspeed import d2h_gbps
+    thr = float(os.environ.get("KMER_TPU_DEVMERGE_LINK_GBPS",
+                               str(DEVMERGE_BREAKEVEN_GBPS)))
+    return d2h_gbps() < thr
+
+
 def fetch_compact_rows(row_blocks, total_rows) -> np.ndarray:
     """Host fetch of a compacted batch: transfers only ~total_rows
     128-lane rows (rounded up to a power-of-two bucket so at most ~log2
@@ -538,6 +561,34 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
 
     aggregated_ids: set = set()     # parts that are already sorted-unique
 
+    # DEVICE-RESIDENT sorted-table accumulation (r5, ops/devmerge):
+    # keys+counts stay on device across batches; the host reads back
+    # only distinct rows (once, at drain) instead of ~10 B/lane every
+    # batch — the sparse analog of dense mode for slow links.
+    devmerge_on = (mode == "sort" and grouped and not cfg.compact
+                   and _devmerge_ok())
+    dm_words = dm_counts = None     # lazy device state (first batch)
+    dm_distinct = 0                 # host mirror of live rows
+    dm_total = 0                    # kmers merged since last drain
+
+    def dm_drain() -> None:
+        nonlocal dm_words, dm_counts, dm_distinct, dm_total, buffered
+        if dm_words is None:
+            return
+        from ..ops import devmerge
+        with stagetime.stage("readback"):
+            keys, cts = devmerge.fetch_state(dm_words, dm_counts,
+                                             dm_distinct)
+        if len(cts):
+            t = KmerTable(n_bases, keys, cts)
+            aggregated_ids.add(id(t))   # already sorted-unique
+            parts.append(t)
+            buffered += t.num_distinct
+        dm_words, dm_counts = devmerge.empty_state(dm_counts.shape[0],
+                                                   len(dm_words))
+        dm_distinct = 0
+        dm_total = 0
+
     def _harvest() -> None:
         nonlocal parts, buffered, flush_pairs
         if merge_inflight:
@@ -655,7 +706,29 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                             k=cfg.k, canonical=cfg.canonical,
                             mask_ambiguous=cfg.skip_invalid,
                             group_keys=cfg.sort_group_keys, packed_width=pw)
-                if pending is not None:
+                if devmerge_on:
+                    from ..ops import devmerge
+                    words_out, _is_start, counts_out = out
+                    n_lanes = int(np.prod(counts_out.shape))
+                    if dm_words is None:
+                        import os as _os2
+                        rows = 1 << max(16,
+                                        (2 * n_lanes - 1).bit_length())
+                        rows = int(_os2.environ.get(
+                            "KMER_TPU_DEVMERGE_ROWS", str(rows)))
+                        dm_words, dm_counts = devmerge.empty_state(
+                            rows, len(words_out))
+                    elif (dm_distinct + n_lanes > dm_counts.shape[0]
+                          or dm_total + n_lanes > 2 ** 31 - 1):
+                        dm_drain()
+                    with stagetime.stage("dispatch"):
+                        dm_words, dm_counts, d = devmerge.merge_batch(
+                            dm_words, dm_counts, list(words_out),
+                            counts_out)
+                    with stagetime.stage("device_sync"):
+                        dm_distinct = int(d)
+                    dm_total += n_lanes
+                elif pending is not None:
                     if dense_hybrid:
                         hybrid_accumulate(pending)
                     else:
@@ -674,7 +747,8 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                         buffered += btab.num_distinct
                         if buffered >= flush_pairs:
                             flush()
-                pending = out
+                if not devmerge_on:
+                    pending = out
         n_batches += 1
         log.log("batch", i=n_batches, reads=int((batch.lengths > 0).sum()),
                 secs=round(t.elapsed, 4))
@@ -691,6 +765,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 pend_h = _fetch_host(pending)
             with stagetime.stage("table_build"):
                 parts.append(KmerTable.from_device_runs(n_bases, *pend_h))
+    dm_drain()          # devmerge: the one distinct-rows readback
     flush(final=True)
     table = parts[0] if parts else KmerTable.empty(n_bases)
     if dense_hybrid:

@@ -1,0 +1,124 @@
+"""Device-resident sorted-table accumulation (ops/devmerge)."""
+
+import numpy as np
+import pytest
+
+from kmer_tpu.ops import devmerge
+
+
+def _merge_np(table: dict, keys, counts):
+    for k, c in zip(keys, counts):
+        if c > 0:
+            table[tuple(k)] = table.get(tuple(k), 0) + int(c)
+    return table
+
+
+def _as_batch(keys_2d, counts, W):
+    words = [np.ascontiguousarray(keys_2d[:, i]) for i in range(W)]
+    return words, np.asarray(counts, np.int32)
+
+
+@pytest.mark.parametrize("W", [1, 2, 3])
+def test_merge_batches_equal_oracle(W):
+    rng = np.random.default_rng(W)
+    C = 1 << 12
+    words, counts = devmerge.empty_state(C, W)
+    oracle: dict = {}
+    for batch in range(4):
+        n = int(rng.integers(500, 1500))
+        keys = rng.integers(0, 50, (n, W)).astype(np.uint32)
+        cts = rng.integers(0, 4, n).astype(np.int32)   # some dead (0)
+        words, counts, d = devmerge.merge_batch(
+            words, counts, *_as_batch(keys, cts, W))
+        _merge_np(oracle, keys, cts)
+        assert int(d) == len(oracle)
+    k, c = devmerge.fetch_state(words, counts, int(d))
+    got = {tuple(row): int(cc) for row, cc in zip(k, c)}
+    assert got == {k2: v for k2, v in oracle.items()}
+    # sorted unique ascending, lexicographic on words
+    as_tuples = [tuple(int(x) for x in row) for row in k]
+    assert as_tuples == sorted(as_tuples)
+
+
+def test_merge_all_dead_and_empty_fetch():
+    W = 2
+    words, counts = devmerge.empty_state(256, W)
+    keys = np.full((64, W), 7, np.uint32)
+    cts = np.zeros(64, np.int32)
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    assert int(d) == 0
+    k, c = devmerge.fetch_state(words, counts, 0)
+    assert k.shape == (0, W) and c.shape == (0,)
+
+
+def test_merge_counts_accumulate_across_batches():
+    W = 1
+    words, counts = devmerge.empty_state(128, W)
+    keys = np.array([[3], [3], [9]], np.uint32)
+    cts = np.array([2, 5, 1], np.int32)
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    k, c = devmerge.fetch_state(words, counts, int(d))
+    assert k.tolist() == [[3], [9]]
+    assert c.tolist() == [14, 2]
+
+
+def test_capacity_exact_fit():
+    """C == distinct + N is legal (the contract's boundary)."""
+    W = 1
+    N = 8
+    words, counts = devmerge.empty_state(N, W)      # C = N, state empty
+    keys = np.arange(N, dtype=np.uint32).reshape(-1, 1)
+    cts = np.ones(N, np.int32)
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    assert int(d) == N
+    k, c = devmerge.fetch_state(words, counts, N)
+    assert k[:, 0].tolist() == list(range(N))
+    assert c.tolist() == [1] * N
+
+
+def test_count_fasta_devmerge_bit_identity(tmp_path, monkeypatch):
+    """Forced devmerge (device-resident table) is bit-identical to the
+    per-batch readback path — contiguous, gapped, spaced, multi-batch."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    fa = tmp_path / "dm.fasta"
+    fa.write_text(random_reads_fasta(37, 90, seed=11))
+    for cfg in (
+        KmerConfig(k=21, canonical=True, batch_reads=8, max_read_len=96),
+        KmerConfig(k=45, batch_reads=8, max_read_len=96),
+        KmerConfig(gapped=True, l_len=5, r_len=5, c_min=12, c_max=16,
+                   batch_reads=8, max_read_len=96),
+        KmerConfig(seed_mask="1101011", canonical=True, batch_reads=8,
+                   max_read_len=96),
+    ):
+        monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+        ref = count_fasta(str(fa), cfg)
+        monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+        got = count_fasta(str(fa), cfg)
+        assert got == ref
+        assert (got.keys == ref.keys).all()
+        assert (got.counts == ref.counts).all()
+
+
+def test_count_fasta_devmerge_forced_drains(tmp_path, monkeypatch):
+    """A tiny capacity forces a drain before (nearly) every merge; the
+    table must still be exact."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    fa = tmp_path / "dmd.fasta"
+    fa.write_text(random_reads_fasta(25, 64, seed=12))
+    cfg = KmerConfig(k=15, batch_reads=4, max_read_len=64)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    ref = count_fasta(str(fa), cfg)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+    # capacity just above one batch's lane count (4 reads x 50 lanes,
+    # width rounded to 64 -> 4 x 50 = 200 lanes) so distinct+N exceeds
+    # it on the second merge
+    monkeypatch.setenv("KMER_TPU_DEVMERGE_ROWS", "512")
+    got = count_fasta(str(fa), cfg)
+    assert got == ref
