@@ -18,6 +18,8 @@ Usage: python scripts/scaling_bench.py [--k 21] [--b-per-dev 4096]
 """
 
 import argparse
+import hashlib
+import json
 import sys
 import time
 
@@ -72,6 +74,7 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--nblocks", type=int, default=4)
+    ap.add_argument("--json", help="write a JSON artifact here")
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
@@ -90,6 +93,53 @@ def main():
         unit, div = ("B", 1e9) if rates[1] >= 1e8 else ("M", 1e6)
         print(f"n={n:3d}  {r/div:10.2f} {unit} kmers/s  "
               f"per-dev {r/n/div:8.2f} {unit}  eff={eff:.3f}", flush=True)
+
+    # bit-identity across mesh sizes: one fixed corpus through the
+    # production pair-routed step per size; the md5 over the final
+    # (keys, counts) bytes must be identical for every mesh
+    from kmer_tpu.ops.encode import BASE_ORDER, encode_seq
+    from kmer_tpu.pipeline.table import KmerTable
+    rng = np.random.default_rng(5)
+    Bc, Lc = 64, 96
+    seqs = ["".join(BASE_ORDER[c] for c in rng.integers(0, 4, Lc))
+            for _ in range(Bc)]
+    codes = np.stack([encode_seq(x) for x in seqs])
+    lens = np.full((Bc,), Lc, np.int32)
+    checks = {}
+    for n in sizes:
+        m = mesh_lib.make_mesh(n, 1)
+        fn = distributed.make_distributed_count_pairs(m, k=args.k,
+                                                      canonical=True)
+        words, counts, over = fn(jnp.asarray(codes), jnp.asarray(lens),
+                                 jnp.asarray(lens))
+        assert not bool(over)
+        t = KmerTable.from_routed_pairs(args.k, words, counts)
+        checks[n] = hashlib.md5(
+            t.keys.tobytes() + t.counts.tobytes()).hexdigest()
+    assert len(set(checks.values())) == 1, checks
+    print(f"bit-identity md5 across meshes {sizes}: "
+          f"{checks[sizes[0]]}", flush=True)
+
+    if args.json:
+        out = {
+            "backend": jax.default_backend(),
+            "device_kind": jax.devices()[0].device_kind,
+            "k": args.k, "b_per_dev": args.b_per_dev,
+            "read_len": args.read_len,
+            "mesh_sizes": sizes,
+            "kmers_per_sec": {str(n): round(rates[n]) for n in sizes},
+            "efficiency_vs_1": {str(n): round(rates[n] / (n * rates[1]), 4)
+                                for n in sizes},
+            "table_md5_across_meshes": checks[sizes[0]],
+            "validity": ("virtual CPU mesh: validates the sharding/"
+                         "collective structure and bit-identity, NOT "
+                         "silicon scaling (devices share host cores)"
+                         if jax.default_backend() != "tpu" else
+                         "real TPU mesh"),
+        }
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":
