@@ -117,3 +117,83 @@ def fetch_state(state_words, state_counts, distinct: int):
     keys = np.stack([np.asarray(w[:cap])[:d] for w in state_words], axis=1)
     counts = np.asarray(state_counts[:cap])[:d].astype(np.int64)
     return keys, counts
+
+
+# ---------------------------------------------------------------------------
+# Wire-compressed drain (W <= 2): the drain readback dominates slow-link
+# end-to-end once merging is device-resident, and sorted keys compress
+# trivially — per-row DELTAS almost always fit 32 bits and counts almost
+# always fit 8.  The encoded planes are 5 B/row (u32 delta + u8 count)
+# vs 12 B raw, with a fixed-size escape patch for the rare rows whose
+# delta needs the high word or whose count exceeds 255 (first row
+# included: its "delta" is the key itself).  If the patch overflows —
+# pathologically sparse tables — the caller falls back to the raw
+# fetch; compression is a fast path, never a correctness dependence.
+
+WIRE_PATCH_ROWS = 4096
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def wire_encode(state_words, state_counts, rows: int):
+    """Encode the first `rows` live rows for transfer: returns
+    (delta_lo (rows,) u32, count8 (rows,) u8, patch (P, 3) u32,
+    n_escapes scalar).  patch rows are (idx, delta_hi, count) for
+    escaped rows, compacted to the front, idx == 0xFFFFFFFF beyond
+    n_escapes.  Only W <= 2 states; dead rows (count 0) never escape."""
+    W = len(state_words)
+    assert W <= 2, W
+    c = state_counts[:rows]
+    if W == 1:
+        hi = jnp.zeros((rows,), jnp.uint32)
+        lo = state_words[0][:rows]
+    else:
+        hi, lo = state_words[0][:rows], state_words[1][:rows]
+    zero = jnp.zeros((1,), jnp.uint32)
+    prev_hi = jnp.concatenate([zero, hi[:-1]])
+    prev_lo = jnp.concatenate([zero, lo[:-1]])
+    borrow = (lo < prev_lo).astype(jnp.uint32)
+    dl = lo - prev_lo
+    dh = hi - prev_hi - borrow
+    live = c > 0
+    esc = live & ((dh != 0) | (c > 255))
+    cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
+    idx = jnp.arange(rows, dtype=jnp.uint32)
+    key = jnp.where(esc, idx, jnp.uint32(0xFFFFFFFF))
+    sk, sdh, sc = lax.sort([key, dh, c.astype(jnp.uint32)], num_keys=1)
+    P = WIRE_PATCH_ROWS
+    patch = jnp.stack([sk[:P], sdh[:P], sc[:P]], axis=1)
+    return dl, cnt8, patch, jnp.sum(esc.astype(jnp.int32))
+
+
+def fetch_state_wire(state_words, state_counts, distinct: int):
+    """Wire-compressed host fetch (W <= 2): same result as fetch_state
+    at ~5 B/row instead of 12.  Returns None when the escape patch
+    overflowed (caller uses fetch_state)."""
+    d = int(distinct)
+    W = len(state_words)
+    if d == 0 or W > 2:
+        return None if W > 2 else fetch_state(state_words, state_counts, 0)
+    rows = min(state_counts.shape[0],
+               1 << max(10, (d - 1).bit_length()))
+    dl, cnt8, patch, n_esc = wire_encode(state_words, state_counts,
+                                         rows)
+    n_esc = int(n_esc)
+    if n_esc > WIRE_PATCH_ROWS:
+        return None
+    dl = np.asarray(dl)[:d].astype(np.uint64)
+    counts = np.asarray(cnt8)[:d].astype(np.int64)
+    if n_esc:
+        p = np.asarray(patch[:n_esc])
+        pidx = p[:, 0].astype(np.int64)
+        sel = pidx < d            # escapes beyond d live in dead space
+        pidx, pdh, pc = pidx[sel], p[sel, 1], p[sel, 2]
+        dl[pidx] += pdh.astype(np.uint64) << np.uint64(32)
+        counts[pidx] = pc.astype(np.int64)
+    keys64 = np.cumsum(dl, dtype=np.uint64)
+    if W == 1:
+        keys = keys64.astype(np.uint32).reshape(-1, 1)
+    else:
+        keys = np.empty((d, 2), np.uint32)
+        keys[:, 0] = (keys64 >> np.uint64(32)).astype(np.uint32)
+        keys[:, 1] = keys64.astype(np.uint32)
+    return keys, counts

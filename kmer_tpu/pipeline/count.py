@@ -577,8 +577,16 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
             return
         from ..ops import devmerge
         with stagetime.stage("readback"):
-            keys, cts = devmerge.fetch_state(dm_words, dm_counts,
+            # wire-compressed drain (~5 B/row vs 12) when W <= 2; the
+            # raw fetch is the fallback for wide keys and patch
+            # overflow (pathologically sparse tables)
+            got = (devmerge.fetch_state_wire(dm_words, dm_counts,
                                              dm_distinct)
+                   if len(dm_words) <= 2 else None)
+            if got is None:
+                got = devmerge.fetch_state(dm_words, dm_counts,
+                                           dm_distinct)
+            keys, cts = got
         if len(cts):
             t = KmerTable(n_bases, keys, cts)
             aggregated_ids.add(id(t))   # already sorted-unique

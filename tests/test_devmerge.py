@@ -122,3 +122,44 @@ def test_count_fasta_devmerge_forced_drains(tmp_path, monkeypatch):
     monkeypatch.setenv("KMER_TPU_DEVMERGE_ROWS", "512")
     got = count_fasta(str(fa), cfg)
     assert got == ref
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_wire_fetch_matches_raw(W):
+    """Wire-compressed drain == raw fetch, including count-255 edge,
+    counts > 255 (escape), and 2^32-straddling key gaps (escape)."""
+    rng = np.random.default_rng(3 + W)
+    C = 1 << 12
+    words, counts = devmerge.empty_state(C, W)
+    n = 900
+    if W == 1:
+        keys = np.sort(rng.choice(2 ** 31, n, replace=False)
+                       ).astype(np.uint32).reshape(-1, 1)
+    else:
+        # sparse in 2^40: forces many high-word (>= 2^32) deltas
+        k64 = np.sort(rng.choice(1 << 40, n, replace=False))
+        keys = np.stack([(k64 >> 32).astype(np.uint32),
+                         k64.astype(np.uint32)], axis=1)
+    cts = rng.integers(1, 4, n).astype(np.int32)
+    cts[5] = 255          # boundary: encodes without escape
+    cts[6] = 256          # escape
+    cts[7] = 100000       # escape
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    raw_k, raw_c = devmerge.fetch_state(words, counts, int(d))
+    wire = devmerge.fetch_state_wire(words, counts, int(d))
+    assert wire is not None
+    wk, wc = wire
+    assert np.array_equal(wk, raw_k)
+    assert np.array_equal(wc, raw_c)
+
+
+def test_wire_fetch_w3_declines():
+    words, counts = devmerge.empty_state(64, 3)
+    assert devmerge.fetch_state_wire(words, counts, 0) is None or \
+        devmerge.fetch_state_wire(words, counts, 0)[0].shape == (0, 3)
+    # non-empty W=3 must decline (caller falls back)
+    keys = np.array([[1, 2, 3]], np.uint32)
+    w, c, d = devmerge.merge_batch(words, counts,
+                                   *_as_batch(keys, [1], 3))
+    assert devmerge.fetch_state_wire(w, c, int(d)) is None
