@@ -322,33 +322,7 @@ class StreamingCounter:
             s, is_start, counts, _ = out
             return KmerTable.from_device_runs(self._n_bases, s, is_start,
                                               counts)
-        if cfg.gapped:
-            from .count import gapped_step_sort
-            s, is_start, counts = gapped_step_sort(
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.start_limits),
-                c_min=cfg.c_min, c_max=cfg.c_max,
-                l_len=cfg.l_len, r_len=cfg.r_len,
-                mask_ambiguous=cfg.skip_invalid,
-                group_keys=cfg.sort_group_keys, packed_width=pw)
-        elif cfg.seed_mask is not None:
-            from ..ops.extract import parse_seed_mask
-            from .count import spaced_step_sort
-            s, is_start, counts = spaced_step_sort(
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.start_limits),
-                positions=parse_seed_mask(cfg.seed_mask),
-                canonical=cfg.canonical,
-                mask_ambiguous=cfg.skip_invalid,
-                group_keys=cfg.sort_group_keys, packed_width=pw)
-        else:
-            from .count import count_step_sort
-            s, is_start, counts = count_step_sort(
-                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
-                jnp.asarray(batch.start_limits),
-                k=cfg.k, canonical=cfg.canonical,
-                mask_ambiguous=cfg.skip_invalid,
-                group_keys=cfg.sort_group_keys, packed_width=pw)
+        s, is_start, counts = self._batch_step_raw(batch)
         table = KmerTable.from_device_runs(self._n_bases, s, is_start, counts)
         if cfg.sort_group_keys > 0:
             # grouped output is only group-locally sorted; _spill_table
@@ -356,6 +330,39 @@ class StreamingCounter:
             table = KmerTable.from_pairs(self._n_bases, table.keys,
                                          table.counts)
         return table
+
+    def _batch_step_raw(self, batch):
+        """Non-distributed device step: (std words, is_start, counts) —
+        shared by the per-batch table path and the devmerge path."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        pw = getattr(batch, "packed_width", 0)
+        if cfg.gapped:
+            from .count import gapped_step_sort
+            return gapped_step_sort(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits),
+                c_min=cfg.c_min, c_max=cfg.c_max,
+                l_len=cfg.l_len, r_len=cfg.r_len,
+                mask_ambiguous=cfg.skip_invalid,
+                group_keys=cfg.sort_group_keys, packed_width=pw)
+        if cfg.seed_mask is not None:
+            from ..ops.extract import parse_seed_mask
+            from .count import spaced_step_sort
+            return spaced_step_sort(
+                jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+                jnp.asarray(batch.start_limits),
+                positions=parse_seed_mask(cfg.seed_mask),
+                canonical=cfg.canonical,
+                mask_ambiguous=cfg.skip_invalid,
+                group_keys=cfg.sort_group_keys, packed_width=pw)
+        from .count import count_step_sort
+        return count_step_sort(
+            jnp.asarray(batch.codes), jnp.asarray(batch.lengths),
+            jnp.asarray(batch.start_limits),
+            k=cfg.k, canonical=cfg.canonical,
+            mask_ambiguous=cfg.skip_invalid,
+            group_keys=cfg.sort_group_keys, packed_width=pw)
 
     def run_pass1(self, max_batches: int | None = None) -> None:
         """Pass 1; `max_batches` limits work this call (for tests and
@@ -379,6 +386,13 @@ class StreamingCounter:
         n_done = 0
         packed = (cfg.packed_transfer and not cfg.skip_invalid
                   and self._dist_fn is None)
+        # devmerge (r5): device-resident accumulation with drain-commit
+        # checkpoints (policy shared with count_codes)
+        from .count import _devmerge_ok
+        use_dm = (self._dist_fn is None and cfg.effective_mode == "sort"
+                  and cfg.sort_group_keys > 0 and not cfg.compact
+                  and _devmerge_ok())
+        dm = {"words": None, "counts": None, "distinct": 0, "total": 0}
         if cfg.ingest_chunk_bases > 0:
             chunks = iter_parse_chunks(
                 self.fasta, max_bases=cfg.ingest_chunk_bases,
@@ -407,7 +421,19 @@ class StreamingCounter:
                     start_batch=max(skip, 0), packed=packed),
                     start=global_i + max(skip, 0)):
                 if max_batches is not None and n_done >= max_batches:
+                    if use_dm:
+                        # cooperative pause: keep the work
+                        self._dm_commit(dm, next_batch=start)
                     return
+                if use_dm:
+                    with Timer() as t:
+                        self._dm_merge(dm, batch, i)
+                    start = i + 1
+                    n_done += 1
+                    self.log.log("pass1_batch", i=i,
+                                 distinct=dm["distinct"],
+                                 secs=round(t.elapsed, 4))
+                    continue
                 with Timer() as t:
                     table = self._batch_table(batch)
                     self._spill_table(table)
@@ -419,9 +445,15 @@ class StreamingCounter:
                              secs=round(t.elapsed, 4))
             global_i += n_in_chunk
             if next_cur > 0:
+                if use_dm:
+                    # the cursor skips this chunk's bytes on resume, so
+                    # everything before it must be durably spilled
+                    self._dm_commit(dm, next_batch=start)
                 self.state["pass1_cursor"] = next_cur
                 self.state["pass1_cursor_batch"] = global_i
                 self._checkpoint()
+        if use_dm:
+            self._dm_commit(dm, next_batch=start)
         self.state["pass1_done"] = True
         self._checkpoint()
         self.log.log("pass1_done", batches=self.state["pass1_next_batch"])
@@ -446,6 +478,49 @@ class StreamingCounter:
             with open(self._part_path(p), "ab") as f:
                 f.write(data)
             self.state["part_bytes"][p] += len(data)
+
+    # devmerge pass-1 (r5): batches accumulate in the on-device sorted
+    # table (ops/devmerge) and the manifest cursor advances ONLY at
+    # drains — a crash between drains re-counts the un-drained batches
+    # on resume (their spills were never written, so nothing doubles).
+    def _dm_merge(self, dm, batch, i: int) -> None:
+        from ..ops import devmerge
+        s_words, _is_start, cts = self._batch_step_raw(batch)
+        n_lanes = int(np.prod(cts.shape))
+        if dm["words"] is None:
+            rows = 1 << max(16, (2 * n_lanes - 1).bit_length())
+            rows = int(os.environ.get("KMER_TPU_DEVMERGE_ROWS",
+                                      str(rows)))
+            dm["words"], dm["counts"] = devmerge.empty_state(
+                rows, len(s_words))
+        elif (dm["distinct"] + n_lanes > dm["counts"].shape[0]
+              or dm["total"] + n_lanes > 2 ** 31 - 1):
+            self._dm_commit(dm, next_batch=i)   # batches < i drained
+        dm["words"], dm["counts"], d = devmerge.merge_batch(
+            dm["words"], dm["counts"], list(s_words), cts)
+        dm["distinct"] = int(d)
+        dm["total"] += n_lanes
+
+    def _dm_commit(self, dm, next_batch: int) -> None:
+        """Drain the device table into the spills and atomically commit
+        the pass-1 cursor (the devmerge checkpoint unit)."""
+        from ..ops import devmerge
+        if dm["words"] is not None and dm["distinct"]:
+            got = (devmerge.fetch_state_wire(dm["words"], dm["counts"],
+                                             dm["distinct"])
+                   if len(dm["words"]) <= 2 else None)
+            if got is None:
+                got = devmerge.fetch_state(dm["words"], dm["counts"],
+                                           dm["distinct"])
+            keys, cts = got
+            self._spill_table(KmerTable(self._n_bases, keys, cts))
+            dm["words"], dm["counts"] = devmerge.empty_state(
+                dm["counts"].shape[0], len(dm["words"]))
+            dm["distinct"] = 0
+            dm["total"] = 0
+        if next_batch > self.state["pass1_next_batch"]:
+            self.state["pass1_next_batch"] = next_batch
+        self._checkpoint()
 
     # ---------------------------------------------------------- pass 2
 
