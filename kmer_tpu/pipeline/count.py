@@ -568,14 +568,21 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     devmerge_on = (mode == "sort" and grouped and not cfg.compact
                    and _devmerge_ok())
     dm_words = dm_counts = None     # lazy device state (first batch)
-    dm_distinct = 0                 # host mirror of live rows
+    dm_distinct = 0                 # host mirror of live rows (synced)
+    dm_bound = 0                    # upper bound: distinct <= bound
     dm_total = 0                    # kmers merged since last drain
+    dm_d = None                     # device scalar from the last merge
 
     def dm_drain() -> None:
-        nonlocal dm_words, dm_counts, dm_distinct, dm_total, buffered
+        nonlocal dm_words, dm_counts, dm_distinct, dm_bound, dm_total, \
+            dm_d, buffered
         if dm_words is None:
             return
         from ..ops import devmerge
+        if dm_d is not None:
+            with stagetime.stage("device_sync"):
+                dm_distinct = int(dm_d)
+            dm_d = None
         with stagetime.stage("readback"):
             # wire-compressed drain (~5 B/row vs 12) when W <= 2; the
             # raw fetch is the fallback for wide keys and patch
@@ -595,6 +602,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
         dm_words, dm_counts = devmerge.empty_state(dm_counts.shape[0],
                                                    len(dm_words))
         dm_distinct = 0
+        dm_bound = 0
         dm_total = 0
 
     def _harvest() -> None:
@@ -726,15 +734,26 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                             "KMER_TPU_DEVMERGE_ROWS", str(rows)))
                         dm_words, dm_counts = devmerge.empty_state(
                             rows, len(words_out))
-                    elif (dm_distinct + n_lanes > dm_counts.shape[0]
-                          or dm_total + n_lanes > 2 ** 31 - 1):
+                    elif dm_bound + n_lanes > dm_counts.shape[0]:
+                        # the cheap bound (distinct can only have grown
+                        # by the lanes merged since the last sync) says
+                        # we MIGHT not fit: sync the true distinct —
+                        # one ~25 ms blocked round trip, only near
+                        # capacity instead of every batch — and drain
+                        # only if it confirms
+                        with stagetime.stage("device_sync"):
+                            dm_distinct = int(dm_d)
+                        dm_d = None
+                        dm_bound = dm_distinct
+                        if dm_distinct + n_lanes > dm_counts.shape[0]:
+                            dm_drain()
+                    if dm_total + n_lanes > 2 ** 31 - 1:
                         dm_drain()
                     with stagetime.stage("dispatch"):
-                        dm_words, dm_counts, d = devmerge.merge_batch(
+                        dm_words, dm_counts, dm_d = devmerge.merge_batch(
                             dm_words, dm_counts, list(words_out),
                             counts_out)
-                    with stagetime.stage("device_sync"):
-                        dm_distinct = int(d)
+                    dm_bound += n_lanes
                     dm_total += n_lanes
                 elif pending is not None:
                     if dense_hybrid:

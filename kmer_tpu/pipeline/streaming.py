@@ -392,7 +392,8 @@ class StreamingCounter:
         use_dm = (self._dist_fn is None and cfg.effective_mode == "sort"
                   and cfg.sort_group_keys > 0 and not cfg.compact
                   and _devmerge_ok())
-        dm = {"words": None, "counts": None, "distinct": 0, "total": 0}
+        dm = {"words": None, "counts": None, "distinct": 0,
+              "bound": 0, "total": 0, "d_dev": None}
         if cfg.ingest_chunk_bases > 0:
             chunks = iter_parse_chunks(
                 self.fasta, max_bases=cfg.ingest_chunk_bases,
@@ -431,7 +432,7 @@ class StreamingCounter:
                     start = i + 1
                     n_done += 1
                     self.log.log("pass1_batch", i=i,
-                                 distinct=dm["distinct"],
+                                 distinct_bound=dm["bound"],
                                  secs=round(t.elapsed, 4))
                     continue
                 with Timer() as t:
@@ -493,18 +494,28 @@ class StreamingCounter:
                                       str(rows)))
             dm["words"], dm["counts"] = devmerge.empty_state(
                 rows, len(s_words))
-        elif (dm["distinct"] + n_lanes > dm["counts"].shape[0]
-              or dm["total"] + n_lanes > 2 ** 31 - 1):
-            self._dm_commit(dm, next_batch=i)   # batches < i drained
-        dm["words"], dm["counts"], d = devmerge.merge_batch(
+        elif dm["bound"] + n_lanes > dm["counts"].shape[0]:
+            # bound check first (distinct <= bound); sync the true
+            # distinct only near capacity, drain only if confirmed
+            dm["distinct"] = int(dm["d_dev"])
+            dm["d_dev"] = None
+            dm["bound"] = dm["distinct"]
+            if dm["distinct"] + n_lanes > dm["counts"].shape[0]:
+                self._dm_commit(dm, next_batch=i)  # batches < i drained
+        if dm["total"] + n_lanes > 2 ** 31 - 1:
+            self._dm_commit(dm, next_batch=i)
+        dm["words"], dm["counts"], dm["d_dev"] = devmerge.merge_batch(
             dm["words"], dm["counts"], list(s_words), cts)
-        dm["distinct"] = int(d)
+        dm["bound"] += n_lanes
         dm["total"] += n_lanes
 
     def _dm_commit(self, dm, next_batch: int) -> None:
         """Drain the device table into the spills and atomically commit
         the pass-1 cursor (the devmerge checkpoint unit)."""
         from ..ops import devmerge
+        if dm["words"] is not None and dm["d_dev"] is not None:
+            dm["distinct"] = int(dm["d_dev"])
+            dm["d_dev"] = None
         if dm["words"] is not None and dm["distinct"]:
             got = (devmerge.fetch_state_wire(dm["words"], dm["counts"],
                                              dm["distinct"])
@@ -517,6 +528,7 @@ class StreamingCounter:
             dm["words"], dm["counts"] = devmerge.empty_state(
                 dm["counts"].shape[0], len(dm["words"]))
             dm["distinct"] = 0
+            dm["bound"] = 0
             dm["total"] = 0
         if next_batch > self.state["pass1_next_batch"]:
             self.state["pass1_next_batch"] = next_batch

@@ -232,7 +232,8 @@ def test_streaming_devmerge_crash_between_drains(tmp_path, monkeypatch):
     # simulate a crash we call the internals directly
     from kmer_tpu.io.fasta import parse_seqs, iter_batches
     codes, offsets = parse_seqs(str(fa))
-    dm = {"words": None, "counts": None, "distinct": 0, "total": 0}
+    dm = {"words": None, "counts": None, "distinct": 0,
+          "bound": 0, "total": 0, "d_dev": None}
     for i, b in enumerate(iter_batches(codes, offsets, batch_reads=4,
                                        max_len=64, overlap=14)):
         sc._dm_merge(dm, b, i)
