@@ -130,7 +130,7 @@ def fetch_state(state_words, state_counts, distinct: int):
 # pathologically sparse tables — the caller falls back to the raw
 # fetch; compression is a fast path, never a correctness dependence.
 
-WIRE_PATCH_ROWS = 4096
+WIRE_PATCH_ROWS = 65536
 
 
 @partial(jax.jit, static_argnames=("rows",))
@@ -183,7 +183,10 @@ def fetch_state_wire(state_words, state_counts, distinct: int):
     dl = np.asarray(dl)[:d].astype(np.uint64)
     counts = np.asarray(cnt8)[:d].astype(np.int64)
     if n_esc:
-        p = np.asarray(patch[:n_esc])
+        # pow2-bucketed patch fetch: transfer scales with the actual
+        # escape count and at most ~log2 slice shapes ever compile
+        cap = min(WIRE_PATCH_ROWS, 1 << max(8, (n_esc - 1).bit_length()))
+        p = np.asarray(patch[:cap])[:n_esc]
         pidx = p[:, 0].astype(np.int64)
         sel = pidx < d            # escapes beyond d live in dead space
         pidx, pdh, pc = pidx[sel], p[sel, 1], p[sel, 2]

@@ -42,7 +42,9 @@ def main():
     for var in ("KMER_TPU_COUNTS_DTYPE", "KMER_TPU_FUSED_EXTRACT",
                 "KMER_TPU_STEP", "KMER_TPU_FUSED_ALGO",
                 "KMER_TPU_FUSED_BL", "KMER_TPU_T_M",
-                "KMER_TPU_GAPPED_STEP", "KMER_TPU_MULTIHOST_STEP"):
+                "KMER_TPU_GAPPED_STEP", "KMER_TPU_MULTIHOST_STEP",
+                "KMER_TPU_DEVMERGE", "KMER_TPU_TIGHT_WIDTH",
+                "KMER_TPU_DEVMERGE_ROWS"):
         if var in os.environ:
             sys.exit(f"refusing to run with {var} set — unset it so the "
                      f"evidence artifact reflects the defaults")
@@ -279,6 +281,50 @@ def main():
         finally:
             del os.environ["KMER_TPU_NATIVE_AGG"]
         check("numpy-forced merge == default", t_np == t)
+
+        # 21-23. r5 slow-link paths on real hardware: the device-
+        # resident table (real XLA sort + cummin lowerings), its wire-
+        # compressed drain, and the tight-width batcher — all must
+        # reproduce the default table bit-exactly.
+        os.environ["KMER_TPU_DEVMERGE"] = "1"
+        try:
+            t_dm = count_fasta(corpus, cfg)
+        finally:
+            os.environ["KMER_TPU_DEVMERGE"] = "0"
+        try:
+            t_plain = count_fasta(corpus, cfg)
+        finally:
+            del os.environ["KMER_TPU_DEVMERGE"]
+        check("devmerge (device-resident table) == per-batch readback",
+              t_dm == t_plain and t_dm == t)
+
+        from kmer_tpu.ops import devmerge as _dm
+        import numpy as _np
+        rngw = _np.random.default_rng(9)
+        k64 = _np.sort(rngw.choice(1 << 42, 200_000,
+                                   replace=False).astype(_np.uint64))
+        wkeys = [_np.asarray(k64 >> 32, _np.uint32),
+                 k64.astype(_np.uint32)]
+        # a few hundred >255 counts exercise the escape patch while
+        # staying under its 4096-row budget (beyond it the wire path
+        # correctly declines and callers fall back to the raw fetch)
+        wcts = rngw.integers(1, 200, 200_000).astype(_np.int32)
+        wcts[rngw.choice(200_000, 500, replace=False)] = 1_000_000
+        sw, sc_ = _dm.empty_state(1 << 19, 2)
+        sw, sc_, dd = _dm.merge_batch(sw, sc_, wkeys, wcts)
+        raw = _dm.fetch_state(sw, sc_, int(dd))
+        wire = _dm.fetch_state_wire(sw, sc_, int(dd))
+        check("wire-compressed drain == raw fetch (hardware)",
+              wire is not None
+              and _np.array_equal(wire[0], raw[0])
+              and _np.array_equal(wire[1], raw[1]))
+
+        os.environ["KMER_TPU_TIGHT_WIDTH"] = "0"
+        try:
+            t_full = count_fasta(corpus, cfg)
+        finally:
+            del os.environ["KMER_TPU_TIGHT_WIDTH"]
+        check("tight batch width == fixed-width rows", t_full == t)
 
     if len(sys.argv) > 1:
         import jax as _jax
