@@ -50,6 +50,12 @@ def _add_kmer_flags(p):
     p.add_argument("--compact", action="store_true",
                    help="on-device compaction: device->host transfer "
                         "scales with distinct k-mers (sort mode)")
+    p.add_argument("--device-merge", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="device-resident table accumulation: the table "
+                        "stays on device and only distinct rows are "
+                        "read back, wire-compressed (auto: on when the "
+                        "probed device->host link is slow)")
     p.add_argument("--seed-mask", default=None,
                    help="spaced seed: 0/1 match mask (e.g. 1101011); "
                         "the key is the bases at the '1' offsets per "
@@ -89,7 +95,8 @@ def _build_cfg(args):
                           partitions=args.partitions, stats=args.stats,
                           skip_invalid=skip_invalid,
                           min_qual=args.min_qual,
-                          compact=args.compact)
+                          compact=args.compact,
+                          device_merge=args.device_merge)
     span = len(args.seed_mask) if args.seed_mask else args.k
     return KmerConfig(k=args.k, canonical=args.canonical, mode=mode,
                       batch_reads=args.batch_reads,
@@ -98,7 +105,8 @@ def _build_cfg(args):
                       skip_invalid=skip_invalid,
                       min_qual=args.min_qual,
                       seed_mask=args.seed_mask,
-                      compact=args.compact)
+                      compact=args.compact,
+                      device_merge=args.device_merge)
 
 
 def main(argv: list[str] | None = None) -> int:

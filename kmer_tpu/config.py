@@ -53,6 +53,15 @@ class KmerConfig:
     # win on repetitive corpora / slow host links at the cost of an
     # extra partition pass on device (ops/count.grouped_count_compact).
     compact: bool = False
+    # device-resident table accumulation (r5, ops/devmerge): sort-mode
+    # batches merge into an on-device sorted unique (keys, counts)
+    # table and the host reads back only distinct rows (wire-compressed
+    # deltas) at drains — D2H scales with DISTINCT keys once per
+    # corpus, not per batch.  "auto" (default) turns it on when the
+    # probed D2H link is below ~0.5 GB/s (utils.linkspeed) on TPU;
+    # "on"/"off" force.  KMER_TPU_DEVMERGE=1/0 overrides either way
+    # (operational escape hatch).
+    device_merge: str = "auto"              # auto | on | off
     # host->device transfer: ship batches 2-bit-packed in uint32 words
     # (4x smaller H2D; device unpacks in 16 shift-ands).  Automatically
     # disabled in skip_invalid mode (ambiguity code needs 3 bits).
@@ -81,6 +90,9 @@ class KmerConfig:
     def __post_init__(self):
         if self.k < 1:
             raise ValueError(f"k must be >= 1, got {self.k}")
+        if self.device_merge not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_merge={self.device_merge!r} not in auto/on/off")
         if self.mode not in ("auto", "dense", "sort"):
             raise ValueError(f"unknown mode {self.mode!r}")
         if self.mode == "dense" and self.k > 12:

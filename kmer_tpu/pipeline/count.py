@@ -252,20 +252,25 @@ def _fetch_host(tree):
 DEVMERGE_BREAKEVEN_GBPS = 0.5
 
 
-def _devmerge_ok() -> bool:
-    """Device-resident table accumulation policy (ops/devmerge): on by
-    force (KMER_TPU_DEVMERGE=1), off by force (=0); auto = TPU backend
-    with a measured D2H link below the breakeven (the probed-tunnel
-    case, utils.linkspeed)."""
+def _devmerge_ok(cfg=None) -> bool:
+    """Device-resident table accumulation policy (ops/devmerge):
+    KMER_TPU_DEVMERGE=1/0 forces (operational escape hatch), then
+    cfg.device_merge "on"/"off"; "auto" = TPU backend with a measured
+    D2H link below the breakeven (the probed-tunnel case,
+    utils.linkspeed)."""
     import os
     env = os.environ.get("KMER_TPU_DEVMERGE")
     if env in ("0", "1"):
         return env == "1"
+    mode = getattr(cfg, "device_merge", "auto") if cfg is not None \
+        else "auto"
+    if mode in ("on", "off"):
+        return mode == "on"
     if jax.default_backend() != "tpu":
         return False
-    from ..utils.linkspeed import d2h_gbps
     thr = float(os.environ.get("KMER_TPU_DEVMERGE_LINK_GBPS",
                                str(DEVMERGE_BREAKEVEN_GBPS)))
+    from ..utils.linkspeed import d2h_gbps
     return d2h_gbps() < thr
 
 
@@ -566,7 +571,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # only distinct rows (once, at drain) instead of ~10 B/lane every
     # batch — the sparse analog of dense mode for slow links.
     devmerge_on = (mode == "sort" and grouped and not cfg.compact
-                   and _devmerge_ok())
+                   and _devmerge_ok(cfg))
     dm_words = dm_counts = None     # lazy device state (first batch)
     dm_distinct = 0                 # host mirror of live rows (synced)
     dm_bound = 0                    # upper bound: distinct <= bound

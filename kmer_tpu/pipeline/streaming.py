@@ -391,7 +391,7 @@ class StreamingCounter:
         from .count import _devmerge_ok
         use_dm = (self._dist_fn is None and cfg.effective_mode == "sort"
                   and cfg.sort_group_keys > 0 and not cfg.compact
-                  and _devmerge_ok())
+                  and _devmerge_ok(cfg))
         dm = {"words": None, "counts": None, "distinct": 0,
               "bound": 0, "total": 0, "d_dev": None}
         if cfg.ingest_chunk_bases > 0:

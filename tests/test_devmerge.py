@@ -244,3 +244,42 @@ def test_streaming_devmerge_crash_between_drains(tmp_path, monkeypatch):
     assert sc2.state["pass1_next_batch"] == 0     # nothing committed
     sc2.run()
     assert sc2.final_table() == ref
+
+
+def test_device_merge_config_and_cli(tmp_path, monkeypatch):
+    """device_merge config field: validated, forced on/off without env,
+    env still wins; CLI --device-merge reaches the config."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.pipeline.count import _devmerge_ok
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        KmerConfig(device_merge="maybe")
+    monkeypatch.delenv("KMER_TPU_DEVMERGE", raising=False)
+    assert _devmerge_ok(KmerConfig(device_merge="on")) is True
+    assert _devmerge_ok(KmerConfig(device_merge="off")) is False
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    assert _devmerge_ok(KmerConfig(device_merge="on")) is False
+    monkeypatch.delenv("KMER_TPU_DEVMERGE")
+
+    fa = tmp_path / "cfg.fasta"
+    fa.write_text(random_reads_fasta(9, 60, seed=15))
+    cfg_on = KmerConfig(k=15, batch_reads=4, max_read_len=64,
+                        device_merge="on")
+    cfg_off = cfg_on.replace(device_merge="off")
+    assert count_fasta(str(fa), cfg_on) == count_fasta(str(fa), cfg_off)
+
+    from kmer_tpu.cli import main as cli_main
+    out = tmp_path / "out.tsv"
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["count", str(fa), "-k", "15", "--batch-reads", "4",
+                       "--max-read-len", "64", "--device-merge", "on"])
+    assert rc == 0
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = cli_main(["count", str(fa), "-k", "15", "--batch-reads", "4",
+                       "--max-read-len", "64", "--device-merge", "off"])
+    assert rc == 0
+    assert buf.getvalue() == buf2.getvalue()
