@@ -737,6 +737,12 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                                         (2 * n_lanes - 1).bit_length())
                         rows = int(_os2.environ.get(
                             "KMER_TPU_DEVMERGE_ROWS", str(rows)))
+                        # capacity contract floor: after a drain the
+                        # state is empty, so any C >= N is safe — but
+                        # an env override below one batch's lane count
+                        # would make merge_batch truncate live rows
+                        # (silent key loss).  Clamp, never break.
+                        rows = max(rows, 1 << (n_lanes - 1).bit_length())
                         dm_words, dm_counts = devmerge.empty_state(
                             rows, len(words_out))
                     elif dm_bound + n_lanes > dm_counts.shape[0]:

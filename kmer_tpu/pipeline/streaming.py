@@ -492,6 +492,10 @@ class StreamingCounter:
             rows = 1 << max(16, (2 * n_lanes - 1).bit_length())
             rows = int(os.environ.get("KMER_TPU_DEVMERGE_ROWS",
                                       str(rows)))
+            # clamp below one batch's lane count: C >= N keeps the
+            # capacity contract (merge_batch truncates live rows past
+            # C — an env override must not cause silent key loss)
+            rows = max(rows, 1 << (n_lanes - 1).bit_length())
             dm["words"], dm["counts"] = devmerge.empty_state(
                 rows, len(s_words))
         elif dm["bound"] + n_lanes > dm["counts"].shape[0]:

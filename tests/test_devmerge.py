@@ -124,6 +124,28 @@ def test_count_fasta_devmerge_forced_drains(tmp_path, monkeypatch):
     assert got == ref
 
 
+def test_devmerge_rows_override_below_batch_is_clamped(tmp_path,
+                                                       monkeypatch):
+    """KMER_TPU_DEVMERGE_ROWS below one batch's lane count must be
+    clamped, not honored: merge_batch truncates live rows past C, so an
+    undersized capacity would silently drop keys (the contract says a
+    drain can always make room — only true when C >= N)."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    fa = tmp_path / "dmc.fasta"
+    fa.write_text(random_reads_fasta(25, 64, seed=13))
+    cfg = KmerConfig(k=15, batch_reads=4, max_read_len=64)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    ref = count_fasta(str(fa), cfg)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+    # 64 << one batch's ~200 lanes: without the clamp this drops keys
+    monkeypatch.setenv("KMER_TPU_DEVMERGE_ROWS", "64")
+    got = count_fasta(str(fa), cfg)
+    assert got == ref
+    assert (got.keys == ref.keys).all()
+    assert (got.counts == ref.counts).all()
+
+
 @pytest.mark.parametrize("W", [1, 2])
 def test_wire_fetch_matches_raw(W):
     """Wire-compressed drain == raw fetch, including count-255 edge,
