@@ -104,6 +104,48 @@ def merge_batch(state_words, state_counts, batch_words, batch_counts):
     return new_words, new_counts, distinct
 
 
+def grow_state(state_words, state_counts, new_rows: int):
+    """Grow capacity by appending sentinel rows.
+
+    The state invariant — sorted unique keys with all-ones (DEAD)
+    padding, which sorts after every live key — is preserved by
+    appending DEAD rows at the end, so growth needs no sort and no
+    readback: one O(new_rows) device concat per plane.  Growing beats
+    drain-and-reset whenever the corpus' distinct keys exceed the
+    initial capacity: a reset forgets the merged table, so recurring
+    keys re-enter as new rows and each key is drained (transferred AND
+    host-merged) once per cycle instead of once per corpus (measured:
+    a 1 M-read genome corpus with 15.3 M distinct at 2^22 capacity
+    spent 50 s re-merging ~100 M drained pairs the grown state never
+    materializes).
+    """
+    C = state_counts.shape[0]
+    if new_rows <= C:
+        return state_words, state_counts
+    import jax.numpy as _jnp
+    pad_w = _jnp.full((new_rows - C,), DEAD, _jnp.uint32)
+    words = [_jnp.concatenate([w, pad_w]) for w in state_words]
+    counts = _jnp.concatenate(
+        [state_counts, _jnp.zeros((new_rows - C,), _jnp.int32)])
+    return words, counts
+
+
+def max_rows(n_words: int) -> int:
+    """Growth budget in rows (power of two): the state may occupy up to
+    KMER_TPU_DEVMERGE_MAX_MB (default 1024) of HBM at 4*(W+1) bytes per
+    row; past it the drivers fall back to drain-and-reset.  The
+    per-batch merge sorts C+N lanes, so the budget also bounds the
+    merge's device cost."""
+    import os
+    try:
+        mb = float(os.environ.get("KMER_TPU_DEVMERGE_MAX_MB", "1024"))
+    except ValueError:
+        mb = 1024.0
+    per_row = 4 * (n_words + 1)
+    r = max(1, int(mb * 1e6) // per_row)
+    return max(1 << 16, 1 << (r.bit_length() - 1))
+
+
 def fetch_state(state_words, state_counts, distinct: int):
     """Host fetch of the live prefix, rounded up to a power-of-two
     bucket so at most ~log2 transfer shapes ever compile (the

@@ -572,11 +572,84 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
     # batch — the sparse analog of dense mode for slow links.
     devmerge_on = (mode == "sort" and grouped and not cfg.compact
                    and _devmerge_ok(cfg))
-    dm_words = dm_counts = None     # lazy device state (first batch)
+    dm_words = dm_counts = None     # lazy device state (first flush)
     dm_distinct = 0                 # host mirror of live rows (synced)
     dm_bound = 0                    # upper bound: distinct <= bound
     dm_total = 0                    # kmers merged since last drain
     dm_d = None                     # device scalar from the last merge
+    dm_fixed = False                # env capacity pins C (no growth)
+    dm_pend: list = []              # buffered step outputs (not merged)
+    dm_pend_lanes = 0
+
+    def dm_flush_pending() -> None:
+        """Merge the buffered step outputs into the device state in ONE
+        sort, sizing/growing/draining the state first so the capacity
+        contract (C >= distinct + N) holds."""
+        nonlocal dm_words, dm_counts, dm_distinct, dm_bound, dm_total, \
+            dm_d, dm_fixed, dm_pend, dm_pend_lanes
+        if not dm_pend:
+            return
+        from ..ops import devmerge
+        N = dm_pend_lanes
+        W = len(dm_pend[0][0])
+        if dm_words is None:
+            import os as _os2
+            rows = 1 << max(16, (2 * N - 1).bit_length())
+            # an explicit env capacity is FIXED (initial and max — the
+            # forced-drain escape hatch); otherwise the state starts
+            # small and GROWS within the HBM budget
+            dm_fixed = "KMER_TPU_DEVMERGE_ROWS" in _os2.environ
+            rows = int(_os2.environ.get(
+                "KMER_TPU_DEVMERGE_ROWS", str(rows)))
+            # capacity contract floor: after a drain the state is
+            # empty, so any C >= N is safe — but an env override below
+            # one flush's lane count would make merge_batch truncate
+            # live rows (silent key loss).  Clamp, never break.
+            rows = max(rows, 1 << (N - 1).bit_length())
+            dm_words, dm_counts = devmerge.empty_state(rows, W)
+        elif dm_bound + N > dm_counts.shape[0]:
+            # the cheap bound (distinct can only have grown by the
+            # lanes merged since the last sync) says we MIGHT not fit:
+            # sync the true distinct — one ~25 ms blocked round trip,
+            # only near capacity — then GROW (sentinel append, no
+            # sort) while the HBM budget allows; drain-and-reset only
+            # past it.  A reset forgets the table, so recurring keys
+            # re-drain once per cycle — growth keeps D2H at
+            # distinct-rows-once for any corpus that fits.
+            with stagetime.stage("device_sync"):
+                dm_distinct = int(dm_d)
+            dm_d = None
+            dm_bound = dm_distinct
+            need = dm_distinct + N
+            if need > dm_counts.shape[0]:
+                cap = devmerge.max_rows(W)
+                if not dm_fixed and need <= cap:
+                    new_rows = min(cap, max(
+                        2 * dm_counts.shape[0],
+                        1 << (need - 1).bit_length()))
+                    with stagetime.stage("dispatch"):
+                        dm_words, dm_counts = devmerge.grow_state(
+                            dm_words, dm_counts, new_rows)
+                else:
+                    dm_drain()
+        if dm_total + N > 2 ** 31 - 1:
+            dm_drain()
+        with stagetime.stage("dispatch"):
+            if len(dm_pend) == 1:
+                bw = [w.reshape(-1) for w in dm_pend[0][0]]
+                bc = dm_pend[0][1].reshape(-1)
+            else:
+                bw = [jnp.concatenate(
+                    [p[0][i].reshape(-1) for p in dm_pend])
+                    for i in range(W)]
+                bc = jnp.concatenate(
+                    [p[1].reshape(-1) for p in dm_pend])
+            dm_words, dm_counts, dm_d = devmerge.merge_batch(
+                dm_words, dm_counts, bw, bc)
+        dm_bound += N
+        dm_total += N
+        dm_pend = []
+        dm_pend_lanes = 0
 
     def dm_drain() -> None:
         nonlocal dm_words, dm_counts, dm_distinct, dm_bound, dm_total, \
@@ -728,44 +801,20 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                             mask_ambiguous=cfg.skip_invalid,
                             group_keys=cfg.sort_group_keys, packed_width=pw)
                 if devmerge_on:
-                    from ..ops import devmerge
                     words_out, _is_start, counts_out = out
-                    n_lanes = int(np.prod(counts_out.shape))
-                    if dm_words is None:
-                        import os as _os2
-                        rows = 1 << max(16,
-                                        (2 * n_lanes - 1).bit_length())
-                        rows = int(_os2.environ.get(
-                            "KMER_TPU_DEVMERGE_ROWS", str(rows)))
-                        # capacity contract floor: after a drain the
-                        # state is empty, so any C >= N is safe — but
-                        # an env override below one batch's lane count
-                        # would make merge_batch truncate live rows
-                        # (silent key loss).  Clamp, never break.
-                        rows = max(rows, 1 << (n_lanes - 1).bit_length())
-                        dm_words, dm_counts = devmerge.empty_state(
-                            rows, len(words_out))
-                    elif dm_bound + n_lanes > dm_counts.shape[0]:
-                        # the cheap bound (distinct can only have grown
-                        # by the lanes merged since the last sync) says
-                        # we MIGHT not fit: sync the true distinct —
-                        # one ~25 ms blocked round trip, only near
-                        # capacity instead of every batch — and drain
-                        # only if it confirms
-                        with stagetime.stage("device_sync"):
-                            dm_distinct = int(dm_d)
-                        dm_d = None
-                        dm_bound = dm_distinct
-                        if dm_distinct + n_lanes > dm_counts.shape[0]:
-                            dm_drain()
-                    if dm_total + n_lanes > 2 ** 31 - 1:
-                        dm_drain()
-                    with stagetime.stage("dispatch"):
-                        dm_words, dm_counts, dm_d = devmerge.merge_batch(
-                            dm_words, dm_counts, list(words_out),
-                            counts_out)
-                    dm_bound += n_lanes
-                    dm_total += n_lanes
+                    dm_pend.append((list(words_out), counts_out))
+                    dm_pend_lanes += int(np.prod(counts_out.shape))
+                    # GROUPED merges (r5): one state sort per ~C/2
+                    # buffered lanes instead of per batch.  The merge
+                    # re-sorts the whole C-row state, so per-batch
+                    # merging costs ~C/N state passes per lane —
+                    # grouping caps it at ~3 sort passes per lane
+                    # regardless of C (measured: 1 M-read corpus at
+                    # C=2^24 spent 22.6 s in per-batch state sorts).
+                    target = (dm_counts.shape[0] // 2
+                              if dm_counts is not None else 0)
+                    if dm_pend_lanes >= target:
+                        dm_flush_pending()
                 elif pending is not None:
                     if dense_hybrid:
                         hybrid_accumulate(pending)
@@ -803,7 +852,8 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 pend_h = _fetch_host(pending)
             with stagetime.stage("table_build"):
                 parts.append(KmerTable.from_device_runs(n_bases, *pend_h))
-    dm_drain()          # devmerge: the one distinct-rows readback
+    dm_flush_pending()  # devmerge: merge any tail group, then the
+    dm_drain()          # one distinct-rows readback
     flush(final=True)
     table = parts[0] if parts else KmerTable.empty(n_bases)
     if dense_hybrid:

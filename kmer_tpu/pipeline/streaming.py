@@ -485,37 +485,85 @@ class StreamingCounter:
     # drains — a crash between drains re-counts the un-drained batches
     # on resume (their spills were never written, so nothing doubles).
     def _dm_merge(self, dm, batch, i: int) -> None:
-        from ..ops import devmerge
+        """Buffer one batch's step output; merge the group into the
+        device state once ~C/2 lanes are pending (one state sort per
+        group instead of per batch — the state re-sort dominates the
+        device cost at large C)."""
         s_words, _is_start, cts = self._batch_step_raw(batch)
-        n_lanes = int(np.prod(cts.shape))
+        dm.setdefault("pend", []).append((list(s_words), cts))
+        dm["pend_lanes"] = dm.get("pend_lanes", 0) + int(np.prod(cts.shape))
+        target = (dm["counts"].shape[0] // 2
+                  if dm["counts"] is not None else 0)
+        if dm["pend_lanes"] >= target:
+            self._dm_flush(dm)
+
+    def _dm_flush(self, dm) -> None:
+        """Merge the pending group in one sort, sizing/growing/spilling
+        the state first so the capacity contract (C >= distinct + N)
+        holds.  Internal spills do NOT advance the cursor — only
+        _dm_commit does, after flushing — so a crash between flushes
+        re-counts at most the batches since the last commit (their
+        spill bytes roll back to the last checkpointed manifest)."""
+        import jax.numpy as jnp
+
+        from ..ops import devmerge
+        if not dm.get("pend"):
+            return
+        N = dm["pend_lanes"]
+        W = len(dm["pend"][0][0])
         if dm["words"] is None:
-            rows = 1 << max(16, (2 * n_lanes - 1).bit_length())
+            rows = 1 << max(16, (2 * N - 1).bit_length())
+            # explicit env capacity = fixed (forced-drain escape
+            # hatch); otherwise start small and grow
+            dm["fixed"] = "KMER_TPU_DEVMERGE_ROWS" in os.environ
             rows = int(os.environ.get("KMER_TPU_DEVMERGE_ROWS",
                                       str(rows)))
-            # clamp below one batch's lane count: C >= N keeps the
+            # clamp below one group's lane count: C >= N keeps the
             # capacity contract (merge_batch truncates live rows past
             # C — an env override must not cause silent key loss)
-            rows = max(rows, 1 << (n_lanes - 1).bit_length())
-            dm["words"], dm["counts"] = devmerge.empty_state(
-                rows, len(s_words))
-        elif dm["bound"] + n_lanes > dm["counts"].shape[0]:
+            rows = max(rows, 1 << (N - 1).bit_length())
+            dm["words"], dm["counts"] = devmerge.empty_state(rows, W)
+        elif dm["bound"] + N > dm["counts"].shape[0]:
             # bound check first (distinct <= bound); sync the true
-            # distinct only near capacity, drain only if confirmed
+            # distinct only near capacity; then grow (sentinel append,
+            # ops/devmerge.grow_state) within the HBM budget — a reset
+            # re-drains recurring keys once per cycle — and spill
+            # only past the budget
             dm["distinct"] = int(dm["d_dev"])
             dm["d_dev"] = None
             dm["bound"] = dm["distinct"]
-            if dm["distinct"] + n_lanes > dm["counts"].shape[0]:
-                self._dm_commit(dm, next_batch=i)  # batches < i drained
-        if dm["total"] + n_lanes > 2 ** 31 - 1:
-            self._dm_commit(dm, next_batch=i)
+            need = dm["distinct"] + N
+            if need > dm["counts"].shape[0]:
+                cap = devmerge.max_rows(W)
+                if not dm.get("fixed") and need <= cap:
+                    new_rows = min(cap, max(2 * dm["counts"].shape[0],
+                                            1 << (need - 1).bit_length()))
+                    dm["words"], dm["counts"] = devmerge.grow_state(
+                        dm["words"], dm["counts"], new_rows)
+                else:
+                    self._dm_spill(dm)
+        if dm["total"] + N > 2 ** 31 - 1:
+            self._dm_spill(dm)
+        if len(dm["pend"]) == 1:
+            bw = [w.reshape(-1) for w in dm["pend"][0][0]]
+            bc = dm["pend"][0][1].reshape(-1)
+        else:
+            bw = [jnp.concatenate([p[0][j].reshape(-1)
+                                   for p in dm["pend"]])
+                  for j in range(W)]
+            bc = jnp.concatenate([p[1].reshape(-1) for p in dm["pend"]])
         dm["words"], dm["counts"], dm["d_dev"] = devmerge.merge_batch(
-            dm["words"], dm["counts"], list(s_words), cts)
-        dm["bound"] += n_lanes
-        dm["total"] += n_lanes
+            dm["words"], dm["counts"], bw, bc)
+        dm["bound"] += N
+        dm["total"] += N
+        dm["pend"] = []
+        dm["pend_lanes"] = 0
 
-    def _dm_commit(self, dm, next_batch: int) -> None:
-        """Drain the device table into the spills and atomically commit
-        the pass-1 cursor (the devmerge checkpoint unit)."""
+    def _dm_spill(self, dm) -> None:
+        """Drain the device state rows into the spill files and reset
+        it.  No cursor advance, no checkpoint — the appended bytes
+        become durable only at the next _dm_commit/_checkpoint (torn
+        appends roll back to the manifest on resume)."""
         from ..ops import devmerge
         if dm["words"] is not None and dm["d_dev"] is not None:
             dm["distinct"] = int(dm["d_dev"])
@@ -534,6 +582,13 @@ class StreamingCounter:
             dm["distinct"] = 0
             dm["bound"] = 0
             dm["total"] = 0
+
+    def _dm_commit(self, dm, next_batch: int) -> None:
+        """Flush + drain the device table into the spills and
+        atomically commit the pass-1 cursor (the devmerge checkpoint
+        unit)."""
+        self._dm_flush(dm)
+        self._dm_spill(dm)
         if next_batch > self.state["pass1_next_batch"]:
             self.state["pass1_next_batch"] = next_batch
         self._checkpoint()

@@ -66,6 +66,75 @@ def test_merge_counts_accumulate_across_batches():
     assert c.tolist() == [14, 2]
 
 
+@pytest.mark.parametrize("W", [1, 2, 3])
+def test_grow_state_mid_stream(W):
+    """Growth (sentinel append) preserves the sorted-unique state:
+    merges continue across a grow and the final table equals the
+    oracle.  Also the no-op path (new_rows <= C)."""
+    rng = np.random.default_rng(100 + W)
+    words, counts = devmerge.empty_state(1 << 10, W)
+    oracle: dict = {}
+    d = 0
+    for batch in range(6):
+        if batch == 2:
+            words, counts = devmerge.grow_state(words, counts, 1 << 12)
+            assert counts.shape[0] == 1 << 12
+        if batch == 4:   # no-op: shrink requests are ignored
+            words, counts = devmerge.grow_state(words, counts, 16)
+            assert counts.shape[0] == 1 << 12
+        n = int(rng.integers(200, 500))
+        keys = rng.integers(0, 300, (n, W)).astype(np.uint32)
+        cts = rng.integers(0, 4, n).astype(np.int32)
+        words, counts, d = devmerge.merge_batch(
+            words, counts, *_as_batch(keys, cts, W))
+        _merge_np(oracle, keys, cts)
+        assert int(d) == len(oracle)
+    k, c = devmerge.fetch_state(words, counts, int(d))
+    got = {tuple(row): int(cc) for row, cc in zip(k, c)}
+    assert got == oracle
+
+
+def test_max_rows_budget(monkeypatch):
+    """max_rows honors the MB budget (floor power of two) and is robust
+    to a malformed env value."""
+    monkeypatch.setenv("KMER_TPU_DEVMERGE_MAX_MB", "12")
+    # 12e6 / 12 B per row = 1e6 rows -> floor pow2 = 2^19
+    assert devmerge.max_rows(2) == 1 << 19
+    monkeypatch.setenv("KMER_TPU_DEVMERGE_MAX_MB", "bogus")
+    assert devmerge.max_rows(2) == devmerge.max_rows(2)  # no raise
+    monkeypatch.setenv("KMER_TPU_DEVMERGE_MAX_MB", "0.0001")
+    assert devmerge.max_rows(1) == 1 << 16    # floored at 2^16
+
+
+def test_count_fasta_devmerge_growth_bit_identity(tmp_path, monkeypatch):
+    """When the corpus' distinct keys exceed the initial capacity the
+    driver GROWS the state (no drain thrash); table still exact.  The
+    initial capacity is pinned tiny via a patched empty_state (the env
+    knob now means FIXED capacity, which forces drains instead)."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.ops import devmerge as dm
+    fa = tmp_path / "dmg.fasta"
+    fa.write_text(random_reads_fasta(60, 64, seed=14))
+    cfg = KmerConfig(k=15, batch_reads=8, max_read_len=64)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    ref = count_fasta(str(fa), cfg)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+    orig = dm.empty_state
+    grown = []
+    orig_grow = dm.grow_state
+    monkeypatch.setattr(dm, "empty_state",
+                        lambda r, w: orig(min(r, 2048), w))
+    monkeypatch.setattr(dm, "grow_state",
+                        lambda w, c, n: grown.append(n) or orig_grow(
+                            w, c, n))
+    got = count_fasta(str(fa), cfg)
+    assert got == ref
+    assert (got.keys == ref.keys).all()
+    assert (got.counts == ref.counts).all()
+    assert grown, "expected the growth path to trigger"
+
+
 def test_capacity_exact_fit():
     """C == distinct + N is legal (the contract's boundary)."""
     W = 1
