@@ -25,10 +25,14 @@ sentinel bit caps it below 2^31 for W == 1, and below 2^(bits-32(W-1))
 with bits = 2k+1 odd otherwise).
 
 The capacity contract makes overflow IMPOSSIBLE rather than detected:
-callers must keep C >= distinct + N before every merge (drain and
-reset when the next batch might not fit); merge_batch never drops a
-key.  Reference semantics replaced: the per-batch stdout sort of
-main.rs:87-90, re-designed as a device-resident accumulator.
+callers must keep C >= distinct + N before every merge — by GROWING
+the state (grow_state: sentinel append, no sort) within the HBM
+budget (max_rows), and draining-and-resetting only past it; in either
+case merge_batch never drops a key.  Drivers also GROUP merges (one
+state sort per ~C/2 buffered lanes) so total sort work stays ~3
+passes per lane regardless of C.  Reference semantics replaced: the
+per-batch stdout sort of main.rs:87-90, re-designed as a
+device-resident accumulator.
 """
 
 from __future__ import annotations
