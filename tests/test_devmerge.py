@@ -300,6 +300,38 @@ def test_streaming_devmerge_bit_identity(tmp_path, monkeypatch):
     assert sc3.final_table() == ref
 
 
+def test_streaming_devmerge_growth_bit_identity(tmp_path, monkeypatch):
+    """Streaming pass 1 grows the device state (no drain thrash) when
+    distinct exceeds the initial capacity; table still exact.  Initial
+    capacity pinned tiny via a patched empty_state (the env knob means
+    FIXED capacity and forces drains instead)."""
+    from kmer_tpu import KmerConfig
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.ops import devmerge as dm
+    from kmer_tpu.pipeline.streaming import StreamingCounter
+    fa = tmp_path / "sdg.fasta"
+    fa.write_text(random_reads_fasta(60, 64, seed=15))
+    cfg = KmerConfig(k=15, batch_reads=8, max_read_len=64, partitions=3)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    ref_sc = StreamingCounter(str(fa), cfg, str(tmp_path / "ref"))
+    ref_sc.run()
+    ref = ref_sc.final_table()
+
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+    orig = dm.empty_state
+    orig_grow = dm.grow_state
+    grown = []
+    monkeypatch.setattr(dm, "empty_state",
+                        lambda r, w: orig(min(r, 2048), w))
+    monkeypatch.setattr(dm, "grow_state",
+                        lambda w, c, n: grown.append(n) or orig_grow(
+                            w, c, n))
+    sc = StreamingCounter(str(fa), cfg, str(tmp_path / "dmg"))
+    sc.run()
+    assert sc.final_table() == ref
+    assert grown, "expected the streaming growth path to trigger"
+
+
 def test_streaming_devmerge_crash_between_drains(tmp_path, monkeypatch):
     """A 'crash' (abandoned counter, no commit) after merging batches
     into the device table must lose nothing on resume: the manifest
