@@ -168,13 +168,16 @@ def fetch_state(state_words, state_counts, distinct: int):
 # ---------------------------------------------------------------------------
 # Wire-compressed drain (W <= 2): the drain readback dominates slow-link
 # end-to-end once merging is device-resident, and sorted keys compress
-# trivially — per-row DELTAS almost always fit 32 bits and counts almost
-# always fit 8.  The encoded planes are 5 B/row (u32 delta + u8 count)
-# vs 12 B raw, with a fixed-size escape patch for the rare rows whose
-# delta needs the high word or whose count exceeds 255 (first row
-# included: its "delta" is the key itself).  If the patch overflows —
-# pathologically sparse tables — the caller falls back to the raw
-# fetch; compression is a fast path, never a correctness dependence.
+# trivially — per-row DELTAS almost always fit 24 bits (a table of d
+# distinct keys over a 2^b keyspace has mean gap 2^b/d: 2^43/15.3 M
+# ≈ 586 k at the 1 M-read scale run) and counts almost always fit 8.
+# The encoded planes are 4 B/row (u24 delta as three u8 planes + u8
+# count) vs 12 B raw, with a fixed-size escape patch carrying the FULL
+# (delta_hi, delta_lo, count) for the rare rows whose delta exceeds 24
+# bits or whose count exceeds 255 (first row included: its "delta" is
+# the key itself).  If the patch overflows — pathologically sparse
+# tables — the caller falls back to the raw fetch; compression is a
+# fast path, never a correctness dependence.
 
 WIRE_PATCH_ROWS = 65536
 
@@ -182,10 +185,11 @@ WIRE_PATCH_ROWS = 65536
 @partial(jax.jit, static_argnames=("rows",))
 def wire_encode(state_words, state_counts, rows: int):
     """Encode the first `rows` live rows for transfer: returns
-    (delta_lo (rows,) u32, count8 (rows,) u8, patch (P, 3) u32,
-    n_escapes scalar).  patch rows are (idx, delta_hi, count) for
-    escaped rows, compacted to the front, idx == 0xFFFFFFFF beyond
-    n_escapes.  Only W <= 2 states; dead rows (count 0) never escape."""
+    (d0, d1, d2 (rows,) u8 delta bytes LE, count8 (rows,) u8,
+    patch (P, 4) u32, n_escapes scalar).  patch rows are
+    (idx, delta_hi, delta_lo, count) for escaped rows, compacted to
+    the front, idx == 0xFFFFFFFF beyond n_escapes.  Only W <= 2
+    states; dead rows (count 0) never escape."""
     W = len(state_words)
     assert W <= 2, W
     c = state_counts[:rows]
@@ -201,19 +205,23 @@ def wire_encode(state_words, state_counts, rows: int):
     dl = lo - prev_lo
     dh = hi - prev_hi - borrow
     live = c > 0
-    esc = live & ((dh != 0) | (c > 255))
+    esc = live & ((dh != 0) | (dl >= (1 << 24)) | (c > 255))
     cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
+    d0 = (dl & 0xFF).astype(jnp.uint8)
+    d1 = ((dl >> 8) & 0xFF).astype(jnp.uint8)
+    d2 = ((dl >> 16) & 0xFF).astype(jnp.uint8)
     idx = jnp.arange(rows, dtype=jnp.uint32)
     key = jnp.where(esc, idx, jnp.uint32(0xFFFFFFFF))
-    sk, sdh, sc = lax.sort([key, dh, c.astype(jnp.uint32)], num_keys=1)
+    sk, sdh, sdl, sc = lax.sort([key, dh, dl, c.astype(jnp.uint32)],
+                                num_keys=1)
     P = WIRE_PATCH_ROWS
-    patch = jnp.stack([sk[:P], sdh[:P], sc[:P]], axis=1)
-    return dl, cnt8, patch, jnp.sum(esc.astype(jnp.int32))
+    patch = jnp.stack([sk[:P], sdh[:P], sdl[:P], sc[:P]], axis=1)
+    return d0, d1, d2, cnt8, patch, jnp.sum(esc.astype(jnp.int32))
 
 
 def fetch_state_wire(state_words, state_counts, distinct: int):
     """Wire-compressed host fetch (W <= 2): same result as fetch_state
-    at ~5 B/row instead of 12.  Returns None when the escape patch
+    at ~4 B/row instead of 12.  Returns None when the escape patch
     overflowed (caller uses fetch_state)."""
     d = int(distinct)
     W = len(state_words)
@@ -221,12 +229,14 @@ def fetch_state_wire(state_words, state_counts, distinct: int):
         return None if W > 2 else fetch_state(state_words, state_counts, 0)
     rows = min(state_counts.shape[0],
                1 << max(10, (d - 1).bit_length()))
-    dl, cnt8, patch, n_esc = wire_encode(state_words, state_counts,
-                                         rows)
+    d0, d1, d2, cnt8, patch, n_esc = wire_encode(
+        state_words, state_counts, rows)
     n_esc = int(n_esc)
     if n_esc > WIRE_PATCH_ROWS:
         return None
-    dl = np.asarray(dl)[:d].astype(np.uint64)
+    dl = np.asarray(d0)[:d].astype(np.uint64)
+    dl |= np.asarray(d1)[:d].astype(np.uint64) << np.uint64(8)
+    dl |= np.asarray(d2)[:d].astype(np.uint64) << np.uint64(16)
     counts = np.asarray(cnt8)[:d].astype(np.int64)
     if n_esc:
         # pow2-bucketed patch fetch: transfer scales with the actual
@@ -235,9 +245,10 @@ def fetch_state_wire(state_words, state_counts, distinct: int):
         p = np.asarray(patch[:cap])[:n_esc]
         pidx = p[:, 0].astype(np.int64)
         sel = pidx < d            # escapes beyond d live in dead space
-        pidx, pdh, pc = pidx[sel], p[sel, 1], p[sel, 2]
-        dl[pidx] += pdh.astype(np.uint64) << np.uint64(32)
-        counts[pidx] = pc.astype(np.int64)
+        pidx = pidx[sel]
+        dl[pidx] = (p[sel, 1].astype(np.uint64) << np.uint64(32)) \
+            | p[sel, 2].astype(np.uint64)
+        counts[pidx] = p[sel, 3].astype(np.int64)
     keys64 = np.cumsum(dl, dtype=np.uint64)
     if W == 1:
         keys = keys64.astype(np.uint32).reshape(-1, 1)

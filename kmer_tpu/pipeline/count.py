@@ -662,7 +662,7 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 dm_distinct = int(dm_d)
             dm_d = None
         with stagetime.stage("readback"):
-            # wire-compressed drain (~5 B/row vs 12) when W <= 2; the
+            # wire-compressed drain (~4 B/row vs 12) when W <= 2; the
             # raw fetch is the fallback for wide keys and patch
             # overflow (pathologically sparse tables)
             got = (devmerge.fetch_state_wire(dm_words, dm_counts,

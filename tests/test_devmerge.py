@@ -218,14 +218,19 @@ def test_devmerge_rows_override_below_batch_is_clamped(tmp_path,
 @pytest.mark.parametrize("W", [1, 2])
 def test_wire_fetch_matches_raw(W):
     """Wire-compressed drain == raw fetch, including count-255 edge,
-    counts > 255 (escape), and 2^32-straddling key gaps (escape)."""
+    counts > 255 (escape), deltas in [2^24, 2^32) (u24-plane escape),
+    and 2^32-straddling key gaps (escape)."""
     rng = np.random.default_rng(3 + W)
     C = 1 << 12
     words, counts = devmerge.empty_state(C, W)
     n = 900
     if W == 1:
-        keys = np.sort(rng.choice(2 ** 31, n, replace=False)
-                       ).astype(np.uint32).reshape(-1, 1)
+        # keys over 2^31: mean gap ~2^21 with a natural tail of
+        # gaps >= 2^24 exercising the u24 escape; force two anyway
+        base = rng.choice(2 ** 30, n - 2, replace=False)
+        keys = np.sort(np.concatenate(
+            [base, [2 ** 30 + (1 << 25), 2 ** 30 + (1 << 26)]])
+        ).astype(np.uint32).reshape(-1, 1)
     else:
         # sparse in 2^40: forces many high-word (>= 2^32) deltas
         k64 = np.sort(rng.choice(1 << 40, n, replace=False))
