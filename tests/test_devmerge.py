@@ -135,6 +135,37 @@ def test_count_fasta_devmerge_growth_bit_identity(tmp_path, monkeypatch):
     assert grown, "expected the growth path to trigger"
 
 
+def test_count_fasta_devmerge_budget_cap_drains(tmp_path, monkeypatch):
+    """When growth would exceed the KMER_TPU_DEVMERGE_MAX_MB budget the
+    driver falls back to drain-and-reset at the capped capacity —
+    still exact."""
+    from kmer_tpu import KmerConfig, count_fasta
+    from kmer_tpu.io.generator import random_reads_fasta
+    from kmer_tpu.ops import devmerge as dm
+    fa = tmp_path / "dmb.fasta"
+    fa.write_text(random_reads_fasta(60, 64, seed=16))
+    cfg = KmerConfig(k=15, batch_reads=8, max_read_len=64)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "0")
+    ref = count_fasta(str(fa), cfg)
+    monkeypatch.setenv("KMER_TPU_DEVMERGE", "1")
+    orig = dm.empty_state
+    monkeypatch.setattr(dm, "empty_state",
+                        lambda r, w: orig(min(r, 2048), w))
+    # budget floor (2^16 rows) < the ~3000 distinct this corpus needs
+    # at 2048 capacity -> max_rows still allows growth; cap the budget
+    # below the patched capacity instead so need always exceeds it
+    monkeypatch.setattr(dm, "max_rows", lambda w: 2048)
+    grown = []
+    orig_grow = dm.grow_state
+    monkeypatch.setattr(dm, "grow_state",
+                        lambda w, c, n: grown.append(n) or orig_grow(
+                            w, c, n))
+    got = count_fasta(str(fa), cfg)
+    assert got == ref
+    assert (got.keys == ref.keys).all()
+    assert not grown, "budget cap must force drains, not growth"
+
+
 def test_capacity_exact_fit():
     """C == distinct + N is legal (the contract's boundary)."""
     W = 1
