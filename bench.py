@@ -279,6 +279,52 @@ def main():
             e2e = {"error": f"{type(e).__name__}: {e}"}
             log(f"end-to-end FAILED (device metrics preserved): {e}")
 
+    # production-scale end-to-end (the SCALE_r05 shape): 1 M genome-
+    # coverage reads, 165 MB FASTA, ~15.3 M distinct — the regime the
+    # devmerge growth + grouped merges + u24 wire drain were built
+    # for.  Same guard discipline: a failure must not discard the
+    # metrics above.
+    from kmer_tpu.io.generator import genome_reads_fasta
+    n_scale = int(os.environ.get("KMER_TPU_BENCH_SCALE_READS",
+                                 "1000000"))
+    e2e_scale = None
+    if n_scale > 0:
+        try:
+            with tempfile.TemporaryDirectory() as d:
+                fa = os.path.join(d, "scale.fasta")
+                with open(fa, "w") as f:
+                    f.write(genome_reads_fasta(
+                        n_scale, L, genome_len=10_000_000, seed=5,
+                        error_rate=0.002))
+                runs = {}
+                for label in ("cold", "warm"):
+                    st = {}
+                    t0 = time.perf_counter()
+                    with stagetime.collect(st):
+                        stab = count_fasta(fa, cfg.replace(canonical=True))
+                    wall = time.perf_counter() - t0
+                    runs[label] = {
+                        "seconds": round(wall, 2),
+                        "stages": {k2: round(v, 2)
+                                   for k2, v in sorted(st.items())},
+                    }
+                    log(f"e2e-scale {label}: {wall:.2f}s "
+                        f"{runs[label]['stages']}")
+            warm_s = runs["warm"]["seconds"]
+            e2e_scale = {
+                "reads": n_scale,
+                "total_kmers": int(stab.counts.sum()),
+                "distinct": stab.num_distinct,
+                "cold": runs["cold"],
+                "warm": runs["warm"],
+                "reads_per_sec_warm": round(n_scale / warm_s),
+                "kmers_per_sec_warm": round(
+                    int(stab.counts.sum()) / warm_s),
+            }
+        except Exception as e:          # noqa: BLE001 — reported in JSON
+            e2e_scale = {"error": f"{type(e).__name__}: {e}"}
+            log(f"scale end-to-end FAILED (other metrics preserved): {e}")
+
     print(json.dumps({
         "metric": f"canonical k={K} count throughput (1 chip, sort mode)",
         "value": kmers_per_sec,
@@ -296,6 +342,7 @@ def main():
         "gapped_chunks_per_sec": stats["gapped"]["best_rate"],
         "host_merge_pairs_per_sec": round(hm_rate),
         "end_to_end": e2e,
+        "end_to_end_scale": e2e_scale,
     }))
 
 
