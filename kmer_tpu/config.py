@@ -54,13 +54,15 @@ class KmerConfig:
     # extra partition pass on device (ops/count.grouped_count_compact).
     compact: bool = False
     # device-resident table accumulation (r5, ops/devmerge): sort-mode
-    # batches merge into an on-device sorted unique (keys, counts)
-    # table and the host reads back only distinct rows (wire-compressed
-    # deltas) at drains — D2H scales with DISTINCT keys once per
-    # corpus, not per batch.  "auto" (default) turns it on when the
-    # probed D2H link is below ~0.5 GB/s (utils.linkspeed) on TPU;
-    # "on"/"off" force.  KMER_TPU_DEVMERGE=1/0 overrides either way
-    # (operational escape hatch).
+    # batches merge (grouped, ~one state sort per C/2 lanes) into an
+    # on-device sorted unique (keys, counts) table that GROWS within
+    # an HBM budget (KMER_TPU_DEVMERGE_MAX_MB), and the host reads
+    # back only distinct rows (wire-compressed u24 deltas) at drains —
+    # D2H scales with DISTINCT keys once per corpus, not per batch.
+    # "auto" (default) turns it on when the probed D2H link is below
+    # ~0.5 GB/s (utils.linkspeed) on TPU; "on"/"off" force.
+    # KMER_TPU_DEVMERGE=1/0 overrides either way (operational escape
+    # hatch); KMER_TPU_DEVMERGE_ROWS pins a FIXED capacity.
     device_merge: str = "auto"              # auto | on | off
     # host->device transfer: ship batches 2-bit-packed in uint32 words
     # (4x smaller H2D; device unpacks in 16 shift-ands).  Automatically
