@@ -15,7 +15,7 @@ from .pipeline.sketch import (estimate_distinct_files,
 from .pipeline.streaming import StreamingCounter, stream_count_fasta
 from .pipeline.table import KmerTable
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "KmerConfig", "KmerTable",
