@@ -168,30 +168,27 @@ def fetch_state(state_words, state_counts, distinct: int):
 # ---------------------------------------------------------------------------
 # Wire-compressed drain (W <= 2): the drain readback dominates slow-link
 # end-to-end once merging is device-resident, and sorted keys compress
-# trivially — per-row DELTAS almost always fit 24 bits (a table of d
-# distinct keys over a 2^b keyspace has mean gap 2^b/d: 2^43/15.3 M
-# ≈ 586 k at the 1 M-read scale run) and counts almost always fit 8.
-# The encoded planes are 4 B/row (u24 delta as three u8 planes + u8
-# count) vs 12 B raw, with a fixed-size escape patch carrying the FULL
-# (delta_hi, delta_lo, count) for the rare rows whose delta exceeds 24
-# bits or whose count exceeds 255 (first row included: its "delta" is
-# the key itself).  If the patch overflows — pathologically sparse
-# tables — the caller falls back to the raw fetch; compression is a
-# fast path, never a correctness dependence.
+# trivially — a table of d distinct keys over a 2^b keyspace has mean
+# gap 2^b/d (2^43/15.3 M ≈ 586 k ≈ 2^19 at the 1 M-read scale run),
+# and counts almost always fit 8 bits.  TIERED formats, chosen by the
+# measured escape counts so every table density gets the narrowest
+# wire whose escape patch fits:
+#   u24 — three u8 delta planes + u8 count (4 B/row): dense tables
+#         (mean gap < ~2^24, i.e. d >~ keyspace/2^24).
+#   u32 — one u32 delta plane + u8 count (5 B/row): sparse tables
+#         whose gaps exceed 24 bits but fit 32.
+#   raw — 4(W+1) B/row fetch_state fallback: pathological tables
+#         (both patches overflow).
+# The fixed-size escape patch carries the FULL (delta_hi, delta_lo,
+# count) for rows whose delta exceeds the plane width or whose count
+# exceeds 255 (first row included: its "delta" is the key itself).
+# Compression is a fast path, never a correctness dependence.
 
 WIRE_PATCH_ROWS = 65536
 
 
-@partial(jax.jit, static_argnames=("rows",))
-def wire_encode(state_words, state_counts, rows: int):
-    """Encode the first `rows` live rows for transfer: returns
-    (d0, d1, d2 (rows,) u8 delta bytes LE, count8 (rows,) u8,
-    patch (P, 4) u32, n_escapes scalar).  patch rows are
-    (idx, delta_hi, delta_lo, count) for escaped rows, compacted to
-    the front, idx == 0xFFFFFFFF beyond n_escapes.  Only W <= 2
-    states; dead rows (count 0) never escape."""
+def _wire_deltas(state_words, state_counts, rows: int):
     W = len(state_words)
-    assert W <= 2, W
     c = state_counts[:rows]
     if W == 1:
         hi = jnp.zeros((rows,), jnp.uint32)
@@ -204,51 +201,100 @@ def wire_encode(state_words, state_counts, rows: int):
     borrow = (lo < prev_lo).astype(jnp.uint32)
     dl = lo - prev_lo
     dh = hi - prev_hi - borrow
-    live = c > 0
-    esc = live & ((dh != 0) | (dl >= (1 << 24)) | (c > 255))
-    cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
-    d0 = (dl & 0xFF).astype(jnp.uint8)
-    d1 = ((dl >> 8) & 0xFF).astype(jnp.uint8)
-    d2 = ((dl >> 16) & 0xFF).astype(jnp.uint8)
+    return dl, dh, c
+
+
+def _wire_patch(esc, dh, dl, c, rows: int):
     idx = jnp.arange(rows, dtype=jnp.uint32)
     key = jnp.where(esc, idx, jnp.uint32(0xFFFFFFFF))
     sk, sdh, sdl, sc = lax.sort([key, dh, dl, c.astype(jnp.uint32)],
                                 num_keys=1)
     P = WIRE_PATCH_ROWS
-    patch = jnp.stack([sk[:P], sdh[:P], sdl[:P], sc[:P]], axis=1)
-    return d0, d1, d2, cnt8, patch, jnp.sum(esc.astype(jnp.int32))
+    return jnp.stack([sk[:P], sdh[:P], sdl[:P], sc[:P]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def wire_encode(state_words, state_counts, rows: int):
+    """u24 encode of the first `rows` live rows: returns (d0, d1, d2
+    (rows,) u8 delta bytes LE, count8 (rows,) u8, patch (P, 4) u32,
+    n_escapes_u24, n_escapes_u32).  patch rows are (idx, delta_hi,
+    delta_lo, count) for u24-escaped rows, compacted to the front,
+    idx == 0xFFFFFFFF beyond n_escapes_u24.  The second count lets the
+    host fall back to the u32 format without a second device pass of
+    scalars.  Only W <= 2 states; dead rows (count 0) never escape."""
+    assert len(state_words) <= 2, len(state_words)
+    dl, dh, c = _wire_deltas(state_words, state_counts, rows)
+    live = c > 0
+    esc32 = live & ((dh != 0) | (c > 255))
+    esc = esc32 | (live & (dl >= (1 << 24)))
+    cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
+    d0 = (dl & 0xFF).astype(jnp.uint8)
+    d1 = ((dl >> 8) & 0xFF).astype(jnp.uint8)
+    d2 = ((dl >> 16) & 0xFF).astype(jnp.uint8)
+    patch = _wire_patch(esc, dh, dl, c, rows)
+    return (d0, d1, d2, cnt8, patch,
+            jnp.sum(esc.astype(jnp.int32)),
+            jnp.sum(esc32.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("rows",))
+def wire_encode32(state_words, state_counts, rows: int):
+    """u32 encode (sparse-table tier): returns (delta (rows,) u32,
+    count8 (rows,) u8, patch (P, 4) u32, n_escapes) — escapes only for
+    high-word deltas or counts > 255."""
+    assert len(state_words) <= 2, len(state_words)
+    dl, dh, c = _wire_deltas(state_words, state_counts, rows)
+    live = c > 0
+    esc = live & ((dh != 0) | (c > 255))
+    cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
+    patch = _wire_patch(esc, dh, dl, c, rows)
+    return dl, cnt8, patch, jnp.sum(esc.astype(jnp.int32))
+
+
+def _apply_patch(dl, counts, patch, n_esc: int, d: int):
+    """Overwrite escaped rows with the full (delta, count) from the
+    patch (pow2-bucketed fetch: transfer scales with the escape count
+    and at most ~log2 slice shapes ever compile)."""
+    cap = min(WIRE_PATCH_ROWS, 1 << max(8, (n_esc - 1).bit_length()))
+    p = np.asarray(patch[:cap])[:n_esc]
+    pidx = p[:, 0].astype(np.int64)
+    sel = pidx < d                # escapes beyond d live in dead space
+    pidx = pidx[sel]
+    dl[pidx] = (p[sel, 1].astype(np.uint64) << np.uint64(32)) \
+        | p[sel, 2].astype(np.uint64)
+    counts[pidx] = p[sel, 3].astype(np.int64)
 
 
 def fetch_state_wire(state_words, state_counts, distinct: int):
     """Wire-compressed host fetch (W <= 2): same result as fetch_state
-    at ~4 B/row instead of 12.  Returns None when the escape patch
-    overflowed (caller uses fetch_state)."""
+    at ~4 B/row (u24 tier) or ~5 B/row (u32 tier).  Returns None when
+    both tiers' escape patches overflow (caller uses fetch_state)."""
     d = int(distinct)
     W = len(state_words)
     if d == 0 or W > 2:
         return None if W > 2 else fetch_state(state_words, state_counts, 0)
     rows = min(state_counts.shape[0],
                1 << max(10, (d - 1).bit_length()))
-    d0, d1, d2, cnt8, patch, n_esc = wire_encode(
+    d0, d1, d2, cnt8, patch, n24, n32 = wire_encode(
         state_words, state_counts, rows)
-    n_esc = int(n_esc)
-    if n_esc > WIRE_PATCH_ROWS:
+    n24 = int(n24)
+    if n24 <= WIRE_PATCH_ROWS:
+        dl = np.asarray(d0)[:d].astype(np.uint64)
+        dl |= np.asarray(d1)[:d].astype(np.uint64) << np.uint64(8)
+        dl |= np.asarray(d2)[:d].astype(np.uint64) << np.uint64(16)
+        counts = np.asarray(cnt8)[:d].astype(np.int64)
+        if n24:
+            _apply_patch(dl, counts, patch, n24, d)
+    elif int(n32) <= WIRE_PATCH_ROWS:
+        dl32, cnt8, patch, n_esc = wire_encode32(
+            state_words, state_counts, rows)
+        dl = np.asarray(dl32)[:d].astype(np.uint64)
+        counts = np.asarray(cnt8)[:d].astype(np.int64)
+        n_esc = int(n_esc)
+        if n_esc:
+            _apply_patch(dl, counts, patch, n_esc, d)
+    else:
         return None
-    dl = np.asarray(d0)[:d].astype(np.uint64)
-    dl |= np.asarray(d1)[:d].astype(np.uint64) << np.uint64(8)
-    dl |= np.asarray(d2)[:d].astype(np.uint64) << np.uint64(16)
-    counts = np.asarray(cnt8)[:d].astype(np.int64)
-    if n_esc:
-        # pow2-bucketed patch fetch: transfer scales with the actual
-        # escape count and at most ~log2 slice shapes ever compile
-        cap = min(WIRE_PATCH_ROWS, 1 << max(8, (n_esc - 1).bit_length()))
-        p = np.asarray(patch[:cap])[:n_esc]
-        pidx = p[:, 0].astype(np.int64)
-        sel = pidx < d            # escapes beyond d live in dead space
-        pidx = pidx[sel]
-        dl[pidx] = (p[sel, 1].astype(np.uint64) << np.uint64(32)) \
-            | p[sel, 2].astype(np.uint64)
-        counts[pidx] = p[sel, 3].astype(np.int64)
     keys64 = np.cumsum(dl, dtype=np.uint64)
     if W == 1:
         keys = keys64.astype(np.uint32).reshape(-1, 1)

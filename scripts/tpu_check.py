@@ -298,6 +298,30 @@ def main():
         check("devmerge (device-resident table) == per-batch readback",
               t_dm == t_plain and t_dm == t)
 
+        # 21b. devmerge capacity GROWTH on real hardware (late r5):
+        # a corpus whose distinct keys (~180 k) exceed the initial
+        # capacity (2^16 at batch_reads=128) forces grow_state's
+        # sentinel-append lowering + a grouped merge at the grown
+        # shape; the table must match the per-batch readback path
+        # bit-exactly.
+        from kmer_tpu.io.generator import random_reads_fasta
+        gfa = os.path.join(d, "growth.fasta")
+        with open(gfa, "w") as f:
+            f.write(random_reads_fasta(1500, 150, seed=21))
+        gcfg = KmerConfig(k=21, canonical=True, batch_reads=128,
+                          max_read_len=160)
+        os.environ["KMER_TPU_DEVMERGE"] = "1"
+        try:
+            g_dm = count_fasta(gfa, gcfg)
+        finally:
+            os.environ["KMER_TPU_DEVMERGE"] = "0"
+        try:
+            g_plain = count_fasta(gfa, gcfg)
+        finally:
+            del os.environ["KMER_TPU_DEVMERGE"]
+        check("devmerge growth (distinct >> initial capacity) == plain",
+              g_dm == g_plain and g_dm.num_distinct > (1 << 16))
+
         from kmer_tpu.ops import devmerge as _dm
         import numpy as _np
         rngw = _np.random.default_rng(9)

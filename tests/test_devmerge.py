@@ -281,6 +281,33 @@ def test_wire_fetch_matches_raw(W):
     assert np.array_equal(wc, raw_c)
 
 
+def test_wire_fetch_u32_tier():
+    """A table whose mean gap straddles 2^24 (sparse: ~100k keys over
+    2^42) overflows the u24 escape patch but fits the u32 tier — the
+    wire fetch must fall back to u32, not decline (regression: the
+    first u24-only wire declined exactly the density the hardware
+    battery models)."""
+    rng = np.random.default_rng(7)
+    n = 100_000
+    k64 = np.sort(rng.choice(1 << 42, n, replace=False))
+    keys = np.stack([(k64 >> 32).astype(np.uint32),
+                     k64.astype(np.uint32)], axis=1)
+    cts = rng.integers(1, 4, n).astype(np.int32)
+    cts[rng.choice(n, 300, replace=False)] = 70_000   # count escapes
+    words, counts = devmerge.empty_state(1 << 18, 2)
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, 2))
+    # confirm the fixture actually overflows the u24 patch
+    enc = devmerge.wire_encode(words, counts, 1 << 17)
+    assert int(enc[5]) > devmerge.WIRE_PATCH_ROWS
+    assert int(enc[6]) <= devmerge.WIRE_PATCH_ROWS
+    raw_k, raw_c = devmerge.fetch_state(words, counts, int(d))
+    wire = devmerge.fetch_state_wire(words, counts, int(d))
+    assert wire is not None
+    assert np.array_equal(wire[0], raw_k)
+    assert np.array_equal(wire[1], raw_c)
+
+
 def test_wire_fetch_w3_declines():
     words, counts = devmerge.empty_state(64, 3)
     assert devmerge.fetch_state_wire(words, counts, 0) is None or \
