@@ -57,7 +57,7 @@ class KmerConfig:
     # batches merge (grouped, ~one state sort per C/2 lanes) into an
     # on-device sorted unique (keys, counts) table that GROWS within
     # an HBM budget (KMER_TPU_DEVMERGE_MAX_MB), and the host reads
-    # back only distinct rows (wire-compressed u24 deltas) at drains —
+    # back only distinct rows (tiered u24/u32 delta wire) at drains —
     # D2H scales with DISTINCT keys once per corpus, not per batch.
     # "auto" (default) turns it on when the probed D2H link is below
     # ~0.5 GB/s (utils.linkspeed) on TPU; "on"/"off" force.
