@@ -265,14 +265,57 @@ def _apply_patch(dl, counts, patch, n_esc: int, d: int):
     counts[pidx] = p[sel, 3].astype(np.int64)
 
 
+@partial(jax.jit, static_argnames=("rows",))
+def wire_encode_c8(state_counts, rows: int):
+    """Count-only encode for WIDE keys (W > 2, k >= 33): the key
+    planes are ~incompressible (mean gap 2^(2k+1)/d dwarfs any delta
+    width), but counts still fit u8 almost always.  Returns (count8
+    (rows,) u8, patch (P, 2) u32 of (idx, count) escapes, n_esc)."""
+    c = state_counts[:rows]
+    esc = c > 255
+    cnt8 = jnp.minimum(c, 255).astype(jnp.uint8)
+    idx = jnp.arange(rows, dtype=jnp.uint32)
+    key = jnp.where(esc, idx, jnp.uint32(0xFFFFFFFF))
+    sk, sc = lax.sort([key, c.astype(jnp.uint32)], num_keys=1)
+    P = WIRE_PATCH_ROWS
+    return (jnp.stack([sk[:P], sc[:P]], axis=1), cnt8,
+            jnp.sum(esc.astype(jnp.int32)))
+
+
+def _fetch_wide_c8(state_words, state_counts, d: int, rows: int):
+    """W > 2 fetch: raw key planes + u8 counts with an escape patch —
+    4W+1 B/row instead of 4W+4 (~19% at W=3).  None on patch
+    overflow."""
+    patch, cnt8, n_esc = wire_encode_c8(state_counts, rows)
+    n_esc = int(n_esc)
+    if n_esc > WIRE_PATCH_ROWS:
+        return None
+    counts = np.asarray(cnt8)[:d].astype(np.int64)
+    if n_esc:
+        cap = min(WIRE_PATCH_ROWS, 1 << max(8, (n_esc - 1).bit_length()))
+        p = np.asarray(patch[:cap])[:n_esc]
+        pidx = p[:, 0].astype(np.int64)
+        sel = pidx < d
+        counts[pidx[sel]] = p[sel, 1].astype(np.int64)
+    keys = np.stack([np.asarray(w[:rows])[:d] for w in state_words],
+                    axis=1)
+    return keys, counts
+
+
 def fetch_state_wire(state_words, state_counts, distinct: int):
-    """Wire-compressed host fetch (W <= 2): same result as fetch_state
-    at ~4 B/row (u24 tier) or ~5 B/row (u32 tier).  Returns None when
-    both tiers' escape patches overflow (caller uses fetch_state)."""
+    """Wire-compressed host fetch: same result as fetch_state at
+    ~4 B/row (u24 tier, W <= 2), ~5 B/row (u32 tier, W <= 2), or
+    4W+1 B/row (wide keys: raw planes + u8 counts).  Returns None when
+    every applicable tier's escape patch overflows (caller uses
+    fetch_state)."""
     d = int(distinct)
     W = len(state_words)
-    if d == 0 or W > 2:
-        return None if W > 2 else fetch_state(state_words, state_counts, 0)
+    if d == 0:
+        return fetch_state(state_words, state_counts, 0)
+    if W > 2:
+        rows = min(state_counts.shape[0],
+                   1 << max(10, (d - 1).bit_length()))
+        return _fetch_wide_c8(state_words, state_counts, d, rows)
     rows = min(state_counts.shape[0],
                1 << max(10, (d - 1).bit_length()))
     d0, d1, d2, cnt8, patch, n24, n32 = wire_encode(

@@ -662,12 +662,11 @@ def count_codes(codes: np.ndarray, offsets: np.ndarray, cfg: KmerConfig,
                 dm_distinct = int(dm_d)
             dm_d = None
         with stagetime.stage("readback"):
-            # wire-compressed drain (~4 B/row vs 12) when W <= 2; the
-            # raw fetch is the fallback for wide keys and patch
-            # overflow (pathologically sparse tables)
-            got = (devmerge.fetch_state_wire(dm_words, dm_counts,
-                                             dm_distinct)
-                   if len(dm_words) <= 2 else None)
+            # wire-compressed drain: tiered u24/u32 deltas (~4-5 B/row)
+            # for W <= 2, raw planes + u8 counts for wide keys; the
+            # raw fetch is the fallback on patch overflow
+            got = devmerge.fetch_state_wire(dm_words, dm_counts,
+                                            dm_distinct)
             if got is None:
                 got = devmerge.fetch_state(dm_words, dm_counts,
                                            dm_distinct)

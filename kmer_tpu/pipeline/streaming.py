@@ -569,9 +569,8 @@ class StreamingCounter:
             dm["distinct"] = int(dm["d_dev"])
             dm["d_dev"] = None
         if dm["words"] is not None and dm["distinct"]:
-            got = (devmerge.fetch_state_wire(dm["words"], dm["counts"],
-                                             dm["distinct"])
-                   if len(dm["words"]) <= 2 else None)
+            got = devmerge.fetch_state_wire(dm["words"], dm["counts"],
+                                            dm["distinct"])
             if got is None:
                 got = devmerge.fetch_state(dm["words"], dm["counts"],
                                            dm["distinct"])

@@ -308,15 +308,29 @@ def test_wire_fetch_u32_tier():
     assert np.array_equal(wire[1], raw_c)
 
 
-def test_wire_fetch_w3_declines():
-    words, counts = devmerge.empty_state(64, 3)
-    assert devmerge.fetch_state_wire(words, counts, 0) is None or \
-        devmerge.fetch_state_wire(words, counts, 0)[0].shape == (0, 3)
-    # non-empty W=3 must decline (caller falls back)
-    keys = np.array([[1, 2, 3]], np.uint32)
-    w, c, d = devmerge.merge_batch(words, counts,
-                                   *_as_batch(keys, [1], 3))
-    assert devmerge.fetch_state_wire(w, c, int(d)) is None
+def test_wire_fetch_w3_counts_tier():
+    """Wide keys (W=3) drain raw key planes + u8 counts with an escape
+    patch — result == raw fetch, including counts > 255."""
+    rng = np.random.default_rng(9)
+    words, counts = devmerge.empty_state(1 << 12, 3)
+    n = 700
+    keys = rng.integers(0, 2 ** 31, (n, 3)).astype(np.uint32)
+    keys = np.unique(keys, axis=0)
+    cts = rng.integers(1, 4, len(keys)).astype(np.int32)
+    cts[3] = 255
+    cts[4] = 256
+    cts[5] = 1_000_000
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, 3))
+    raw_k, raw_c = devmerge.fetch_state(words, counts, int(d))
+    wire = devmerge.fetch_state_wire(words, counts, int(d))
+    assert wire is not None
+    assert np.array_equal(wire[0], raw_k)
+    assert np.array_equal(wire[1], raw_c)
+    # empty wide state: empty result, not None
+    w0, c0 = devmerge.empty_state(64, 3)
+    got = devmerge.fetch_state_wire(w0, c0, 0)
+    assert got[0].shape == (0, 3) and got[1].shape == (0,)
 
 
 def test_streaming_devmerge_bit_identity(tmp_path, monkeypatch):
