@@ -322,6 +322,22 @@ def main():
         check("devmerge growth (distinct >> initial capacity) == plain",
               g_dm == g_plain and g_dm.num_distinct > (1 << 16))
 
+        # 21c. wide-key devmerge (k=45, W=3) on real hardware: the
+        # drain rides the raw-planes + u8-counts wire tier.
+        wcfg = KmerConfig(k=45, canonical=True, batch_reads=512,
+                          max_read_len=160)
+        os.environ["KMER_TPU_DEVMERGE"] = "1"
+        try:
+            w_dm = count_fasta(corpus, wcfg)
+        finally:
+            os.environ["KMER_TPU_DEVMERGE"] = "0"
+        try:
+            w_plain = count_fasta(corpus, wcfg)
+        finally:
+            del os.environ["KMER_TPU_DEVMERGE"]
+        check("devmerge k=45 (wide-key u8-count wire) == plain",
+              w_dm == w_plain)
+
         from kmer_tpu.ops import devmerge as _dm
         import numpy as _np
         rngw = _np.random.default_rng(9)
