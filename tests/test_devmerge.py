@@ -333,6 +333,42 @@ def test_wire_fetch_w3_counts_tier():
     assert got[0].shape == (0, 3) and got[1].shape == (0,)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_wire_fetch_randomized_tiers(seed):
+    """Property sweep over the wire-tier boundaries: random key
+    density (dense u24-tier gaps through sparse u32-tier through
+    hi-word escapes), random counts (incl. >255 escapes), W in
+    {1, 2, 3} — fetch_state_wire must equal fetch_state whenever it
+    returns, at every density (the u24-only wire regressed exactly at
+    a density boundary the fixtures straddled)."""
+    rng = np.random.default_rng(1000 + seed)
+    W = int(rng.integers(1, 4))
+    # keyspace width picks the tier: narrow -> dense deltas (u24),
+    # wide -> sparse (u32 / escapes)
+    bits = int(rng.integers(16, 43 if W >= 2 else 31))
+    n = int(rng.integers(200, 3000))
+    if W == 1:
+        keys = np.sort(rng.choice(1 << min(bits, 31), n, replace=False)
+                       ).astype(np.uint32).reshape(-1, 1)
+    else:
+        k64 = np.sort(rng.choice(1 << bits, n, replace=False))
+        cols = [(k64 >> 32).astype(np.uint32), k64.astype(np.uint32)]
+        if W == 3:
+            cols = [np.zeros(n, np.uint32)] + cols
+        keys = np.stack(cols, axis=1)
+    cts = rng.integers(1, 300, n).astype(np.int32)   # some > 255
+    cts[rng.integers(0, n, 5)] = 1_000_000
+    words, counts = devmerge.empty_state(
+        1 << max(10, (2 * n - 1).bit_length()), W)
+    words, counts, d = devmerge.merge_batch(
+        words, counts, *_as_batch(keys, cts, W))
+    raw = devmerge.fetch_state(words, counts, int(d))
+    wire = devmerge.fetch_state_wire(words, counts, int(d))
+    assert wire is not None     # patches can't overflow at n <= 3000
+    assert np.array_equal(wire[0], raw[0])
+    assert np.array_equal(wire[1], raw[1])
+
+
 def test_streaming_devmerge_bit_identity(tmp_path, monkeypatch):
     """Forced devmerge in streaming pass 1 (drain-commit checkpoints)
     is bit-identical to the per-batch spill path, including under
