@@ -338,6 +338,22 @@ def main():
         check("devmerge k=45 (wide-key u8-count wire) == plain",
               w_dm == w_plain)
 
+        # 21d. single-word devmerge (k=15, W=1) on real hardware: the
+        # drain rides the u24/u32 delta tiers with hi == 0.
+        scfg = KmerConfig(k=15, canonical=True, batch_reads=512,
+                          max_read_len=160)
+        os.environ["KMER_TPU_DEVMERGE"] = "1"
+        try:
+            s_dm = count_fasta(corpus, scfg)
+        finally:
+            os.environ["KMER_TPU_DEVMERGE"] = "0"
+        try:
+            s_plain = count_fasta(corpus, scfg)
+        finally:
+            del os.environ["KMER_TPU_DEVMERGE"]
+        check("devmerge k=15 (single-word delta wire) == plain",
+              s_dm == s_plain)
+
         from kmer_tpu.ops import devmerge as _dm
         import numpy as _np
         rngw = _np.random.default_rng(9)
