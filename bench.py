@@ -49,7 +49,11 @@ L = 150
 BG = 2048         # gapped batch
 WARMUP = 150      # executable-promotion warmup (forced)
 NROUNDS = int(__import__("os").environ.get("KMER_TPU_BENCH_ROUNDS",
-                                           "10"))  # round-robin rounds
+                                           "12"))  # round-robin rounds
+# 12 rounds (~2 min extra vs 10): this attachment's interference
+# phases span 2x for the SAME executable (DESIGN "r5 A/B
+# adjudication"), so more phase samples reduce the variance of the
+# best-window stat; every window + the median stay in the JSON.
 REWARM = 150      # per-block re-promotion (untimed)
 BIG_ITERS = 1600  # steps per timed block (~15-40 ms fixed cost / block)
 
